@@ -1,0 +1,78 @@
+"""Aggregation operators (SURVEY §2.7 A1-A4 + the standard agg surface).
+
+Two design points:
+
+* **Deterministic floating-point sums.**  Distributed double summation
+  is order-dependent; to make results reproducible across partition
+  counts (and bit-comparable against DuckDB oracles) the helpers
+  ``dsum``/``davg`` accumulate in DECIMAL and cast the final value back
+  to double.  Decimal aggregation is exact and associative, so the
+  answer is independent of parallelism — the right default for a
+  1000-executor cluster, and barely slower than double sums under
+  whole-stage codegen.
+* **Rollup/cube** produce the reference's dataset shape natively
+  (SURVEY §1.4: NULL-marked subtotal levels); ``grouping()`` columns
+  distinguish subtotal-NULL from data-NULL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+# Wide enough for sums over ~1e12 rows of 1e6-magnitude values.
+_ACC = DecimalType(32, 6)
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double column (decimal-accumulated),
+    returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_ACC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(_ACC)).cast("double") /
+            F.count(F.when(c.isNotNull(), F.lit(1))))
+
+
+def distinct_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """A1 — multi-column DISTINCT (map-side partial dedup then a keys-
+    only shuffle; at 100 TB this is how the warehouse snapshot stays
+    cheap)."""
+    return df.select(*keys).distinct()
+
+
+def _grouping_level(cols: Sequence[str]) -> Column:
+    """Explicit grouping-level id: bit i set when cols[i] is rolled up.
+    Computed from ``grouping()`` per column (identical semantics in
+    Spark and ANSI SQL engines, unlike engine-specific grouping_id
+    bit orders)."""
+    out = F.lit(0)
+    for c in cols:
+        out = out * 2 + F.grouping(c)
+    return out.cast("int")
+
+
+def rollup_agg(df: DataFrame, dims: Sequence[str],
+               aggs: Sequence[Column]) -> DataFrame:
+    """A4 — GROUP BY ROLLUP over the dim hierarchy with a level tag
+    (the §1.4 dataset shape)."""
+    return (
+        df.rollup(*dims)
+        .agg(_grouping_level(dims).alias("grp_level"), *aggs)
+    )
+
+
+def cube_agg(df: DataFrame, dims: Sequence[str],
+             aggs: Sequence[Column]) -> DataFrame:
+    """GROUP BY CUBE with a level tag."""
+    return (
+        df.cube(*dims)
+        .agg(_grouping_level(dims).alias("grp_level"), *aggs)
+    )

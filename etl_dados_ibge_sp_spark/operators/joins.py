@@ -1,0 +1,78 @@
+"""Join operators (SURVEY §2.3 J1-J3).
+
+Scale notes (the part that matters at 100 TB):
+
+* J1 enrichment joins a small dimension — always a broadcast hash
+  join: no shuffle of the fact table, no skew sensitivity.  We mark the
+  dim with ``F.broadcast`` explicitly instead of relying on the
+  threshold.
+* J2 anti-join dedup shuffles both sides on the composite key.  At
+  scale the warehouse side should be reduced to DISTINCT keys *before*
+  the exchange (done here), and the fact table should be bucketed or
+  pre-partitioned on the dedup key so repeated incremental loads reuse
+  the layout.  AQE converts to broadcast when the key snapshot is
+  small (the common case: keys-only is tiny relative to facts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .repair import normalize_string_key
+
+
+def enrich_left_join(fact: DataFrame, dim: DataFrame,
+                     fact_key: str, dim_key: str,
+                     dim_value: str, out_col: str,
+                     normalize: bool = True,
+                     default=None) -> DataFrame:
+    """J1 — broadcast left equi-join against a small dimension with
+    normalized string keys (reference pipeline.py:96-106).
+
+    Takes ``dim_value`` from the dim, writes it as ``out_col`` on the
+    fact; optionally fills misses with ``default`` (P6 fallback)."""
+    jk = "__join_key"
+    fk = F.col(fact_key)
+    dk = F.col(dim_key)
+    if normalize:
+        fk = normalize_string_key(fk)
+        dk = normalize_string_key(dk)
+    dim_small = dim.select(dk.alias(jk), F.col(dim_value).alias(out_col))
+    # Dedup the dim on the key: a left enrichment join must not fan out.
+    dim_small = dim_small.groupBy(jk).agg(F.first(out_col).alias(out_col))
+    out = fact.withColumn(jk, fk).join(F.broadcast(dim_small), jk, "left")
+    if default is not None:
+        out = out.fillna({out_col: default})
+    return out.drop(jk)
+
+
+def anti_join_dedup(incoming: DataFrame, warehouse: DataFrame,
+                    keys: Sequence[str]) -> DataFrame:
+    """J2 — incremental dedup: keep incoming rows whose composite key
+    does not already exist in the warehouse snapshot
+    (dags/etl_municipios.py:138-142).
+
+    The warehouse side is reduced to distinct keys first so the shuffle
+    (or broadcast) moves keys, not rows."""
+    snapshot = warehouse.select(*keys).distinct()
+    return incoming.join(snapshot, on=list(keys), how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame,
+              keys: Sequence[str]) -> DataFrame:
+    """Complement of J2 — rows whose key DOES exist on the right."""
+    snapshot = right.select(*keys).distinct()
+    return left.join(snapshot, on=list(keys), how="left_semi")
+
+
+def resolve_dim_columns(columns: Sequence[str],
+                        name_col: str, code_col: str) -> tuple[str, str]:
+    """J3 — name-or-positional dim column resolution (reference
+    pipeline.py:97-98): prefer the expected header names, fall back to
+    last column for the name and second column for the code."""
+    name = name_col if name_col in columns else columns[-1]
+    code = code_col if code_col in columns else columns[1]
+    return name, code

@@ -1,0 +1,99 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference has no session concept (Polars eager, single process —
+see SURVEY.md §4).  Here we centralize the Spark configuration that
+makes the engine behave deterministically in tests and efficiently at
+scale:
+
+* AQE on (runtime join-strategy switching, skew-join splitting,
+  partition coalescing) — the 100-TB insurance policy.
+* UTC session timezone — parquet timestamps compare bit-identically
+  against DuckDB oracles and across clusters in different zones.
+* ANSI off — the reference's semantics are null-on-bad-cast
+  (``cast(strict=False)``, reference pipeline.py:126-141); we use
+  ``try_cast``-style helpers everywhere so the engine also works with
+  ANSI on, but the session default matches the reference.
+* Arrow on for any pandas interchange (vectorized, not row-at-a-time).
+
+``tune_for_oracle(spark)`` applies the runtime-settable subset of these
+to an externally provided session (the verification driver constructs
+its own SparkSession; every query entrypoint calls this so results are
+deterministic regardless of the host session's defaults).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied both at build time and onto foreign
+# sessions handed to us by the verification driver.
+_RUNTIME_CONF = {
+    # Deterministic timestamp semantics vs DuckDB (naive == UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Reference semantics: bad cast -> null, not error (SURVEY §2.4 T1).
+    "spark.sql.ansi.enabled": "false",
+    # Adaptive execution: coalesce post-shuffle partitions, switch
+    # sort-merge -> broadcast at runtime, split skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas/pandas_udf interchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (nation/region/ibge lookup) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+    # parquet reader rejects; read as nanos-since-epoch long and convert
+    # (sources/parquet_source.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_shuffle_partitions() -> int:
+    """Shuffle parallelism: cores-driven locally; on a real cluster this
+    should be ~2-3x total executor cores (or left to AQE's coalescing
+    with a high initial value)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return max(int(cpus), 4)
+    return 32
+
+
+def get_spark(app_name: str = "etl-dados-ibge-sp-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or default_shuffle_partitions()),
+    )
+    # Local-mode memory headroom; harmless on a managed cluster where
+    # spark-submit overrides it.
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Apply deterministic-semantics confs to a foreign session.
+
+    Only runtime-settable confs; safe to call repeatedly.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be frozen on exotic sessions; results then
+            # depend on the host defaults, which is the best we can do.
+            pass
+    return spark
