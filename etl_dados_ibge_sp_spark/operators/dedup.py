@@ -1,0 +1,172 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash (BASELINE.json north star; the reference's only dedup is the
+key-based anti-join J2, operators/joins.py).
+
+Scale design:
+
+* **Exact** dedup is a hash-groupBy on a fingerprint — one shuffle of
+  (fingerprint, id), never of document bodies.
+* **Jaccard pairs** via shingle inverted index (self-join on shingle)
+  is quadratic in bucket size — correct as an oracle/verification
+  path, bounded by `max_id` in queries; the scale path is LSH.
+* **MinHash+LSH**: signatures are a single explode+groupBy pass
+  (k aggregations, map-side combined); banding turns pair discovery
+  into an equi-join on band keys, so candidate generation is linear in
+  bucket sizes instead of quadratic in corpus size.
+* **SimHash**: one explode over (token × bit) then two groupBys; at
+  scale the bit dimension is a constant 16-64×, all map-side
+  combinable.
+
+Portability: all hashes are md5-hex based (identical in any engine);
+MinHash "permutations" are md5(seed || shingle) compared as hex
+strings (uniform order, engine-portable min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 1) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    return df.select(F.col(id_col),
+                     F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 4) -> DataFrame:
+    """Distinct character n-gram shingles of the normalized text."""
+    norm = normalized_text(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return df.select(F.col(id_col),
+                     F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one row per
+    distinct content with the keeper id and the duplicate count."""
+    return (
+        df.select(F.col(id_col),
+                  F.md5(normalized_text(F.col(text_col))).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, id_col: str,
+                  threshold: float) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via the shingle inverted
+    index.  Exact but quadratic per shingle bucket — the verification
+    path; use LSH candidates first at scale."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter").cast("double") /
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(shingles: DataFrame, id_col: str,
+                      n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per id: for each of n_hashes seeded hash
+    functions, the minimum md5-hex prefix over the shingle set.
+
+    Hex-string min is a valid MinHash (md5 is uniform over the prefix
+    order) and is bit-identical in any engine with md5 + substr.
+    """
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"seed{i}:"),
+                                         F.col("shingle"))), 1, 16)
+              ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        rows_per_band: int = 2) -> DataFrame:
+    """Band the signature and emit distinct candidate pairs (a<b) that
+    collide in at least one band — the linear-time pair discovery."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh")]
+    n_bands = len(mh_cols) // rows_per_band
+    banded = None
+    for b in range(n_bands):
+        cols = mh_cols[b * rows_per_band:(b + 1) * rows_per_band]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *cols).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionAll(part)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (with multiplicity).
+
+    bit_j(doc) = sign of sum over tokens of ±1 where the j-th bit of
+    md5(token)[:4] decides the sign.  Near-duplicate documents land at
+    small Hamming distance; equal-simhash grouping is the cheapest
+    near-dup bucketing.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    vals = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10)
+         .cast("int").alias("v"),
+    )
+    bits = (
+        vals.select(F.col(id_col), "v",
+                    F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .withColumn("sign", F.when(
+            F.expr("shiftright(v, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy(id_col, "j")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return (
+        bits.withColumn("bitval", F.when(
+            F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+        ).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )

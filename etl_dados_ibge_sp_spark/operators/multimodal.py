@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed in Arrow batches.
+
+The decode/resize/frame-sample kernels would normally call PIL /
+librosa / pyav — none of which exist in this container — so the codec
+step is STUBBED: :func:`decode_stub` derives deterministic fake
+media metadata from the payload's md5 (same plumbing, fake kernel),
+and :func:`decode_real` raises ``NotImplementedError`` until a codec
+library is installed.  Everything Spark-side is real and tested:
+binary schema, Arrow batch transfer (``mapInPandas``), batch-shaped
+UDF signature, partition-preserving narrow execution.
+
+At 100 TB: payloads stay in parquet binary columns (or pointers to an
+object store); ``mapInPandas`` processes them per Arrow batch with no
+shuffle, so decode throughput scales with executor count; metadata
+extraction pushes down to a pure-JVM expression path
+(:func:`binary_meta`) whenever the kernel can be expressed without
+the codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = ("doc_id bigint, width bigint, height bigint, "
+                 "n_frames bigint, checksum string")
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text",
+                        out_col: str = "payload") -> DataFrame:
+    """Stand-in media payload: the UTF-8 bytes of a text column as a
+    binary column (the driver tables carry no real media)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def binary_meta(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata over a binary column: byte size, checksum, and
+    the stub decoder's fake dimensions (md5-derived) — the expression
+    path that needs no codec and stays in whole-stage codegen."""
+    md5 = F.md5(F.col(payload_col))
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+        md5.alias("checksum"),
+        (F.conv(F.substring(md5, 1, 4), 16, 10).cast("bigint") % 1920 + 1
+         ).alias("width"),
+        (F.conv(F.substring(md5, 5, 4), 16, 10).cast("bigint") % 1080 + 1
+         ).alias("height"),
+        (F.conv(F.substring(md5, 9, 2), 16, 10).cast("bigint") % 30 + 1
+         ).alias("n_frames"),
+    )
+
+
+def decode_stub(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched 'decode': mapInPandas over the binary column with
+    a deterministic fake kernel (md5-derived dims).  Swap the digest
+    arithmetic for a PIL/pyav call and the plumbing is
+    production-shaped.
+
+    The kernel is deliberately self-contained (imports inside, no
+    module-level references) so cloudpickle ships it by value and the
+    Python workers never need this package on their import path — the
+    verification driver may run from an arbitrary cwd.
+    """
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+        for pdf in batches:
+            digests = [_hl.md5(b).hexdigest() for b in pdf[payload_col]]
+            yield _pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": [int(d[0:4], 16) % 1920 + 1 for d in digests],
+                "height": [int(d[4:8], 16) % 1080 + 1 for d in digests],
+                "n_frames": [int(d[8:10], 16) % 30 + 1 for d in digests],
+                "checksum": digests,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=DECODE_SCHEMA)
+
+
+def decode_real(df: DataFrame, **_kwargs) -> DataFrame:
+    """Real codec path — requires an image/audio library that is not
+    installed in this environment."""
+    raise NotImplementedError(
+        "media codecs (PIL/librosa/pyav) are not available in this "
+        "container; use decode_stub, which exercises the identical "
+        "Spark plumbing with a deterministic fake kernel")

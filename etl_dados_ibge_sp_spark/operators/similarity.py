@@ -1,0 +1,88 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the 100-TB design brief:
+
+* **Brute-force cosine top-k** — the exactness baseline.  The query
+  vector rides along as a broadcast single-row cross join; the dot
+  product is a JVM-side ``zip_with`` + ``aggregate`` fold (no Python,
+  no shuffle until the final TakeOrdered top-k).  Linear scan: right
+  answer for one-off queries and the verification oracle for the
+  bucketed path.
+* **Bucketed ANN (IVF-flavored)** — a coarse quantizer (sign bits of
+  leading dimensions; pluggable) assigns every vector to a bucket;
+  search only scans the query's bucket.  On a cluster the table would
+  be written partitioned/bucketed by this key so a probe touches one
+  partition — the classic inverted-file layout on parquet.
+
+Determinism: doubles accumulated left-to-right in array order (both
+Spark's ``aggregate`` and the oracle's list functions), cosine rounded
+to 6 decimals, ties broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(emb: DataFrame, query: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact top-k by cosine against a (broadcast) single-row query."""
+    joined = emb.crossJoin(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+         .alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
+    """Coarse quantizer: bitmask of the signs of the leading n_bits
+    dimensions (1-based element_at) — a 2^n_bits-cell IVF grid."""
+    out = F.lit(0)
+    for i in range(n_bits):
+        bit = F.when(F.element_at(_as_double(vec), i + 1) >= 0, F.lit(1)) \
+            .otherwise(F.lit(0))
+        out = out + (bit * F.lit(1 << i))
+    return out.cast("bigint")
+
+
+def ann_bucketed_topk(emb: DataFrame, query: DataFrame, k: int,
+                      n_bits: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF-style probe: scan only vectors in the query's sign bucket.
+
+    At scale the bucket column is the table's partition/bucket key, so
+    this plan prunes to one partition instead of filtering a full scan.
+    """
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    q = query.withColumn("bucket", sign_bucket(F.col(query_vec_col), n_bits))
+    joined = bucketed.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+         .alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star; no counterpart in the reference, which processes tabular
+CAGED data only).
+
+All hot-path expressions are JVM-side built-ins (split/regexp/filter/
+md5) — no Python UDFs — so they run inside whole-stage codegen and
+scale linearly with input bytes.  Determinism: every score is pure
+rational arithmetic (no transcendentals whose libm rounding could
+differ across platforms/engines), rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer (the baseline tokenization for quality metrics).
+_WS = r"\s+"
+
+# BPE-ish pre-tokenization: letter runs, single digits, single symbols —
+# the shape GPT-style byte-pair encoders split on before merging.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic.  Disjoint sets so the argmax is unambiguous.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "with"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "et", "les", "une", "pour"),
+    "es": ("el", "y", "los", "una", "para"),
+}
+# Fixed precedence for argmax ties (first wins).
+LANG_ORDER = ("en", "de", "fr", "es")
+
+PUNCT_RE = r"[.,!?;:]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a trimmed text column."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (regexp_count, JVM-side)."""
+    return F.regexp_count(col, F.lit(BPE_PRETOKEN_RE)).cast("bigint")
+
+
+def stopword_count(col: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of marker words among whitespace tokens."""
+    return F.size(
+        F.filter(tokens(col), lambda t: t.isin(*words))
+    ).cast("bigint")
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_count(col, ws)
+            for lang, ws in LANG_MARKERS.items()}
+
+
+def predicted_language(col: Column) -> Column:
+    """Argmax over language marker scores; ties resolve to the first
+    language in LANG_ORDER (first-match CASE, same shape in SQL)."""
+    scores = language_scores(col)
+    top = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        pred = F.when(scores[lang] == top, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PUNCT_RE)).cast("bigint")
+
+
+def quality_score(col: Column, n_chars: Column) -> Column:
+    """Composite quality in [0,1]: stopword density + punctuation
+    sanity + length saturation.  Pure rational arithmetic."""
+    n_tok = token_count(col).cast("double")
+    stop_ratio = stopword_count(col, LANG_MARKERS["en"]).cast("double") / n_tok
+    punct_ratio = punct_count(col).cast("double") / n_chars.cast("double")
+    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0)) +
+        F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) +
+        F.lit(0.3) * len_score,
+        6,
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased canonical form (the dedup and
+    fingerprint normalization)."""
+    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Full document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit-ish fingerprint: first 15 hex digits (60 bits) of the md5
+    as a bigint — engine-portable (conv is plain hex parsing)."""
+    return F.conv(F.substring(fingerprint_md5(col), 1, 15), 16, 10) \
+        .cast("bigint")

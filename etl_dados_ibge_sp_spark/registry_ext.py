@@ -1,11 +1,425 @@
-"""Extension queries (LLM-data-pipeline operators): dedup, similarity
-search, text analysis, multimodal plumbing, streaming restatements.
+"""Extension queries (LLM-data-pipeline operators): text analysis,
+dedup (exact / Jaccard / MinHash-LSH / SimHash), similarity search,
+multimodal plumbing, event sessionization, and the Structured
+Streaming parity query.
 
-Registered into the same REGISTRY as the core relational queries.
-Populated module-by-module; importing this module triggers
-registration side effects.
+Registered into the same REGISTRY as the core relational queries;
+every entry that is SQL-expressible carries a DuckDB oracle built on
+engine-portable primitives (md5/substr/hex-parse/list lambdas).
 """
 
 from __future__ import annotations
 
-# Extension registrations land here as the operators are implemented.
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as T
+from .operators.aggregate import dsum
+from .registry import _t, register
+
+# Shared SQL fragments (kept identical across oracles).
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register("text_token_stats", sql=f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len({_TOKS_SQL}), 6) AS avg_token_len
+FROM documents
+""")
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish pre-tokens, all
+    JVM-side regexp (no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = T.token_count(text)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        T.bpe_token_count(text).alias("n_bpe_tokens"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.round(F.length(F.regexp_replace(text, r"\s", "")).cast("double")
+                / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (f"CAST(len(list_filter({_TOKS_SQL}, "
+            f"t -> t IN ({inlist}))) AS BIGINT)")
+
+
+@register("text_language_id", sql=f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+           {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+           {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+           {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es
+    FROM documents
+)
+SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+       CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM s
+""")
+def q_text_language_id(spark, sf_dir):
+    """Language-ID heuristic: marker-stopword scores + first-match
+    argmax (the n-gram-heuristic family, SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = T.language_scores(text)
+    return d.select(
+        "doc_id", "lang",
+        scores["en"].alias("s_en"), scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"), scores["es"].alias("s_es"),
+        T.predicted_language(text).alias("pred_lang"),
+    )
+
+
+@register("text_quality_score", sql=f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+           AS n_punct,
+       round(0.4 * least({_lang_score_sql(T.LANG_MARKERS['en'])} * 1.0
+                         / len({_TOKS_SQL}) * 4, 1.0)
+           + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))
+                                * 1.0 / length(text) * 10, 1.0))
+           + 0.3 * least(length(text) / 500.0, 1.0), 6) AS quality
+FROM documents
+""")
+def q_text_quality_score(spark, sf_dir):
+    """Quality scoring: stopword density + punctuation sanity + length
+    saturation, pure rational arithmetic (deterministic everywhere)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(text).alias("n_tokens"),
+        T.punct_count(text).alias("n_punct"),
+        T.quality_score(text, F.length(text)).alias("quality"),
+    )
+
+
+@register("text_fingerprint", sql=f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fp_md5,
+       CAST(concat('0x', substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT)
+           AS fp64
+FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text + a 60-bit
+    integer prefix (engine-portable hex parse)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(text).alias("fp_md5"),
+        T.fingerprint64(text).alias("fp64"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@register("dedup_exact", sql=f"""
+SELECT md5({_NORM_SQL}) AS content_key,
+       min(doc_id) AS keeper_id,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint
+    (shuffles fingerprints, not bodies)."""
+    return D.exact_dedup_groups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("dedup_jaccard_pairs", sql=f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS shingle
+    FROM documents WHERE doc_id < 300
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.8
+""")
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via the shingle inverted index —
+    the exact (quadratic-per-bucket) verification path, bounded to
+    doc_id<300; the scale path is dedup_minhash_lsh."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = D.word_shingles(docs, "doc_id", "text", n=1)
+    return D.jaccard_pairs(sh, "doc_id", 0.8)
+
+
+@register("dedup_minhash_lsh", sql=f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([substr(nt, i, 4)
+               FOR i IN generate_series(1, greatest(length(nt) - 3, 1))]))
+               AS shingle
+    FROM norm
+), sig AS (
+    SELECT doc_id,
+           min(substr(md5(concat('seed0:', shingle)), 1, 16)) AS mh0,
+           min(substr(md5(concat('seed1:', shingle)), 1, 16)) AS mh1,
+           min(substr(md5(concat('seed2:', shingle)), 1, 16)) AS mh2,
+           min(substr(md5(concat('seed3:', shingle)), 1, 16)) AS mh3,
+           min(substr(md5(concat('seed4:', shingle)), 1, 16)) AS mh4,
+           min(substr(md5(concat('seed5:', shingle)), 1, 16)) AS mh5,
+           min(substr(md5(concat('seed6:', shingle)), 1, 16)) AS mh6,
+           min(substr(md5(concat('seed7:', shingle)), 1, 16)) AS mh7
+    FROM sh GROUP BY 1
+), banded AS (
+    SELECT doc_id, 0 AS band, concat(mh0, '|', mh1) AS band_key FROM sig
+    UNION ALL
+    SELECT doc_id, 1, concat(mh2, '|', mh3) FROM sig
+    UNION ALL
+    SELECT doc_id, 2, concat(mh4, '|', mh5) FROM sig
+    UNION ALL
+    SELECT doc_id, 3, concat(mh6, '|', mh7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: char-4gram shingles → 8-hash
+    signature (one explode+groupBy pass) → 4 bands of 2 → equi-join on
+    band keys.  Linear-time pair discovery, the 100-TB dedup path."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.char_shingles(docs, "doc_id", "text", n=4)
+    sig = D.minhash_signature(sh, "doc_id", n_hashes=8)
+    return D.lsh_candidate_pairs(sig, "doc_id", rows_per_band=2)
+
+
+@register("dedup_simhash", sql=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), vals AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) AS v
+    FROM toks
+), bits AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM vals, generate_series(0, 15) t(j)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY 1
+""")
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document (token-multiplicity sign-sum)."""
+    return D.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(q.qe, q.qe))), 6)
+"""
+
+
+@register("embed_cosine_topk", sql=f"""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_COS_SQL} AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""")
+def q_embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query vector, JVM-side
+    zip_with/aggregate fold, TakeOrdered top-k — the ANN baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    others = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    return S.cosine_topk(others, query, k=10)
+
+
+@register("embed_ann_bucketed", sql=f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding,
+           CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+             AS BIGINT) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qe, bucket
+    FROM bucketed WHERE vec_id = 0
+)
+SELECT e.vec_id, e.bucket, {_COS_SQL} AS cos_sim
+FROM bucketed e JOIN q ON e.bucket = q.bucket
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 5
+""")
+def q_embed_ann_bucketed(spark, sf_dir):
+    """IVF-style bucketed ANN: sign-bit coarse quantizer, probe scans
+    only the query's bucket (partition-prunable at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    return S.ann_bucketed_topk(emb, query, k=5, n_bits=4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1
+           AS width,
+       CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1
+           AS height,
+       CAST(concat('0x', substr(md5(text), 9, 2)) AS BIGINT) % 30 + 1
+           AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_binary_meta", sql=_META_SQL)
+def q_multimodal_binary_meta(spark, sf_dir):
+    """Binary-column metadata, pure JVM expression path (octet_length /
+    md5 / hex-parse over the payload bytes)."""
+    d = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.binary_meta(d)
+
+
+@register("multimodal_decode_stub", sql="""
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1
+           AS width,
+       CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1
+           AS height,
+       CAST(concat('0x', substr(md5(text), 9, 2)) AS BIGINT) % 30 + 1
+           AS n_frames,
+       md5(text) AS checksum
+FROM documents
+""")
+def q_multimodal_decode_stub(spark, sf_dir):
+    """Arrow-batched decode plumbing (mapInPandas over binary payloads)
+    with the deterministic stub kernel — the oracle checks the full
+    Python round trip byte-for-byte."""
+    d = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.decode_stub(d)
+
+
+# --------------------------------------------------------------------------
+# Events: sessionization + windowed aggregation (+ streaming parity)
+# --------------------------------------------------------------------------
+
+@register("event_sessionize", sql="""
+WITH x AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+), y AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM x
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, event_id,
+       CAST(SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+FROM y
+""")
+def q_event_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session ids via lag + running sum —
+    one shuffle on user_id, then narrow window arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() |
+        ((us - F.lag(us).over(w)) > 30 * 60 * 1_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    return (
+        e.select("user_id", "event_id", "ts",
+                 new_sess.alias("new_sess"))
+        .withColumn("session_id",
+                    F.sum("new_sess").over(wsum).cast("bigint"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+_WINDOWED_AGG_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("windowed_event_agg", sql=_WINDOWED_AGG_SQL)
+def q_windowed_event_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (batch form)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+@register("stream_windowed_agg", sql=_WINDOWED_AGG_SQL)
+def q_stream_windowed_agg(spark, sf_dir):
+    """Structured Streaming parity: the same tumbling-window agg run as
+    an availableNow stream (watermark + complete output) must equal
+    the batch answer — checked against the same oracle."""
+    from .streaming.windowed import stream_windowed_event_agg
+    return stream_windowed_event_agg(spark, sf_dir)

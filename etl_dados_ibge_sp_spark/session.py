@@ -87,7 +87,10 @@ def get_spark(app_name: str = "etl-dados-ibge-sp-spark",
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Apply deterministic-semantics confs to a foreign session.
 
-    Only runtime-settable confs; safe to call repeatedly.
+    Only runtime-settable confs; safe to call repeatedly.  Also ships
+    this package to the Python workers (addPyFile) so pandas-UDF /
+    mapInPandas closures resolve regardless of the host's cwd or
+    PYTHONPATH.
     """
     for k, v in _RUNTIME_CONF.items():
         try:
@@ -96,4 +99,28 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
             # Some confs may be frozen on exotic sessions; results then
             # depend on the host defaults, which is the best we can do.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package, once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_etl_ibge_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="etl_ibge_pkg_")
+    zip_base = os.path.join(staging, "etl_dados_ibge_sp_spark")
+    try:
+        archive = shutil.make_archive(
+            zip_base, "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir))
+        sc.addPyFile(archive)
+        sc._etl_ibge_pkg_shipped = True
+    except Exception:
+        # Self-contained closures keep working without the shipped zip.
+        pass

@@ -1,0 +1,104 @@
+"""Structured Streaming restatement of the reference's incremental
+batch pattern (SURVEY §2.11): the anti-join dedup + idempotent
+restatement becomes watermarked streaming dedup + windowed aggregation.
+
+The reference has no streaming; this is the §7 phase-9 extension.  The
+batch/stream parity law: a stream over the same files with
+``availableNow`` + complete output must produce exactly the batch
+answer — which is how the oracle checks it.
+
+Scale notes: watermarks bound the dedup/window state (the 100-TB
+constraint — unbounded state is the failure mode); the windowed agg is
+a keys-only shuffle with map-side partial aggregation, identical to
+its batch plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.  Schema comes from a
+    driver-side batch peek (streaming sources require explicit
+    schemas); the nanos ts column is restored to a proper timestamp.
+
+    The file source needs a *directory*; the test tables are single
+    parquet files, so we stage a symlink in a temp dir (at scale the
+    landing zone is a directory of files anyway)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream,
+    run to completion with availableNow; returns the final table
+    (equals the batch windowed agg — the parity oracle)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DecimalType(32, 6))).cast("double")
+             .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    qname = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    keys: list[str] | None = None,
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming restatement of J2: drop duplicate events by key with
+    bounded state (dropDuplicatesWithinWatermark), run to completion;
+    returns the deduplicated rows."""
+    keys = keys or ["event_id"]
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
