@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no driver collect), timed individually; `value` is the
+total wall time across the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+if HERE not in sys.path:
+    sys.path.insert(0, HERE)
+
+from etl_dados_ibge_sp_spark.registry import all_queries  # noqa: E402
+from etl_dados_ibge_sp_spark.session import get_spark  # noqa: E402
+
+# Headline suite: the scale-critical operators (big agg, star join,
+# anti-join pipeline, windows, dedup family, similarity, text, events).
+HEADLINE = [
+    "pricing_summary",
+    "multi_join_revenue",
+    "incremental_enrichment",
+    "topk_per_group",
+    "window_running_sum",
+    "rollup_hierarchy",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_language_id",
+    "embed_cosine_topk",
+    "event_sessionize",
+    "windowed_event_agg",
+    "multimodal_decode_stub",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_once(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="etl-ibge-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footers once so query 1 isn't charged for
+    # session startup (steady-state engine time is what we measure).
+    for t in ("lineitem", "orders", "documents", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        run_once(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

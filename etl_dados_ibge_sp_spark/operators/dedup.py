@@ -46,15 +46,21 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
 
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 4) -> DataFrame:
-    """Distinct character n-gram shingles of the normalized text."""
+                  n: int = 4, distinct: bool = False) -> DataFrame:
+    """Character n-gram shingles of the normalized text.
+
+    ``distinct=False`` by default: MinHash is invariant under shingle
+    multiplicity (min over a multiset equals min over its set), and a
+    per-row ``array_distinct`` over ~500-element arrays is quadratic —
+    the measured hot spot of LSH at sf0.1.  Ask for distinct only when
+    set semantics matter (Jaccard sizes)."""
     norm = normalized_text(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
         lambda i: norm.substr(i, F.lit(n)),
     )
-    return df.select(F.col(id_col),
-                     F.explode(F.array_distinct(grams)).alias("shingle"))
+    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str,
@@ -98,25 +104,37 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
 
 def minhash_signature(shingles: DataFrame, id_col: str,
                       n_hashes: int = 8) -> DataFrame:
-    """MinHash signature per id: for each of n_hashes seeded hash
-    functions, the minimum md5-hex prefix over the shingle set.
+    """MinHash signature per id: n_hashes "permutations", each the
+    minimum of an 8-hex-char slice of a salted md5 over the shingle
+    set.  Four slices per digest, so 8 permutations cost 2 md5
+    evaluations per shingle instead of 8 — the hash is the hot loop of
+    LSH dedup at scale.
 
-    Hex-string min is a valid MinHash (md5 is uniform over the prefix
+    Hex-string min is a valid MinHash (md5 is uniform over the slice
     order) and is bit-identical in any engine with md5 + substr.
     """
-    aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"seed{i}:"),
-                                         F.col("shingle"))), 1, 16)
-              ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+    aggs = []
+    for i in range(n_hashes):
+        salt, chunk = divmod(i, 4)
+        digest = F.md5(F.concat(F.lit(f"s{salt}:"), F.col("shingle")))
+        aggs.append(
+            F.min(F.substring(digest, chunk * 8 + 1, 8)).alias(f"mh{i}"))
     return shingles.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        rows_per_band: int = 2) -> DataFrame:
+                        rows_per_band: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature and emit distinct candidate pairs (a<b) that
-    collide in at least one band — the linear-time pair discovery."""
+    collide in at least one band — the linear-time pair discovery.
+
+    ``max_bucket`` drops band buckets larger than the cap before the
+    self-join: an over-full bucket means the band key carries no
+    discriminative signal (everything "matches" everything), and its
+    pair fanout is quadratic — at 100 TB a single hot bucket would
+    dominate the whole job.  Standard LSH practice; the cap bounds
+    per-key join fanout to max_bucket², keeping the stage skew-free.
+    """
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     n_bands = len(mh_cols) // rows_per_band
     banded = None
@@ -128,6 +146,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
             F.concat_ws("|", *cols).alias("band_key"),
         )
         banded = part if banded is None else banded.unionAll(part)
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_bucket)
+            .select("band", "band_key")
+        )
+        banded = banded.join(keep, ["band", "band_key"], "left_semi")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

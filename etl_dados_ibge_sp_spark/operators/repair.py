@@ -40,7 +40,14 @@ def try_cast_columns(df: DataFrame, casts: Mapping[str, str],
         col = F.col(name)
         if sanitize:
             col = sanitize_numeric_tokens(col)
-        exprs[name] = col.try_cast(dtype)
+        if dtype in ("bigint", "long", "int", "integer", "smallint",
+                     "tinyint"):
+            # Integer columns arrive as float-formatted strings in the
+            # source feed ("-24.0", FIXTURES.md F1); route through
+            # double so they repair instead of nulling out.
+            exprs[name] = col.try_cast("double").try_cast(dtype)
+        else:
+            exprs[name] = col.try_cast(dtype)
     return df.withColumns(exprs)
 
 

@@ -184,20 +184,20 @@ WITH norm AS (
     SELECT doc_id, {_NORM_SQL} AS nt FROM documents
 ), sh AS (
     SELECT doc_id,
-           unnest(list_distinct([substr(nt, i, 4)
-               FOR i IN generate_series(1, greatest(length(nt) - 3, 1))]))
+           unnest([substr(nt, i, 4)
+               FOR i IN generate_series(1, greatest(length(nt) - 3, 1))])
                AS shingle
     FROM norm
 ), sig AS (
     SELECT doc_id,
-           min(substr(md5(concat('seed0:', shingle)), 1, 16)) AS mh0,
-           min(substr(md5(concat('seed1:', shingle)), 1, 16)) AS mh1,
-           min(substr(md5(concat('seed2:', shingle)), 1, 16)) AS mh2,
-           min(substr(md5(concat('seed3:', shingle)), 1, 16)) AS mh3,
-           min(substr(md5(concat('seed4:', shingle)), 1, 16)) AS mh4,
-           min(substr(md5(concat('seed5:', shingle)), 1, 16)) AS mh5,
-           min(substr(md5(concat('seed6:', shingle)), 1, 16)) AS mh6,
-           min(substr(md5(concat('seed7:', shingle)), 1, 16)) AS mh7
+           min(substr(md5(concat('s0:', shingle)),  1, 8)) AS mh0,
+           min(substr(md5(concat('s0:', shingle)),  9, 8)) AS mh1,
+           min(substr(md5(concat('s0:', shingle)), 17, 8)) AS mh2,
+           min(substr(md5(concat('s0:', shingle)), 25, 8)) AS mh3,
+           min(substr(md5(concat('s1:', shingle)),  1, 8)) AS mh4,
+           min(substr(md5(concat('s1:', shingle)),  9, 8)) AS mh5,
+           min(substr(md5(concat('s1:', shingle)), 17, 8)) AS mh6,
+           min(substr(md5(concat('s1:', shingle)), 25, 8)) AS mh7
     FROM sh GROUP BY 1
 ), banded AS (
     SELECT doc_id, 0 AS band, concat(mh0, '|', mh1) AS band_key FROM sig
@@ -207,20 +207,29 @@ WITH norm AS (
     SELECT doc_id, 2, concat(mh4, '|', mh5) FROM sig
     UNION ALL
     SELECT doc_id, 3, concat(mh6, '|', mh7) FROM sig
+), kept AS (
+    SELECT band, band_key FROM banded
+    GROUP BY 1, 2 HAVING COUNT(*) <= 500
+), pruned AS (
+    SELECT b.* FROM banded b
+    JOIN kept k ON b.band = k.band AND b.band_key = k.band_key
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a
-JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+FROM pruned a
+JOIN pruned b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
 """)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs: char-4gram shingles → 8-hash
     signature (one explode+groupBy pass) → 4 bands of 2 → equi-join on
-    band keys.  Linear-time pair discovery, the 100-TB dedup path."""
+    band keys with over-full buckets dropped (>500: no discriminative
+    signal, quadratic fanout).  Linear-time pair discovery, the 100-TB
+    dedup path."""
     docs = _t(spark, sf_dir, "documents")
     sh = D.char_shingles(docs, "doc_id", "text", n=4)
     sig = D.minhash_signature(sh, "doc_id", n_hashes=8)
-    return D.lsh_candidate_pairs(sig, "doc_id", rows_per_band=2)
+    return D.lsh_candidate_pairs(sig, "doc_id", rows_per_band=2,
+                                 max_bucket=500)
 
 
 @register("dedup_simhash", sql=f"""

@@ -54,6 +54,11 @@ def read_sanitized_json(spark: SparkSession, path: str,
         sanitized_rdd = clean.rdd.map(lambda r: r.body)
         inferred = spark.read.json(sanitized_rdd)
         schema = inferred.schema if len(inferred.columns) else T.StructType()
+        # Spark's JSON inference flattens a top-level array into rows;
+        # from_json needs the array type back to parse the raw body.
+        first = clean.select("body").first()
+        if first and first.body and first.body.lstrip().startswith("["):
+            schema = T.ArrayType(schema)
         # Re-express as a from_json over the sanitized column so the
         # plan below is identical in both branches.
     return clean.select(F.from_json("body", schema).alias("doc"))
@@ -66,16 +71,21 @@ def unwrap_envelope(parsed: DataFrame, col: str = "doc") -> DataFrame:
 
     The "first key" selection is schema introspection, mirroring the
     reference's ``lista = dados[list(dados.keys())[0]]``
-    (pipeline.py:51-52) without touching data on the driver.
+    (pipeline.py:51-52) without touching data on the driver.  Note
+    Spark's JSON inference sorts field names, losing document key
+    order, so "first key" here means: the first *array-typed* field
+    (the record list the envelope wraps), falling back to the first
+    field.
     """
     field = next(f for f in parsed.schema.fields if f.name == col)
     dt = field.dataType
     if isinstance(dt, T.ArrayType):
         rec = F.explode(F.col(col))
     elif isinstance(dt, T.StructType):
-        first = dt.fields[0]
-        if isinstance(first.dataType, T.ArrayType):
-            rec = F.explode(F.col(f"{col}.`{first.name}`"))
+        wrap = next((f for f in dt.fields
+                     if isinstance(f.dataType, T.ArrayType)), None)
+        if wrap is not None:
+            rec = F.explode(F.col(f"{col}.`{wrap.name}`"))
         else:
             rec = F.col(col)  # bare single record
     else:

@@ -1,0 +1,96 @@
+"""U1 nested-document search + Structured Streaming dedup (the J2/K3
+streaming restatement) + multimodal decode stub behavior."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_dados_ibge_sp_spark.operators.multimodal import (
+    decode_real, decode_stub, with_binary_payload,
+)
+from etl_dados_ibge_sp_spark.operators.nested import (
+    find_paths, search_json_udf, search_nested,
+)
+
+
+@pytest.fixture()
+def nested_df(spark):
+    return spark.createDataFrame([
+        Row(id=1, doc=Row(Property="Ano",
+                          children=[Row(Property="Mês", value=10)])),
+        Row(id=2, doc=Row(Property="Outro",
+                          children=[Row(Property="Ano", value=2025)])),
+        Row(id=3, doc=Row(Property="Nada", children=[])),
+    ])
+
+
+def test_find_paths(nested_df):
+    paths = find_paths(nested_df.schema["doc"].dataType, "Property")
+    assert paths == ["Property", "children[].Property"]
+
+
+def test_search_nested_typed(nested_df):
+    out = search_nested(nested_df, "doc", "Property", "Ano")
+    got = {(r["id"], r["match_path"]) for r in out.collect()}
+    assert got == {(1, "doc.Property"), (2, "doc.children[].Property")}
+
+
+def test_search_json_udf(spark):
+    df = spark.createDataFrame([
+        (1, '{"Property": "Ano", "nested": {"Property": "Ano"}}'),
+        (2, '{"Property": "Outro", "items": [{"Property": "Ano"}]}'),
+        (3, 'not json'),
+        (4, '{"Property": "Nada"}'),
+    ], ["id", "body"])
+    out = search_json_udf(df, "body", "Property", "Ano")
+    got = {r["id"]: sorted(r["match_paths"]) for r in out.collect()}
+    assert got == {
+        1: ["Property", "nested.Property"],
+        2: ["items[0].Property"],
+    }
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    # Stage the events file twice -> the stream sees every row twice;
+    # dropDuplicatesWithinWatermark must restore the original count.
+    import etl_dados_ibge_sp_spark.streaming.windowed as W
+
+    stage = tmp_path / "dup_events"
+    stage.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, stage / "a.parquet")
+    shutil.copy(src, stage / "b.parquet")
+
+    orig = W._events_stream
+
+    def staged_stream(spark_, _sf):
+        schema = spark_.read.parquet(src).schema
+        s = spark_.readStream.schema(schema).parquet(str(stage))
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    W._events_stream = staged_stream
+    try:
+        out = W.streaming_dedup(spark, sf_dir)
+        n_expected = spark.read.parquet(src).count()
+        assert out.count() == n_expected
+    finally:
+        W._events_stream = orig
+
+
+def test_decode_stub_and_real(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    out = decode_stub(with_binary_payload(docs)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 1 <= r["width"] <= 1920
+        assert 1 <= r["height"] <= 1080
+        assert 1 <= r["n_frames"] <= 30
+        assert len(r["checksum"]) == 32
+    with pytest.raises(NotImplementedError):
+        decode_real(docs)
