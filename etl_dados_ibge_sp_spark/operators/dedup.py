@@ -35,13 +35,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     """Distinct word n-gram shingles per document: (id, shingle)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     if n == 1:
-        grams = toks
-    else:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    return df.select(F.col(id_col),
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(toks)).alias("shingle"))
+    # Materialize the token array before the lambda so the split isn't
+    # re-evaluated per element (same trap as char_shingles).
+    tk = df.select(F.col(id_col), toks.alias("__tk"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+        lambda i: F.array_join(F.slice("__tk", i, n), " "),
+    )
+    return tk.select(F.col(id_col),
                      F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
@@ -49,17 +53,30 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str,
                   n: int = 4, distinct: bool = False) -> DataFrame:
     """Character n-gram shingles of the normalized text.
 
-    ``distinct=False`` by default: MinHash is invariant under shingle
-    multiplicity (min over a multiset equals min over its set), and a
-    per-row ``array_distinct`` over ~500-element arrays is quadratic —
-    the measured hot spot of LSH at sf0.1.  Ask for distinct only when
-    set semantics matter (Jaccard sizes)."""
-    norm = normalized_text(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(n)),
+    Two deliberate shapes for the 100-TB path:
+
+    * The normalization (regexp_replace+lower) is materialized in its
+      own projection BEFORE the position explode.  Referencing the
+      normalization expression from inside a higher-order lambda makes
+      Spark re-evaluate the regex once per array element (~300× per
+      document) — measured 21× slower at sf0.1.  With the projection
+      split, the generator's substring reads a plain attribute.
+    * ``distinct=False`` by default: MinHash is invariant under shingle
+      multiplicity (min over a multiset equals min over its set), and
+      the per-row dedup / ``distinct()`` shuffle is pure overhead on
+      the LSH path.  Ask for distinct only when set semantics matter
+      (Jaccard sizes)."""
+    nt = df.select(F.col(id_col),
+                   normalized_text(F.col(text_col)).alias("__nt"))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("__nt") - (n - 1), F.lit(1)))
+    out = (
+        nt.select(F.col(id_col), "__nt",
+                  F.explode(positions).alias("__i"))
+        .select(F.col(id_col),
+                F.substring(F.col("__nt"), F.col("__i"), F.lit(n))
+                 .alias("shingle"))
     )
-    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -21,8 +21,33 @@ TABLE_NAMES = (
 # ~645-row lookup; nation/region/supplier play that role here).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
+# Tables that feed per-row-heavy pipelines (hashing, shingling, window
+# functions, big aggregations) and deserve full cluster parallelism.
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents",
+                         "embeddings"})
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fan a narrow scan out to cluster parallelism.
+
+    A parquet file is splittable only at row-group boundaries; a
+    single-row-group file scans as ONE partition, serializing every
+    downstream narrow transform (md5 shingling measured 32× under-
+    parallelized at sf0.1).  When the scan has fewer partitions than
+    the cluster has cores, a round-robin repartition — one tiny
+    shuffle of the raw rows — buys full-width execution of everything
+    after it.  At 100 TB the scan already has thousands of partitions
+    and this is a no-op, so the helper is safe to apply universally to
+    fact tables.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               fan_out: bool = True) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk, read as nanos-long under
@@ -31,6 +56,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if fan_out and name in FACT_TABLES:
+        df = ensure_parallelism(df, spark)
     return df
 
 
