@@ -76,3 +76,15 @@ def cube_agg(df: DataFrame, dims: Sequence[str],
         df.cube(*dims)
         .agg(_grouping_level(dims).alias("grp_level"), *aggs)
     )
+
+
+def grouping_sets_agg(df: DataFrame, sets: Sequence[Sequence[str]],
+                      dims: Sequence[str],
+                      aggs: Sequence[Column]) -> DataFrame:
+    """GROUP BY GROUPING SETS — the general form of rollup/cube: only
+    the requested levels are computed (a rollup at 100 TB that needs 3
+    of 8 levels shouldn't pay for the other 5)."""
+    return (
+        df.groupingSets([[F.col(c) for c in s] for s in sets], *dims)
+        .agg(_grouping_level(dims).alias("grp_level"), *aggs)
+    )

@@ -67,6 +67,36 @@ def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
     return out.cast("bigint")
 
 
+def embed_near_dup_pairs(emb: DataFrame, threshold: float,
+                         n_bits: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join.
+
+    Sign-random-projection LSH with one band: vectors can only be
+    near-duplicates if they share the coarse sign bucket (cosine≈1 ⇒
+    same orthant for the leading dims), so the self-join is an
+    equi-join on the bucket key — per-bucket quadratic instead of
+    corpus quadratic, the same scale shape as text LSH dedup.  At
+    100 TB the table is bucketed/partitioned by this key so each
+    bucket joins co-located.
+    """
+    b = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__e"),
+                   sign_bucket(F.col(vec_col), n_bits).alias("__bkt"))
+    a = b.select(F.col(id_col).alias("id_a"), F.col("__e").alias("__ea"),
+                 "__bkt")
+    c = b.select(F.col(id_col).alias("id_b"), F.col("__e").alias("__eb"),
+                 "__bkt")
+    return (
+        a.join(c, "__bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("__ea"), F.col("__eb")), 6)
+                 .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_bucketed_topk(emb: DataFrame, query: DataFrame, k: int,
                       n_bits: int = 4,
                       id_col: str = "vec_id", vec_col: str = "embedding",

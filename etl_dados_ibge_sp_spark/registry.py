@@ -22,7 +22,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.aggregate import cube_agg, davg, distinct_keys, dsum, rollup_agg
+from .operators.aggregate import (
+    cube_agg, davg, distinct_keys, dsum, grouping_sets_agg, rollup_agg,
+)
 from .operators.joins import anti_join_dedup, enrich_left_join, semi_join
 from .operators.project import (
     allowlist_select, drop_if_present, rename_first_match, rename_map,
@@ -155,6 +157,28 @@ def q_cube_hierarchy(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"),
         ["l_returnflag", "l_linestatus"],
         [dsum("l_extendedprice").alias("sum_price"),
+         F.count(F.lit(1)).alias("n_rows")],
+    )
+
+
+@register("grouping_sets_levels", sql="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+           AS grp_level,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(32,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""")
+def q_grouping_sets_levels(spark, sf_dir):
+    """GROUPING SETS — the general rollup/cube form: compute exactly
+    the requested aggregation levels, no more."""
+    return grouping_sets_agg(
+        _t(spark, sf_dir, "orders"),
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        ["o_orderstatus", "o_orderpriority"],
+        [dsum("o_totalprice").alias("sum_price"),
          F.count(F.lit(1)).alias("n_rows")],
     )
 

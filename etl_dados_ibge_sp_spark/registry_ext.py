@@ -315,6 +315,45 @@ def q_embed_ann_bucketed(spark, sf_dir):
     return S.ann_bucketed_topk(emb, query, k=5, n_bits=4)
 
 
+@register("dedup_embed_neardup", sql="""
+WITH corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1)
+    FROM embeddings WHERE vec_id % 10 = 0
+), b AS (
+    SELECT vec_id, e,
+           (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+    FROM corpus
+), p AS (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.e, c.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+""")
+def q_dedup_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-bucket LSH self-join + cosine
+    threshold.  The corpus plants scale-invariant copies (1.1×v for
+    every 10th vector) so the planted pairs — and only they, the
+    background max cosine is ~0.55 — must surface at cos≥0.9."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                       .alias("embedding"))
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.1).alias("embedding"))
+    return S.embed_near_dup_pairs(base.unionByName(planted), threshold=0.9)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -432,3 +471,15 @@ def q_stream_windowed_agg(spark, sf_dir):
     the batch answer — checked against the same oracle."""
     from .streaming.windowed import stream_windowed_event_agg
     return stream_windowed_event_agg(spark, sf_dir)
+
+
+@register("stream_sessionize", sql=None)
+def q_stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user 30-min-gap sessionization with event-time timeouts.
+    Rows-only check here (stateful streaming is not SQL-expressible);
+    the exact parity law vs batch sessionization — emitted == sessions
+    closed by the final watermark — is pinned in
+    tests/test_nested_and_streaming.py."""
+    from .streaming.windowed import stream_sessionize
+    return stream_sessionize(spark, sf_dir)

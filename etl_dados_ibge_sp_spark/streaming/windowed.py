@@ -75,6 +75,88 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity gap
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str,
+                      watermark: str = "0 seconds") -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (Arrow-batched, event-time timeouts).
+
+    State per user = the open session (start_us, end_us, n_events).
+    Each micro-batch folds its events into the open session, emits
+    every session closed by a 30-min gap, and arms an event-time
+    timeout at session_end + gap so sessions with no successor close
+    when the watermark passes — bounded state, the 100-TB constraint.
+
+    End-of-stream semantics are true streaming semantics: a session
+    still open when the watermark stops advancing is NOT emitted (no
+    future batch can prove it closed).  The parity law tested in
+    tests/: emitted == batch sessions that the final watermark closes.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_micros(F.col("ts")).alias("us"))
+    )
+
+    gap_us = SESSION_GAP_US
+
+    def sessionize(key, pdfs, state: "GroupState"):
+        # Self-contained (imports inside): cloudpickle ships it by
+        # value, workers never import this package.
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield _pd.DataFrame({"user_id": [key[0]], "start_us": [s],
+                                 "end_us": [e], "n_events": [n]})
+            return
+        us = sorted(t for p in pdfs for t in p["us"].tolist())
+        cur = state.get if state.exists else None
+        closed = []
+        for t in us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        state.update(cur)
+        # Close the open session once the watermark passes its gap.
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if closed:
+            yield _pd.DataFrame(
+                [{"user_id": key[0], "start_us": s, "end_us": e,
+                  "n_events": n} for s, e, n in closed])
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=("user_id bigint, start_us bigint, "
+                          "end_us bigint, n_events bigint"),
+        stateStructType="start_us bigint, end_us bigint, n_events bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str,
                     keys: list[str] | None = None,
                     watermark: str = "1 day") -> DataFrame:

@@ -83,6 +83,49 @@ def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path):
         W._events_stream = orig
 
 
+def test_stream_sessionize_parity(spark, sf_dir):
+    """Parity law for the applyInPandasWithState sessionizer: emitted
+    sessions == batch 30-min-gap sessions closed by the final
+    watermark (only sessions still open at end-of-stream are withheld,
+    which is correct streaming semantics)."""
+    from pyspark.sql import Window
+
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+    from etl_dados_ibge_sp_spark.streaming.windowed import (
+        SESSION_GAP_US, stream_sessionize,
+    )
+
+    emitted = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in stream_sessionize(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() |
+        ((us - F.lag(us).over(w)) > SESSION_GAP_US),
+        F.lit(1)).otherwise(F.lit(0))
+    batch = (
+        e.select("user_id", "ts", "event_id", us.alias("us"),
+                 new_sess.alias("ns"))
+        .withColumn("sid", F.sum("ns").over(ws))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"),
+             F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    sessions = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+                for r in batch}
+    final_watermark = max(r["end_us"] for r in batch)
+    closed = {s for s in sessions
+              if s[2] + SESSION_GAP_US < final_watermark}
+    assert emitted <= sessions
+    assert emitted == closed
+
+
 def test_decode_stub_and_real(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     out = decode_stub(with_binary_payload(docs)).collect()
