@@ -152,25 +152,30 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     dominate the whole job.  Standard LSH practice; the cap bounds
     per-key join fanout to max_bucket², keeping the stage skew-free.
     """
+    from pyspark.sql import Window
+
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     n_bands = len(mh_cols) // rows_per_band
-    banded = None
-    for b in range(n_bands):
-        cols = mh_cols[b * rows_per_band:(b + 1) * rows_per_band]
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("band_key"),
-        )
-        banded = part if banded is None else banded.unionAll(part)
+    # One posexplode over an array of band keys: the signature pipeline
+    # is computed ONCE and fanned out n_bands×.  (A per-band
+    # select+union recomputes the whole upstream — shingle, md5,
+    # groupBy — once per band; at 8 bands that plan was 8 scans.)
+    band_arr = F.array(*[
+        F.concat_ws("|", *mh_cols[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(n_bands)
+    ])
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key"))
     if max_bucket is not None:
-        keep = (
-            banded.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("__c"))
+        # Window count over the join key's own partitioning — the
+        # bucket-size filter rides the same shuffle the self-join
+        # needs, instead of a separate aggregate + semi-join.
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("__c", F.count(F.lit(1)).over(w))
             .filter(F.col("__c") <= max_bucket)
-            .select("band", "band_key")
+            .drop("__c")
         )
-        banded = banded.join(keep, ["band", "band_key"], "left_semi")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
