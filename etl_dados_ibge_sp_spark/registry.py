@@ -440,6 +440,50 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+@register("sanitized_json_scan", sql="""
+WITH raw AS (
+    SELECT concat('{"dados": [{"okey": ', CAST(l_orderkey AS VARCHAR),
+                  ', "qty": ',
+                  CASE WHEN l_quantity > 45 THEN '"NaN"'
+                       WHEN l_quantity < 5 THEN '"-INF"'
+                       ELSE CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR)
+                  END, '}]}') AS body
+    FROM lineitem
+), clean AS (
+    SELECT replace(replace(replace(body, '"INF"', 'null'),
+                   '"-INF"', 'null'), '"NaN"', 'null') AS body
+    FROM raw
+)
+SELECT CAST(json_extract(body, '$.dados[0].okey') AS BIGINT) AS okey,
+       CAST(json_extract(body, '$.dados[0].qty') AS DOUBLE) AS qty
+FROM clean
+""")
+def q_sanitized_json_scan(spark, sf_dir):
+    """S1+S2+F3 — the tolerant-JSON ingest chain as an oracle query:
+    dirty envelope documents (INF/-INF/NaN tokens, one-key record-list
+    wrapper) synthesized row-per-row from lineitem, then sanitize →
+    from_json → envelope unwrap.  The file-based reader
+    (sources/json_source.read_sanitized_json) runs the identical
+    expressions over spark.read.text; tests/test_sources.py covers the
+    file path."""
+    from .sources.json_source import sanitize_json_text, unwrap_envelope
+
+    li = _t(spark, sf_dir, "lineitem")
+    qty_str = (
+        F.when(F.col("l_quantity") > 45, F.lit('"NaN"'))
+        .when(F.col("l_quantity") < 5, F.lit('"-INF"'))
+        .otherwise(F.col("l_quantity").cast("double").cast("string")))
+    body = F.concat(
+        F.lit('{"dados": [{"okey": '), F.col("l_orderkey").cast("string"),
+        F.lit(', "qty": '), qty_str, F.lit('}]}'))
+    clean = li.select(sanitize_json_text(body).alias("body"))
+    parsed = clean.select(F.from_json(
+        "body",
+        "struct<dados: array<struct<okey: bigint, qty: double>>>",
+    ).alias("doc"))
+    return unwrap_envelope(parsed)
+
+
 # --------------------------------------------------------------------------
 # K-series: sorts / top-k / windows / set ops / restatement
 # --------------------------------------------------------------------------

@@ -74,3 +74,21 @@ def test_jdbc_reader_builds_plan(spark):
             num_partitions=4)
     except Exception as e:  # driver class missing — expected offline
         assert "driver" in str(e).lower() or "connect" in str(e).lower()
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    # K1: `;`-separated CSV write, single-file parity mode; re-reading
+    # with the sniffing reader restores the rows.
+    from etl_dados_ibge_sp_spark.sinks.csv_sink import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "Botucatu", 10.5), (2, "Bauru", -3.0)],
+        ["id", "municipio", "saldo"])
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out, single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # coalesced single shard
+    back = read_csv_sniffed(spark, out)
+    got = {(int(r["id"]), r["municipio"], float(r["saldo"]))
+           for r in back.collect()}
+    assert got == {(1, "Botucatu", 10.5), (2, "Bauru", -3.0)}
