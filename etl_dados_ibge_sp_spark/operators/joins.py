@@ -68,6 +68,36 @@ def semi_join(left: DataFrame, right: DataFrame,
     return left.join(snapshot, on=list(keys), how="left_semi")
 
 
+def salted_join(big: DataFrame, medium: DataFrame,
+                keys: Sequence[str], how: str = "inner",
+                n_salts: int = 8) -> DataFrame:
+    """Skew-mitigating equi-join for when neither side broadcasts.
+
+    A hot key (one município, one event_type carrying 30% of a 100 TB
+    table) lands its entire volume on one reducer in a plain shuffle
+    join.  Salting scatters it: the big side gets a deterministic salt
+    in [0, n_salts) (hash of the whole row — NOT the join key, which
+    would undo the scatter), the medium side is replicated n_salts×
+    via one posexplode, and the join key becomes (keys..., salt).
+    Result is row-identical to the unsalted join; the hot key's work
+    is spread over n_salts reducers at the cost of replicating the
+    medium side's shuffle n_salts×.
+
+    AQE's skew-join split handles most of this automatically at
+    runtime (session.py turns it on); this operator is the explicit
+    form for planners that need guaranteed layout — e.g. feeding a
+    bucketed writer — or for engines/pipelines with AQE off.
+    """
+    keys = list(keys)
+    salt_src = [c for c in big.columns if c not in keys] or keys
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in salt_src]),
+                         F.lit(n_salts)))
+    medium_s = medium.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return big_s.join(medium_s, keys + ["__salt"], how).drop("__salt")
+
+
 def resolve_dim_columns(columns: Sequence[str],
                         name_col: str, code_col: str) -> tuple[str, str]:
     """J3 — name-or-positional dim column resolution (reference

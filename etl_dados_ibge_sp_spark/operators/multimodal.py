@@ -87,6 +87,58 @@ def decode_stub(df: DataFrame, id_col: str = "doc_id",
         decode_batches, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = ("doc_id bigint, width bigint, height bigint, "
+                 "out_width bigint, out_height bigint")
+
+
+def resize_stub(df: DataFrame, max_side: int = 256,
+                id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched resize plumbing: decode dims (stub kernel), then
+    the aspect-preserving fit into a max_side box — the arithmetic a
+    PIL ``thumbnail`` call would do, minus the pixels.  Swap the digest
+    block for `Image.open(BytesIO(b))` and the operator is production
+    shaped: same batch iterator, same output schema, no shuffle.
+    """
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                d = _hl.md5(b).hexdigest()
+                w = int(d[0:4], 16) % 1920 + 1
+                h = int(d[4:8], 16) % 1080 + 1
+                scale = min(max_side / w, max_side / h, 1.0)
+                rows.append((int(i), w, h,
+                             max(int(w * scale), 1), max(int(h * scale), 1)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "out_width", "out_height"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every: int = 5,
+                 id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Frame sampling as a JVM-side generator: one output row per
+    sampled frame index (0, every, 2·every… < n_frames from the stub
+    decoder's metadata).  The video-decode variant replaces the
+    sequence with a pyav keyframe iterator inside mapInPandas; the
+    row-explosion shape — and everything downstream — is identical.
+    """
+    md5 = F.md5(F.col(payload_col))
+    n_frames = (F.conv(F.substring(md5, 9, 2), 16, 10).cast("bigint")
+                % 30 + 1)
+    frames = F.sequence(F.lit(0), n_frames - 1, F.lit(every))
+    return (
+        df.select(F.col(id_col), n_frames.alias("n_frames"),
+                  F.explode(frames).alias("frame_idx"))
+    )
+
+
 def decode_real(df: DataFrame, **_kwargs) -> DataFrame:
     """Real codec path — requires an image/audio library that is not
     installed in this environment."""

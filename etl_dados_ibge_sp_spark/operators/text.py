@@ -102,6 +102,29 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = 2147483647  # 2^31-1: base*mod + 127 stays in bigint range
+
+
+def rolling_hash(norm_attr: Column) -> Column:
+    """Polynomial rolling hash of a (pre-materialized) normalized-text
+    attribute: h = fold(h·B + ascii(c)) mod M — the classic
+    Rabin-Karp document fingerprint, as a JVM-side ``aggregate`` fold
+    (no shuffle, no Python).
+
+    Pass a plain column attribute, not the normalization expression —
+    a captured expression would re-evaluate per character (see
+    dedup.char_shingles for the measured trap).
+    """
+    codes = F.transform(F.split(norm_attr, ""),
+                        lambda c: F.ascii(c).cast("bigint"))
+    folded = F.aggregate(
+        codes, F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD)
+    return F.when(F.length(norm_attr) == 0, F.lit(0).cast("bigint")) \
+        .otherwise(folded)
+
+
 def fingerprint64(col: Column) -> Column:
     """64-bit-ish fingerprint: first 15 hex digits (60 bits) of the md5
     as a bigint — engine-portable (conv is plain hex parsing)."""

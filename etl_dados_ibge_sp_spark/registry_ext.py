@@ -135,6 +135,29 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+@register("text_rolling_hash", sql=f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(nt) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ascii(c) AS BIGINT)
+                     for c in string_split_regex(nt, '')]),
+                (acc, x) -> (acc * 131 + x) % 2147483647)
+       END AS rhash
+FROM norm
+""")
+def q_text_rolling_hash(spark, sf_dir):
+    """Rabin-Karp polynomial rolling-hash fingerprint over normalized
+    text — a JVM-side aggregate fold, checked char-for-char against
+    DuckDB's list_reduce."""
+    d = _t(spark, sf_dir, "documents")
+    nt = d.select("doc_id", T.normalized_text(F.col("text")).alias("nt"))
+    return nt.select("doc_id", T.rolling_hash(F.col("nt")).alias("rhash"))
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -397,6 +420,50 @@ def q_multimodal_decode_stub(spark, sf_dir):
     Python round trip byte-for-byte."""
     d = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.decode_stub(d)
+
+
+@register("multimodal_frame_sample", sql="""
+WITH meta AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(text), 9, 2)) AS BIGINT) % 30 + 1
+               AS n_frames
+    FROM documents
+)
+SELECT doc_id, n_frames,
+       CAST(unnest(generate_series(0, n_frames - 1, 5)) AS BIGINT)
+           AS frame_idx
+FROM meta
+""")
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling: one row per sampled frame index (every 5th up
+    to the stub decoder's n_frames) — the row-explosion shape a video
+    keyframe extractor produces, JVM-side."""
+    d = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.frame_sample(d, every=5)
+
+
+@register("multimodal_resize_stub", sql="""
+WITH meta AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1
+               AS width,
+           CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1
+               AS height
+    FROM documents
+), scaled AS (
+    SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale FROM meta
+)
+SELECT doc_id, width, height,
+       greatest(CAST(floor(width * scale) AS BIGINT), 1) AS out_width,
+       greatest(CAST(floor(height * scale) AS BIGINT), 1) AS out_height
+FROM scaled
+""")
+def q_multimodal_resize_stub(spark, sf_dir):
+    """Aspect-preserving resize-to-fit plumbing via mapInPandas; the
+    oracle recomputes the Python kernel's arithmetic in SQL, checking
+    the Arrow round trip end-to-end."""
+    d = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.resize_stub(d, max_side=256)
 
 
 # --------------------------------------------------------------------------

@@ -83,6 +83,33 @@ def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path):
         W._events_stream = orig
 
 
+def test_streaming_incremental_load_upserts(spark, sf_dir, tmp_path):
+    """foreachBatch incremental upsert (the J2+K3 restatement): the
+    source stages the same events file twice, arriving as two
+    micro-batches; the second batch's rows all anti-join away, so the
+    warehouse ends exactly once per event."""
+    from etl_dados_ibge_sp_spark.streaming.windowed import (
+        streaming_incremental_load,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    stage = tmp_path / "landing"
+    stage.mkdir()
+    shutil.copy(src, stage / "a.parquet")
+    shutil.copy(src, stage / "b.parquet")
+    warehouse = str(tmp_path / "warehouse")
+
+    schema = spark.read.parquet(src).schema
+    streaming_incremental_load(
+        spark, str(stage), schema, warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt"), keys=["event_id"])
+
+    n_src = spark.read.parquet(src).count()
+    out = spark.read.parquet(warehouse)
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
+
+
 def test_stream_sessionize_parity(spark, sf_dir):
     """Parity law for the applyInPandasWithState sessionizer: emitted
     sessions == batch 30-min-gap sessions closed by the final
