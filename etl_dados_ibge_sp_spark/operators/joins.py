@@ -98,6 +98,53 @@ def salted_join(big: DataFrame, medium: DataFrame,
     return big_s.join(medium_s, keys + ["__salt"], how).drop("__salt")
 
 
+def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_vals: Sequence[str] = ("value",),
+              strict: bool = True) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row
+    with ``right_ts < left_ts`` (``<=`` when strict=False) per key —
+    an operator Spark lacks natively, composed from built-ins.
+
+    Shape: tag both sides, union, one window pass per key ordered by
+    (ts, side) taking the last non-null right payload.  ONE shuffle on
+    the keys total — at 100 TB this beats any join-based formulation
+    (a range join would be quadratic per key; a groupBy-max subquery
+    shuffles twice).  Strictness is encoded in the tie order: at equal
+    ts the left row sorts before (strict) or after (non-strict) the
+    right row, so visibility does the comparison for free.
+
+    Right rows should be unique per (keys, right_ts) — pre-aggregate
+    otherwise, or the tie winner among equal timestamps is the last in
+    (arbitrary) union order.  Output: all left columns plus
+    ``matched_ts`` and the requested right value columns (null when no
+    earlier right row exists — LEFT asof semantics).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    ls, rs = (0, 1) if strict else (1, 0)
+    rpay = F.struct(F.col(right_ts).alias("matched_ts"),
+                    *[F.col(c) for c in right_vals])
+    r = right.select(*keys, F.col(right_ts).alias("__ts"),
+                     F.lit(rs).alias("__side"), rpay.alias("__r"))
+    lpay = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(*keys, F.col(left_ts).alias("__ts"),
+                    F.lit(ls).alias("__side"), lpay.alias("__l"),
+                    F.lit(None).cast(r.schema["__r"].dataType).alias("__r"))
+    r = r.withColumn(
+        "__l", F.lit(None).cast(l.schema["__l"].dataType)) \
+        .select(*l.columns)
+    u = l.unionByName(r)
+    w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__l").isNotNull())
+        .select("__l.*", "__m.*")
+    )
+
+
 def resolve_dim_columns(columns: Sequence[str],
                         name_col: str, code_col: str) -> tuple[str, str]:
     """J3 — name-or-positional dim column resolution (reference

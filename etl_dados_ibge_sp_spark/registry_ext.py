@@ -509,6 +509,61 @@ def q_event_sessionize(spark, sf_dir):
     )
 
 
+@register("asof_join_events", sql="""
+WITH clicks AS (
+    SELECT user_id, ts, max(value) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchases AS (
+    SELECT user_id, event_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.value,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS matched_us,
+       c.click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+""")
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (operator Spark lacks; composed union+window, one
+    shuffle): each purchase gets the user's most recent strictly
+    earlier click value.  Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("click_value")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts", "value"))
+    out = asof_join(purchases, clicks, ["user_id"],
+                    right_vals=["click_value"], strict=True)
+    return out.select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("matched_ts")).alias("matched_us"),
+        "click_value")
+
+
+@register("value_percentiles", sql="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    ANSI percentile_cont ≡ DuckDB quantile_cont).  At 100 TB switch to
+    approx_percentile (t-digest sketch, map-side combinable) — exact
+    percentile shuffles the values; the sketch shuffles KBs."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(*[F.round(F.percentile("value", p), 6).alias(n)
+               for n, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))])
+    )
+
+
 _WINDOWED_AGG_SQL = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
