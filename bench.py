@@ -36,18 +36,24 @@ HEADLINE = [
     "pricing_summary",
     "multi_join_revenue",
     "incremental_enrichment",
+    "range_join_banded",
+    "asof_join_events",
     "topk_per_group",
     "window_running_sum",
     "rollup_hierarchy",
+    "value_percentiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embed_neardup",
     "text_token_stats",
     "text_language_id",
+    "text_rolling_hash",
     "embed_cosine_topk",
     "event_sessionize",
     "windowed_event_agg",
     "multimodal_decode_stub",
+    "multimodal_frame_sample",
 ]
 
 

@@ -145,6 +145,35 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     )
 
 
+def banded_range_join(fact: DataFrame, bands: DataFrame,
+                      value_col: str, lo_col: str, hi_col: str,
+                      band_width: int) -> DataFrame:
+    """Range join (lo <= value < hi) without the quadratic blowup.
+
+    A naive range join is a cross product filtered by the predicate —
+    unusable at scale.  When band boundaries are aligned to a uniform
+    ``band_width`` grid, each fact row's candidate bands collapse to
+    exactly one grid cell: join on ``floor(value / width) ==
+    floor(lo / width)`` (bands spanning k cells are exploded into k
+    rows first), then re-check the exact predicate.  The range join
+    becomes an equi-join — broadcastable, AQE-skew-splittable, one
+    narrow pass of band explosion on the (small) band side.
+    """
+    cell = (F.floor(F.col(value_col) / band_width)).cast("bigint")
+    b = bands.withColumn(
+        "__cell",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / band_width).cast("bigint"),
+            F.floor((F.col(hi_col) - 1e-9) / band_width).cast("bigint"))))
+    return (
+        fact.withColumn("__cell", cell)
+        .join(F.broadcast(b), "__cell")
+        .filter((F.col(value_col) >= F.col(lo_col)) &
+                (F.col(value_col) < F.col(hi_col)))
+        .drop("__cell")
+    )
+
+
 def resolve_dim_columns(columns: Sequence[str],
                         name_col: str, code_col: str) -> tuple[str, str]:
     """J3 — name-or-positional dim column resolution (reference

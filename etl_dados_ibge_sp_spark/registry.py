@@ -484,6 +484,36 @@ def q_sanitized_json_scan(spark, sf_dir):
     return unwrap_envelope(parsed)
 
 
+@register("range_join_banded", sql="""
+WITH bands(lo, hi, label) AS (
+    VALUES (0, 5, 'tiny'), (5, 15, 'small'), (15, 30, 'mid'),
+           (30, 60, 'large')
+)
+SELECT label, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY label
+""")
+def q_range_join_banded(spark, sf_dir):
+    """Range join (lo <= v < hi) via uniform-grid banding: the range
+    predicate becomes an equi-join on the grid cell (broadcast, no
+    cross product), exact predicate re-checked after.  Oracle is the
+    naive range join, feasible at sf scale only."""
+    from .operators.joins import banded_range_join
+
+    bands = spark.createDataFrame(
+        [(0.0, 5.0, "tiny"), (5.0, 15.0, "small"),
+         (15.0, 30.0, "mid"), (30.0, 60.0, "large")],
+        ["lo", "hi", "label"])
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    joined = banded_range_join(li, bands, "l_quantity", "lo", "hi",
+                               band_width=10)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"))
+
+
 # --------------------------------------------------------------------------
 # K-series: sorts / top-k / windows / set ops / restatement
 # --------------------------------------------------------------------------
