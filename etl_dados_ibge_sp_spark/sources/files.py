@@ -19,3 +19,17 @@ def latest_file(directory: str, pattern: str = "*.json") -> str | None:
     if not files:
         return None
     return max(files, key=os.path.getmtime)
+
+
+def prune_old_files(directory: str, pattern: str = "*.csv",
+                    keep: int = 5) -> list[str]:
+    """K5 — keep only the ``keep`` newest matching files, delete the
+    rest (the reference's MAX_HISTORICO retention,
+    pipeline_manual.py:16-28).  Returns the deleted paths.  The
+    row-level generalization is operators/topk.top_k_per_group."""
+    files = sorted(glob.glob(os.path.join(directory, pattern)),
+                   key=os.path.getmtime, reverse=True)
+    doomed = files[keep:]
+    for path in doomed:
+        os.remove(path)
+    return doomed

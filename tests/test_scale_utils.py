@@ -104,3 +104,63 @@ def test_dirty_tokens_always_null_out(spark, values):
     for v, r in zip(values, out.collect()):
         if v.strip() in tokens:
             assert r["x"] is None
+
+
+# ---------------------------------------------------------------------------
+# dedup signature laws
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    # MinHash law: equal normalized text => equal signature, including
+    # under whitespace/case variation (the normalization contract).
+    from etl_dados_ibge_sp_spark.operators.dedup import (
+        char_shingles, minhash_signature,
+    )
+
+    df = spark.createDataFrame([
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "  The   QUICK brown fox jumps over the LAZY dog "),
+        (3, "a completely different document body here"),
+    ], ["doc_id", "text"])
+    sig = minhash_signature(
+        char_shingles(df, "doc_id", "text", n=4), "doc_id")
+    rows = {r["doc_id"]: tuple(r[c] for c in sig.columns if c != "doc_id")
+            for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    # End-to-end LSH recall check: a corpus of distinct docs plus one
+    # pair differing by a single character must surface that pair.
+    from etl_dados_ibge_sp_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signature,
+    )
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna")
+    docs = [(0, base), (1, base.replace("magna", "magnb"))]
+    docs += [(i, f"unique document number {i} with body {i*7919}")
+             for i in range(2, 30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = minhash_signature(char_shingles(df, "doc_id", "text"), "doc_id")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_near_docs_small_hamming(spark):
+    from etl_dados_ibge_sp_spark.operators.dedup import simhash16
+
+    base = " ".join(f"token{i}" for i in range(50))
+    df = spark.createDataFrame([
+        (1, base),
+        (2, base + " extra"),                      # near-dup
+        (3, " ".join(f"other{i}" for i in range(50))),  # unrelated
+    ], ["doc_id", "text"])
+    h = {r["doc_id"]: r["simhash"] for r in simhash16(
+        df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[1], h[2]) <= 3
+    assert ham(h[1], h[3]) > 3

@@ -92,3 +92,45 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     got = {(int(r["id"]), r["municipio"], float(r["saldo"]))
            for r in back.collect()}
     assert got == {(1, "Botucatu", 10.5), (2, "Bauru", -3.0)}
+
+
+def test_prune_old_files(tmp_path):
+    # K5: keep the 2 newest, delete the rest, oldest-first.
+    from etl_dados_ibge_sp_spark.sources.files import prune_old_files
+
+    now = time.time()
+    for i in range(5):
+        p = tmp_path / f"f{i}.csv"
+        p.write_text("x")
+        os.utime(p, (now - 100 + i, now - 100 + i))  # f4 newest
+    deleted = prune_old_files(str(tmp_path), "*.csv", keep=2)
+    assert sorted(os.path.basename(d) for d in deleted) == \
+        ["f0.csv", "f1.csv", "f2.csv"]
+    assert sorted(f.name for f in tmp_path.iterdir()) == \
+        ["f3.csv", "f4.csv"]
+
+
+def test_anti_join_empty_warehouse_schema_pinned(spark):
+    # The "V22 fix" (SURVEY §1.3, T4): an EMPTY warehouse snapshot with
+    # pinned key dtypes must anti-join cleanly and keep every incoming
+    # row — no implicit coercion, no analysis error.
+    from pyspark.sql import types as T
+
+    from etl_dados_ibge_sp_spark.operators.joins import anti_join_dedup
+    from etl_dados_ibge_sp_spark.operators.repair import pin_key_types
+
+    incoming = spark.createDataFrame(
+        [("Botucatu", 2025, 10), ("Bauru", 2025, 10)],
+        ["municipio", "ano_ref", "mes_ref"])
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("municipio", T.StringType()),
+        T.StructField("ano_ref", T.StringType()),   # wrong dtype on purpose
+        T.StructField("mes_ref", T.StringType()),
+    ]))
+    pinned = pin_key_types(empty, {"municipio": "string",
+                                   "ano_ref": "bigint",
+                                   "mes_ref": "bigint"})
+    out = anti_join_dedup(incoming, pinned,
+                          ["municipio", "ano_ref", "mes_ref"])
+    assert out.count() == 2
+    assert dict(pinned.dtypes)["ano_ref"] == "bigint"
