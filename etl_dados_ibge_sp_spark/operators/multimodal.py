@@ -139,6 +139,36 @@ def frame_sample(df: DataFrame, every: int = 5,
     )
 
 
+FEATURE_DIM = 8
+FEATURE_SCHEMA = "doc_id bigint, feature array<double>"
+
+
+def feature_extract_stub(df: DataFrame, id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction plumbing: payload -> fixed-dim
+    double vector.  Stub kernel derives the vector from the md5 digest
+    (dim i = bytes [4i,4i+4) as a fraction of 2^16, in [-1, 1)); the
+    production swap-in is a vision/audio encoder forward pass over the
+    same batch iterator.  Output feeds the similarity/ANN operators
+    directly (same array<double> contract as the embeddings table).
+    """
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                d = _hl.md5(b).hexdigest()
+                vec = [int(d[4 * j:4 * j + 4], 16) / 32768.0 - 1.0
+                       for j in range(FEATURE_DIM)]
+                out.append((int(i), vec))
+            yield _pd.DataFrame(out, columns=["doc_id", "feature"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feat_batches, schema=FEATURE_SCHEMA)
+
+
 def decode_real(df: DataFrame, **_kwargs) -> DataFrame:
     """Real codec path — requires an image/audio library that is not
     installed in this environment."""

@@ -466,6 +466,23 @@ def q_multimodal_resize_stub(spark, sf_dir):
     return M.resize_stub(d, max_side=256)
 
 
+@register("multimodal_feature_stub", sql="""
+SELECT doc_id, CAST(j AS BIGINT) AS dim,
+       CAST(concat('0x', substr(md5(text), 4 * j + 1, 4)) AS BIGINT)
+           / 32768.0 - 1.0 AS value
+FROM documents, generate_series(0, 7) AS t(j)
+""")
+def q_multimodal_feature_stub(spark, sf_dir):
+    """Feature-extraction plumbing (mapInPandas payload -> fixed-dim
+    vector, stub kernel), unnested to scalar rows so the oracle checks
+    every dimension value through the Arrow round trip."""
+    d = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    feats = M.feature_extract_stub(d)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim", "value")) \
+        .withColumn("dim", F.col("dim").cast("bigint"))
+
+
 # --------------------------------------------------------------------------
 # Events: sessionization + windowed aggregation (+ streaming parity)
 # --------------------------------------------------------------------------

@@ -14,8 +14,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
     s = get_spark(app_name="etl-ibge-tests",
-                  extra_conf={"spark.ui.enabled": "false"})
+                  extra_conf={"spark.ui.enabled": "false",
+                              "spark.sql.warehouse.dir": wh})
     yield s
 
 

@@ -164,3 +164,40 @@ def test_simhash_near_docs_small_hamming(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(h[1], h[2]) <= 3
     assert ham(h[1], h[3]) > 3
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (the SCALE.md layout claim)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Writing both join sides bucketed by the key lets the sort-merge
+    join run without any Exchange — the co-located-join layout SCALE.md
+    prescribes for fact-fact joins at 100 TB."""
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    try:
+        orders = load_table(spark, sf_dir, "orders") \
+            .select("o_orderkey", "o_totalprice")
+        li = load_table(spark, sf_dir, "lineitem") \
+            .select("l_orderkey", "l_quantity")
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("bucketdemo.orders_b"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("bucketdemo.lineitem_b"))
+
+        a = spark.table("bucketdemo.orders_b")
+        b = spark.table("bucketdemo.lineitem_b")
+        # Force the non-broadcast path so the test proves bucketing
+        # (not the broadcast threshold) removed the shuffles.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
