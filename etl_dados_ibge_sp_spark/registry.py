@@ -514,6 +514,67 @@ def q_range_join_banded(spark, sf_dir):
         dsum("l_quantity").alias("sum_qty"))
 
 
+@register("pivot_status_by_priority", sql="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(32,6)) END) AS DOUBLE)
+           AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(32,6)) END) AS DOUBLE)
+           AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(32,6)) END) AS DOUBLE)
+           AS total_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q_pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long→wide): total price per priority × status.  Explicit
+    pivot values keep the plan single-pass (no extra distinct scan to
+    discover columns — the at-scale rule for pivot)."""
+    from pyspark.sql.types import DecimalType
+
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(DecimalType(32, 6))
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").cast("double").alias("total_f"),
+        F.col("O").cast("double").alias("total_o"),
+        F.col("P").cast("double").alias("total_p"))
+
+
+@register("window_rank_functions", sql="""
+SELECT o_custkey, o_orderkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       round(PERCENT_RANK() OVER w, 6) AS prnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def q_window_rank_functions(spark, sf_dir):
+    """The ranking-window surface in one pass: rank / dense_rank /
+    percent_rank / ntile / lag / lead share a single window spec, so
+    Catalyst evaluates them in ONE shuffle + sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"))
+
+
 # --------------------------------------------------------------------------
 # K-series: sorts / top-k / windows / set ops / restatement
 # --------------------------------------------------------------------------

@@ -201,3 +201,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """SCALE.md layout claim: a fact table partitioned by date answers
+    time-scoped queries by pruning partitions at the scan — the filter
+    must appear as a PartitionFilter, not a post-scan Filter."""
+    from pyspark.sql import functions as F2
+
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("day", F2.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    days = [r["day"] for r in
+            spark.read.parquet(out).select("day").distinct().collect()]
+    target = sorted(days)[0]
+    q = spark.read.parquet(out).filter(F2.col("day") == F2.lit(target))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters:")[1][:160]
+    # count must agree with filtering the unpartitioned source
+    expected = ev.filter(F2.col("day") == F2.lit(target)).count()
+    assert q.count() == expected > 0
