@@ -115,3 +115,16 @@ def test_delete_and_insert_runs_scoped_delete(monkeypatch, spark, tmp_path):
         left = db.execute("SELECT id FROM t ORDER BY id").fetchall()
     assert left == [(1,)]
     assert appended["n"] == 1
+
+
+def test_rename_dotted_source_column(spark):
+    # The reference's `Geográfico.Município` variant (pipeline.py:65):
+    # dotted raw names must rename without backtick accidents.
+    from etl_dados_ibge_sp_spark.operators.project import rename_first_match
+
+    df = spark.createDataFrame([("Botucatu", 1)],
+                               ["Geográfico.Município", "x"])
+    out = rename_first_match(df, ["Geográfico.Município", "Município"],
+                             "municipio")
+    assert out.columns == ["municipio", "x"]
+    assert out.first()["municipio"] == "Botucatu"
