@@ -186,6 +186,55 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     )
 
 
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         node_col: str = "node",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: the
+    keeper-assignment stage of dedup (every document in a near-dup
+    cluster maps to the cluster's minimum id).
+
+    Driver-side loop, executor-side work: each round is one join +
+    min-aggregation; convergence needs O(component diameter) rounds —
+    LSH/Jaccard clusters are near-cliques, so 2-4 in practice (same
+    algorithm as GraphX/GraphFrames CC).  ``localCheckpoint`` truncates
+    the lineage each round so the plan doesn't grow with iterations —
+    the standard Spark iterative-algorithm pattern.  The convergence
+    check is an aggregated count, not a collect of data rows.
+
+    ``nodes``: one column (node ids); ``pairs``: (id_a, id_b) edges.
+    Returns (node_col, component_id).
+    """
+    # Materialize the edge set once: its lineage (the whole pair-
+    # discovery pipeline) would otherwise re-execute on every round.
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"),
+                               F.col("id_a").alias("v")))
+    ).localCheckpoint()
+    labels = nodes.select(F.col(node_col).alias("n"),
+                          F.col(node_col).alias("l")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.v == labels.n)
+            .groupBy("u").agg(F.min("l").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.n == neigh.u, "left")
+            .select(F.col("n"),
+                    F.least(F.col("l"), F.coalesce("nl", "l")).alias("l"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a").join(labels.alias("b"), "n")
+            .filter(F.col("a.l") != F.col("b.l")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(node_col),
+                         F.col("l").alias("component_id"))
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens (with multiplicity).
 

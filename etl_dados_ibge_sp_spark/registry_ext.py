@@ -255,6 +255,49 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                  max_bucket=500)
 
 
+@register("dedup_connected_components", sql=f"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS shingle
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+), reach(n, l) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.l FROM edges e JOIN reach r ON r.n = e.v
+)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS component_id
+FROM reach GROUP BY n
+""")
+def q_dedup_connected_components(spark, sf_dir):
+    """Dedup keeper assignment: connected components over the verified
+    near-dup graph (word-Jaccard ≥ 0.8) by iterative min-label
+    propagation — the one deliberately iterative algorithm (driver
+    loop, O(diameter) rounds, lineage truncated per round).  Oracle is
+    DuckDB's recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        D.word_shingles(docs, "doc_id", "text", n=1), "doc_id",
+        threshold=0.8).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = D.connected_components(nodes, pairs, node_col="node")
+    return out.select(F.col("node").alias("doc_id"),
+                      F.col("component_id").cast("bigint"))
+
+
 @register("dedup_simhash", sql=f"""
 WITH toks AS (
     SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
