@@ -54,6 +54,9 @@ HEADLINE = [
     "windowed_event_agg",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    "deterministic_sample",
+    "fuzzy_join_names",
+    "dedup_keep_canonical",
 ]
 
 

@@ -24,7 +24,7 @@ strings (uniform order, engine-portable min).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalized_text
@@ -41,10 +41,16 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     # Materialize the token array before the lambda so the split isn't
     # re-evaluated per element (same trap as char_shingles).
     tk = df.select(F.col(id_col), toks.alias("__tk"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
-        lambda i: F.array_join(F.slice("__tk", i, n), " "),
-    )
+    # Docs shorter than n tokens have no n-grams; without the guard
+    # sequence(1, size-n+1) DESCENDS when size < n and slice(_, 0, _)
+    # throws.
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+            lambda i: F.array_join(F.slice("__tk", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return tk.select(F.col(id_col),
                      F.explode(F.array_distinct(grams)).alias("shingle"))
 
@@ -95,25 +101,56 @@ def exact_dedup_groups(df: DataFrame, id_col: str,
 
 def jaccard_pairs(shingles: DataFrame, id_col: str,
                   threshold: float) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold via the shingle inverted
-    index.  Exact but quadratic per shingle bucket — the verification
-    path; use LSH candidates first at scale."""
+    """All-pairs set Jaccard >= threshold, exact, via **prefix
+    filtering** (the AllPairs/PPJoin family).
+
+    The naive inverted-index join is quadratic per shingle bucket — a
+    stopword shared by every document yields |corpus|² candidate pairs.
+    Prefix filtering is the exact fix: under any global token order, if
+    J(x,y) >= t then |x∩y| >= ceil(t·|x|), so the minimum common token
+    cannot be avoided by x's ``|x| - ceil(t·|x|) + 1`` smallest tokens
+    (its *prefix*) — and symmetrically for y.  Indexing only prefixes,
+    ordered rarest-first (document frequency asc), makes the join keys
+    the RAREST tokens: bucket sizes collapse from corpus-wide to a
+    handful, with zero false negatives.  Candidates are then verified
+    with one exact set intersection per pair (JVM ``array_intersect``
+    on the collected token sets — no re-shuffle of the inverted index).
+
+    Still the verification path at extreme scale (LSH first), but now
+    usable directly up to very large corpora."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # Rarest-first total order; round before ceil so float noise in
+    # t*sz can never shorten the prefix (boundary-exactness guard).
+    rank_w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix = (
+        shingles.join(dfreq, "shingle")
+        .withColumn("__r", F.row_number().over(rank_w))
+        .join(sizes, id_col)
+        .filter(F.col("__r") <=
+                F.col("sz") - F.ceil(F.round(threshold * F.col("sz"), 6)) + 1)
+        .select(F.col(id_col), "shingle")
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"),
+              "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    toks = shingles.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__toks"))
     return (
-        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        cand
+        .join(toks.select(F.col(id_col).alias("id_a"),
+                          F.col("__toks").alias("__ta")), "id_a")
+        .join(toks.select(F.col(id_col).alias("id_b"),
+                          F.col("__toks").alias("__tb")), "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ta", "__tb")))
         .withColumn("jaccard", F.round(
-            F.col("inter").cast("double") /
-            (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            F.col("__i").cast("double") /
+            (F.size("__ta") + F.size("__tb") - F.col("__i")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -174,6 +174,39 @@ def banded_range_join(fact: DataFrame, bands: DataFrame,
     )
 
 
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_col: str, right_col: str, max_dist: int) -> DataFrame:
+    """Edit-distance join: pairs with ``levenshtein <= max_dist``,
+    without the full cross product.
+
+    Blocking rule: edit distance <= k forces ``|len(a) - len(b)| <= k``,
+    so with length cells of width ``k + 1`` a matching pair's cells
+    differ by at most 1.  The left side keeps its own cell; the right
+    side is replicated to cells {c-1, c, c+1}; the join is then a plain
+    equi-join on the cell id (shuffle-partitioned / broadcastable /
+    AQE-skew-splittable) and the exact ``levenshtein`` predicate
+    re-checks candidates JVM-side.  Each true pair meets in exactly one
+    cell, so no dedup pass is needed.  Worst case (all strings the same
+    length) degenerates to per-cell quadratic — the documented next
+    step at scale is q-gram prefix blocking on top of the same shape.
+
+    Returns left ++ right columns plus ``distance``.
+    """
+    w = max_dist + 1
+    lc = F.floor(F.length(left_col) / w).cast("bigint")
+    rc = F.floor(F.length(right_col) / w).cast("bigint")
+    r = right.withColumn(
+        "__cell", F.explode(F.array(rc - 1, rc, rc + 1)))
+    return (
+        left.withColumn("__cell", lc)
+        .join(r, "__cell")
+        .withColumn("distance",
+                    F.levenshtein(left_col, right_col).cast("bigint"))
+        .filter(F.col("distance") <= max_dist)
+        .drop("__cell")
+    )
+
+
 def resolve_dim_columns(columns: Sequence[str],
                         name_col: str, code_col: str) -> tuple[str, str]:
     """J3 — name-or-positional dim column resolution (reference

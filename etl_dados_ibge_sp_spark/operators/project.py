@@ -47,6 +47,15 @@ def allowlist_select(df: DataFrame, allow: Iterable[str]) -> DataFrame:
     return df.select(*keep)
 
 
+def melt(df: DataFrame, ids: Iterable[str], values: Iterable[str],
+         var_name: str = "measure", value_name: str = "value") -> DataFrame:
+    """Wide -> long unpivot.  Spark's native ``unpivot`` expands to a
+    single-pass generator (one output row per (row, measure)) — no
+    shuffle, no N-way self-union scan; the parquet scan still reads
+    only ids + values."""
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
 def with_literal_time_columns(df: DataFrame, ano: int, mes: int) -> DataFrame:
     """P5/D2 — append typed reference-period literals: ``ano_ref``
     (bigint), ``mes_ref`` (bigint), ``data_competencia`` (first of

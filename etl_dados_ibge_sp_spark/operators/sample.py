@@ -1,0 +1,59 @@
+"""Deterministic hash sampling.
+
+At 100 TB you cannot sample with ``rand()``: it is non-reproducible
+across retries (a recomputed task re-rolls the dice, breaking
+exactly-once sinks) and cannot be pushed into two sides of a join.
+The scalable idiom is content-hash sampling: a row is in the sample
+iff ``hash(key) mod N < fraction * N``.  Properties that matter at
+scale:
+
+* **Deterministic** across retries, engines, partitionings — md5 of
+  the key, no RNG state.
+* **Coordinated**: sampling two fact tables on the same join key
+  yields a consistent join sample (Universe sampling).
+* **Pushdown-friendly**: the predicate is a plain filter, evaluated
+  inside the scan's whole-stage codegen; no shuffle, no driver state.
+
+The reference has no sampling (its data is 1.1k rows); this is part
+of the 100-TB extension surface (SURVEY.md §7 phase 9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket count for the hash ring; fraction resolution is 1/N_BUCKETS.
+N_BUCKETS = 1_000_000
+
+#: Unit separator keeps multi-column keys unambiguous ("a","bc" vs "ab","c").
+_SEP = "\x1f"
+
+
+def hash_bucket(key_cols: Sequence[str], salt: str = "smp") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS): 60-bit md5 prefix of the
+    salted, separator-joined key (same construction as
+    text.fingerprint64 — portable to any engine with md5 + hex parse).
+    """
+    key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    digest = F.md5(F.concat(F.lit(salt + ":"), key))
+    return (F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+            % N_BUCKETS)
+
+
+def hash_sample(df: DataFrame, key_cols: Sequence[str], fraction: float,
+                salt: str = "smp") -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the
+    ring.  Same key + salt + fraction -> same sample, on any cluster.
+    """
+    return df.filter(hash_bucket(key_cols, salt) < int(fraction * N_BUCKETS))
+
+
+def hash_bucket_sql(key_cols: Sequence[str], salt: str = "smp") -> str:
+    """The DuckDB-ANSI rendering of :func:`hash_bucket`, kept adjacent
+    so the two cannot drift."""
+    key = ", ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    return (f"CAST(concat('0x', substr(md5(concat('{salt}:', "
+            f"concat_ws(chr(31), {key}))), 1, 15)) AS BIGINT) % {N_BUCKETS}")

@@ -25,11 +25,14 @@ from pyspark.sql import functions as F
 from .operators.aggregate import (
     cube_agg, davg, distinct_keys, dsum, grouping_sets_agg, rollup_agg,
 )
-from .operators.joins import anti_join_dedup, enrich_left_join, semi_join
+from .operators.joins import (
+    anti_join_dedup, enrich_left_join, fuzzy_join, semi_join,
+)
 from .operators.project import (
-    allowlist_select, drop_if_present, rename_first_match, rename_map,
+    allowlist_select, drop_if_present, melt, rename_first_match, rename_map,
     with_literal_time_columns,
 )
+from .operators.sample import N_BUCKETS, hash_bucket_sql, hash_sample
 from .operators.repair import fill_nulls, try_cast_columns
 from .operators.topk import top_k_global, top_k_per_group
 from .plans.caged_pipeline import incremental_enrichment
@@ -727,6 +730,93 @@ def q_incremental_enrichment(spark, sf_dir):
     """The reference's production DAG end-to-end (SURVEY §3.1): extract
     → anti-join dedup → broadcast enrichment → repair → allowlist."""
     return incremental_enrichment(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Sampling / reshaping / statistics (100-TB extension surface)
+# --------------------------------------------------------------------------
+
+@register("deterministic_sample", sql=f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE {hash_bucket_sql(['l_orderkey', 'l_linenumber'])}
+      < {int(0.1 * N_BUCKETS)}
+""")
+def q_deterministic_sample(spark, sf_dir):
+    """10% content-hash sample of lineitem: reproducible across
+    retries/engines/partitionings (no rand()), evaluated as a plain
+    filter inside the scan — the only sampling that survives
+    exactly-once semantics at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return hash_sample(li, ["l_orderkey", "l_linenumber"], 0.1) \
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register("unpivot_measures", sql="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""")
+def q_unpivot_measures(spark, sf_dir):
+    """Wide->long reshape via native unpivot: one generator pass (4
+    rows out per row in), vs the oracle's 4-scan UNION ALL — at 100 TB
+    that is 1 read instead of 4."""
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+@register("fuzzy_join_names", sql="""
+SELECT a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS distance
+FROM supplier a
+JOIN supplier b ON a.s_name < b.s_name
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""")
+def q_fuzzy_join_names(spark, sf_dir):
+    """Edit-distance entity matching (the reference's municipality-name
+    normalization problem, generalized): length-cell blocking turns the
+    cross product into an equi-join, exact levenshtein re-check
+    JVM-side.  Oracle is DuckDB's quadratic join — same pairs."""
+    sup = _t(spark, sf_dir, "supplier")
+    a = sup.select(F.col("s_name").alias("name_a"))
+    b = sup.select(F.col("s_name").alias("name_b"))
+    return fuzzy_join(a, b, "name_a", "name_b", max_dist=1) \
+        .filter(F.col("name_a") < F.col("name_b")) \
+        .select("name_a", "name_b", "distance")
+
+
+@register("stats_moments", sql="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_stats_moments(spark, sf_dir):
+    """Second-moment statistics (variance/stddev/correlation/
+    covariance): single-pass partial aggregation — Spark's moment
+    aggregates merge per-partition (count, mean, M2) states, so the
+    shuffle carries one small state per group, not the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+         .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+         .alias("cov_qty_disc"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -23,6 +23,13 @@ from .registry import _t, register
 # Shared SQL fragments (kept identical across oracles).
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+# Word 3-gram shingles (DuckDB rendering of word_shingles(n=3)):
+# generate_series(1, 0) is empty, so <3-token docs yield no grams —
+# same guard as the Spark side.
+_TRIGRAMS_SQL = (
+    f"list_transform(generate_series(1, len({_TOKS_SQL}) - 2), "
+    f"i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))"
+)
 
 
 # --------------------------------------------------------------------------
@@ -257,7 +264,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 @register("dedup_connected_components", sql=f"""
 WITH RECURSIVE sh AS (
-    SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS shingle
+    SELECT doc_id, unnest(list_distinct({_TRIGRAMS_SQL})) AS shingle
     FROM documents
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
@@ -287,15 +294,68 @@ def q_dedup_connected_components(spark, sf_dir):
     near-dup graph (word-Jaccard ≥ 0.8) by iterative min-label
     propagation — the one deliberately iterative algorithm (driver
     loop, O(diameter) rounds, lineage truncated per round).  Oracle is
-    DuckDB's recursive-CTE transitive closure."""
+    DuckDB's recursive-CTE transitive closure.  Word TRIgram shingles:
+    unigram vocabulary overlap marks half the corpus as "duplicates"
+    (~3M pairs at sf0.1); trigrams measure shared phrasing, the signal
+    dedup actually wants, and keep the edge set linear in true dups."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(
-        D.word_shingles(docs, "doc_id", "text", n=1), "doc_id",
+        D.word_shingles(docs, "doc_id", "text", n=3), "doc_id",
         threshold=0.8).select("id_a", "id_b")
     nodes = docs.select(F.col("doc_id").alias("node"))
     out = D.connected_components(nodes, pairs, node_col="node")
     return out.select(F.col("node").alias("doc_id"),
                       F.col("component_id").cast("bigint"))
+
+
+@register("dedup_keep_canonical", sql=f"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, unnest(list_distinct({_TRIGRAMS_SQL})) AS shingle
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+), reach(n, l) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.l FROM edges e JOIN reach r ON r.n = e.v
+), comp AS (
+    SELECT n AS doc_id, min(l) AS component_id FROM reach GROUP BY n
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id = c.component_id
+""")
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The full dedup pipeline's output: the corpus with near-dup
+    clusters collapsed to their canonical (minimum-id) member — pair
+    discovery -> connected components -> filter keepers -> semi-join
+    back to the corpus.  This is the operator a training-data pipeline
+    actually runs; the stages before it are its observable internals.
+    Trigram shingles, same rationale as dedup_connected_components."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        D.word_shingles(docs, "doc_id", "text", n=3), "doc_id",
+        threshold=0.8).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = D.connected_components(nodes, pairs, node_col="node")
+    keepers = comp.filter(F.col("node") == F.col("component_id")) \
+        .select(F.col("node").alias("doc_id"))
+    return docs.join(keepers, "doc_id", "left_semi") \
+        .select("doc_id", "source",
+                F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
 @register("dedup_simhash", sql=f"""

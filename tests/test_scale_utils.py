@@ -226,3 +226,65 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # count must agree with filtering the unpartitioned source
     expected = ev.filter(F2.col("day") == F2.lit(target)).count()
     assert q.count() == expected > 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling / fuzzy join / connected components
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_coordinated(spark):
+    """Same key+salt+fraction -> identical sample on re-run; sampling
+    two tables on a shared key yields a consistent join sample; the
+    achieved rate is close to the requested fraction."""
+    from etl_dados_ibge_sp_spark.operators.sample import hash_sample
+
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    s1 = {r["k"] for r in hash_sample(df, ["k"], 0.2).collect()}
+    s2 = {r["k"] for r in hash_sample(df, ["k"], 0.2).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 20_000 - 0.2) < 0.02
+    # coordinated: the 10% sample is a subset of the 20% sample
+    s_small = {r["k"] for r in hash_sample(df, ["k"], 0.1).collect()}
+    assert s_small <= s1
+    # a different table sampled on the same key keeps the same ids
+    other = spark.range(20_000).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("v"))
+    s3 = {r["k"] for r in hash_sample(other, ["k"], 0.2).collect()}
+    assert s3 == s1
+
+
+def test_fuzzy_join_matches_naive_cross(spark):
+    """Length-cell blocking must lose no pairs vs the naive cross
+    product, including insert/delete matches that change length."""
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join
+
+    names = ["kitten", "sitten", "sittin", "sitting", "mitten",
+             "bottucatu", "botucatu", "botucatu ", "sao paulo",
+             "sao paulo!", "x", "xy", "totally-different"]
+    a = spark.createDataFrame([(n,) for n in names], ["name_a"])
+    b = spark.createDataFrame([(n,) for n in names], ["name_b"])
+    got = sorted(
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_join(a, b, "name_a", "name_b", max_dist=2)
+        .filter(F.col("name_a") < F.col("name_b")).collect())
+    naive = sorted(
+        (r["name_a"], r["name_b"])
+        for r in a.crossJoin(b)
+        .filter((F.levenshtein("name_a", "name_b") <= 2) &
+                (F.col("name_a") < F.col("name_b"))).collect())
+    assert got == naive and len(got) > 0
+
+
+def test_connected_components_chain(spark):
+    """A path graph (diameter > 1) must fully converge to the minimum
+    label — exercises the iterative propagation, not just near-cliques."""
+    from etl_dados_ibge_sp_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["node"])
+    # two components: a 0-1-2-3-4 chain and a 5-6 edge; 7 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"])
+    got = {r["node"]: r["component_id"]
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
