@@ -57,6 +57,7 @@ HEADLINE = [
     "deterministic_sample",
     "fuzzy_join_names",
     "dedup_keep_canonical",
+    "corpus_curate",
 ]
 
 

@@ -358,6 +358,112 @@ def q_dedup_keep_canonical(spark, sf_dir):
                 F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+_QUALITY_SQL = f"""round(0.4 * least({_lang_score_sql(T.LANG_MARKERS['en'])} * 1.0
+                     / len({_TOKS_SQL}) * 4, 1.0)
+    + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))
+                         * 1.0 / length(text) * 10, 1.0))
+    + 0.3 * least(length(text) / 500.0, 1.0), 6)"""
+
+_PRED_LANG_SQL = f"""CASE
+    WHEN {_lang_score_sql(T.LANG_MARKERS['en'])} = greatest(
+         {_lang_score_sql(T.LANG_MARKERS['en'])},
+         {_lang_score_sql(T.LANG_MARKERS['de'])},
+         {_lang_score_sql(T.LANG_MARKERS['fr'])},
+         {_lang_score_sql(T.LANG_MARKERS['es'])}) THEN 'en'
+    WHEN {_lang_score_sql(T.LANG_MARKERS['de'])} = greatest(
+         {_lang_score_sql(T.LANG_MARKERS['en'])},
+         {_lang_score_sql(T.LANG_MARKERS['de'])},
+         {_lang_score_sql(T.LANG_MARKERS['fr'])},
+         {_lang_score_sql(T.LANG_MARKERS['es'])}) THEN 'de'
+    WHEN {_lang_score_sql(T.LANG_MARKERS['fr'])} = greatest(
+         {_lang_score_sql(T.LANG_MARKERS['en'])},
+         {_lang_score_sql(T.LANG_MARKERS['de'])},
+         {_lang_score_sql(T.LANG_MARKERS['fr'])},
+         {_lang_score_sql(T.LANG_MARKERS['es'])}) THEN 'fr'
+    ELSE 'es' END"""
+
+
+@register("corpus_curate", sql=f"""
+WITH RECURSIVE base AS (
+    SELECT doc_id, lang, text, n_chars,
+           {_QUALITY_SQL} AS quality,
+           {_PRED_LANG_SQL} AS pred_lang,
+           md5({_NORM_SQL}) AS fp
+    FROM documents
+    WHERE {_QUALITY_SQL} >= 0.45
+), exact_keep AS (
+    SELECT min(doc_id) AS doc_id FROM base GROUP BY fp
+), surv AS (
+    SELECT b.* FROM base b JOIN exact_keep e ON e.doc_id = b.doc_id
+), sh AS (
+    SELECT doc_id, unnest(list_distinct({_TRIGRAMS_SQL})) AS shingle
+    FROM surv
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+), reach(n, l) AS (
+    SELECT doc_id, doc_id FROM surv
+    UNION
+    SELECT e.u, r.l FROM edges e JOIN reach r ON r.n = e.v
+), comp AS (
+    SELECT n AS doc_id, min(l) AS component_id FROM reach GROUP BY n
+)
+SELECT s.doc_id, s.lang, s.pred_lang, s.quality,
+       CAST(s.n_chars AS BIGINT) AS n_chars
+FROM surv s JOIN comp c ON c.doc_id = s.doc_id
+WHERE c.doc_id = c.component_id
+""")
+def q_corpus_curate(spark, sf_dir):
+    """The flagship training-data curation pipeline, end to end:
+    quality filter (stopword density + punctuation sanity + length
+    saturation, >= 0.45) -> exact dedup (min doc_id per normalized-
+    content md5 fingerprint; shuffles fingerprints, not bodies) ->
+    near-dup canonicalization (trigram Jaccard >= 0.8 pairs via
+    prefix filtering -> connected components -> keep the minimum-id
+    member) -> curated corpus with language prediction attached.
+
+    Every stage is an independently-oracled operator elsewhere in the
+    registry; this query proves they compose into the one job a 100-TB
+    corpus build actually runs.  All stages before the pair join are
+    narrow (filter/projection over one scan); the heavy lifting
+    shuffles only fingerprints, shingle prefixes, and doc-id edges —
+    never document bodies."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    base = (
+        docs.withColumn("quality", T.quality_score(text, F.length(text)))
+        .filter(F.col("quality") >= 0.45)
+        .withColumn("fp", T.fingerprint_md5(text))
+    )
+    exact_keep = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id")) \
+        .select("doc_id")
+    surv = base.join(exact_keep, "doc_id", "left_semi")
+    pairs = D.jaccard_pairs(
+        D.word_shingles(surv, "doc_id", "text", n=3), "doc_id",
+        threshold=0.8).select("id_a", "id_b")
+    nodes = surv.select(F.col("doc_id").alias("node"))
+    comp = D.connected_components(nodes, pairs, node_col="node")
+    keepers = comp.filter(F.col("node") == F.col("component_id")) \
+        .select(F.col("node").alias("doc_id"))
+    return surv.join(keepers, "doc_id", "left_semi") \
+        .select("doc_id", "lang",
+                T.predicted_language(text).alias("pred_lang"),
+                "quality",
+                F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
 @register("dedup_simhash", sql=f"""
 WITH toks AS (
     SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
