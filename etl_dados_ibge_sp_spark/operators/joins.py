@@ -207,6 +207,51 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     )
 
 
+def _deletion_keys(col: str) -> "F.Column":
+    """``array_distinct([s] ++ [s with char i deleted for each i])``.
+    Index 0 of the sequence stands for "no deletion" so the sequence is
+    ``0..length`` and never descends (empty strings included)."""
+    c = F.col(col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.length(c)),
+        lambda i: F.when(i == 0, c).otherwise(
+            F.concat(F.substring(c, F.lit(1), i - 1),
+                     F.substring(c, i + 1, F.lit(2147483647)))),
+    ))
+
+
+def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
+                       left_col: str, right_col: str) -> DataFrame:
+    """Edit-distance-<=1 join by **deletion-neighborhood blocking**
+    (the FastSS family) — the fix for length-cell blocking's worst
+    case, where every string has the same length and one cell goes
+    quadratic.
+
+    Each side expands to its deletion neighborhood: the string itself
+    plus every single-character-deletion variant (length+1 keys).  Any
+    pair within edit distance 1 shares a key — equality shares the
+    string itself, a deletion shares the shorter string, a substitution
+    at position i shares the both-sides-delete-i variant — so an
+    equi-join on the variant finds every true pair; the exact
+    ``levenshtein`` recheck discards cross-position collisions (which
+    are distance 2).  Candidate volume is O(rows x length) keys with
+    near-singleton buckets, never O(rows²), at any length skew.
+
+    Returns left ++ right columns plus ``distance``; duplicates from
+    multi-key matches are collapsed.
+    """
+    lk = left.withColumn("__k", F.explode(_deletion_keys(left_col)))
+    rk = right.withColumn("__k", F.explode(_deletion_keys(right_col)))
+    return (
+        lk.join(rk, "__k")
+        .drop("__k")
+        .dropDuplicates()
+        .withColumn("distance",
+                    F.levenshtein(left_col, right_col).cast("bigint"))
+        .filter(F.col("distance") <= 1)
+    )
+
+
 def resolve_dim_columns(columns: Sequence[str],
                         name_col: str, code_col: str) -> tuple[str, str]:
     """J3 — name-or-positional dim column resolution (reference

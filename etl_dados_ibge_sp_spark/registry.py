@@ -26,7 +26,7 @@ from .operators.aggregate import (
     cube_agg, davg, distinct_keys, dsum, grouping_sets_agg, rollup_agg,
 )
 from .operators.joins import (
-    anti_join_dedup, enrich_left_join, fuzzy_join, semi_join,
+    anti_join_dedup, enrich_left_join, fuzzy_join_deletes, semi_join,
 )
 from .operators.project import (
     allowlist_select, drop_if_present, melt, rename_first_match, rename_map,
@@ -781,13 +781,16 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """)
 def q_fuzzy_join_names(spark, sf_dir):
     """Edit-distance entity matching (the reference's municipality-name
-    normalization problem, generalized): length-cell blocking turns the
-    cross product into an equi-join, exact levenshtein re-check
-    JVM-side.  Oracle is DuckDB's quadratic join — same pairs."""
+    normalization problem, generalized): deletion-neighborhood blocking
+    (FastSS) turns the cross product into a near-singleton-bucket
+    equi-join with an exact levenshtein re-check JVM-side — immune to
+    the length-skew worst case that degrades length-cell blocking
+    (supplier names are all the same length).  Oracle is DuckDB's
+    quadratic join — same pairs."""
     sup = _t(spark, sf_dir, "supplier")
     a = sup.select(F.col("s_name").alias("name_a"))
     b = sup.select(F.col("s_name").alias("name_b"))
-    return fuzzy_join(a, b, "name_a", "name_b", max_dist=1) \
+    return fuzzy_join_deletes(a, b, "name_a", "name_b") \
         .filter(F.col("name_a") < F.col("name_b")) \
         .select("name_a", "name_b", "distance")
 

@@ -276,6 +276,32 @@ def test_fuzzy_join_matches_naive_cross(spark):
     assert got == naive and len(got) > 0
 
 
+def test_fuzzy_join_deletes_matches_naive_cross(spark):
+    """Deletion-neighborhood (FastSS) blocking must lose no distance<=1
+    pairs vs the naive cross product — including the all-same-length
+    case that defeats length-cell blocking, empty strings, and
+    transposition-shaped near-misses (distance 2, must be excluded)."""
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_deletes
+
+    names = ["kitten", "sitten", "sittin", "sitting", "mitten", "", "a",
+             "ab", "ba", "abc", "bbc", "abcd", "Supplier#000000001",
+             "Supplier#000000002", "Supplier#000000011", "different"]
+    a = spark.createDataFrame([(n,) for n in names], ["name_a"])
+    b = spark.createDataFrame([(n,) for n in names], ["name_b"])
+    got = sorted(
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_join_deletes(a, b, "name_a", "name_b")
+        .filter(F.col("name_a") < F.col("name_b")).collect())
+    naive = sorted(
+        (r["name_a"], r["name_b"])
+        for r in a.crossJoin(b)
+        .filter((F.levenshtein("name_a", "name_b") <= 1) &
+                (F.col("name_a") < F.col("name_b"))).collect())
+    assert got == naive and len(got) > 0
+    # ("ab","ba") is a transposition: distance 2, must NOT appear
+    assert ("ab", "ba") not in got
+
+
 def test_connected_components_chain(spark):
     """A path graph (diameter > 1) must fully converge to the minimum
     label — exercises the iterative propagation, not just near-cliques."""
