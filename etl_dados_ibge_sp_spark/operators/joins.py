@@ -42,7 +42,9 @@ def enrich_left_join(fact: DataFrame, dim: DataFrame,
         dk = normalize_string_key(dk)
     dim_small = dim.select(dk.alias(jk), F.col(dim_value).alias(out_col))
     # Dedup the dim on the key: a left enrichment join must not fan out.
-    dim_small = dim_small.groupBy(jk).agg(F.first(out_col).alias(out_col))
+    # min() (not first()) so duplicate dim keys resolve deterministically
+    # regardless of partitioning — same tie-break as the SQL oracle.
+    dim_small = dim_small.groupBy(jk).agg(F.min(out_col).alias(out_col))
     out = fact.withColumn(jk, fk).join(F.broadcast(dim_small), jk, "left")
     if default is not None:
         out = out.fillna({out_col: default})
@@ -79,15 +81,26 @@ def salted_join(big: DataFrame, medium: DataFrame,
     in [0, n_salts) (hash of the whole row — NOT the join key, which
     would undo the scatter), the medium side is replicated n_salts×
     via one posexplode, and the join key becomes (keys..., salt).
-    Result is row-identical to the unsalted join; the hot key's work
-    is spread over n_salts reducers at the cost of replicating the
-    medium side's shuffle n_salts×.
+    For inner/left joins the result is row-identical to the unsalted
+    join; the hot key's work is spread over n_salts reducers at the
+    cost of replicating the medium side's shuffle n_salts×.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: in a
+    right or full-outer join an unmatched medium row would surface
+    once per replica (n_salts null-extended copies), so those modes
+    are rejected rather than silently wrong.
 
     AQE's skew-join split handles most of this automatically at
     runtime (session.py turns it on); this operator is the explicit
     form for planners that need guaranteed layout — e.g. feeding a
     bucketed writer — or for engines/pipelines with AQE off.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got "
+            f"{how!r}: the replicated medium side would emit unmatched "
+            f"rows once per salt in right/full-outer modes")
     keys = list(keys)
     salt_src = [c for c in big.columns if c not in keys] or keys
     big_s = big.withColumn(
@@ -237,15 +250,23 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
     are distance 2).  Candidate volume is O(rows x length) keys with
     near-singleton buckets, never O(rows²), at any length skew.
 
-    Returns left ++ right columns plus ``distance``; duplicates from
-    multi-key matches are collapsed.
+    Returns left ++ right columns plus ``distance``.  A pair that
+    matches through several deletion keys is emitted once per input
+    row pair — row ids (not full-row dedup) collapse the multi-key
+    duplicates, so genuinely duplicate input rows keep their
+    multiplicity, matching the naive cross-join semantics.  Left and
+    right must not share column names (same contract as the equi-join
+    itself).
     """
-    lk = left.withColumn("__k", F.explode(_deletion_keys(left_col)))
-    rk = right.withColumn("__k", F.explode(_deletion_keys(right_col)))
+    lk = (left.withColumn("__lid", F.monotonically_increasing_id())
+          .withColumn("__k", F.explode(_deletion_keys(left_col))))
+    rk = (right.withColumn("__rid", F.monotonically_increasing_id())
+          .withColumn("__k", F.explode(_deletion_keys(right_col))))
     return (
         lk.join(rk, "__k")
         .drop("__k")
-        .dropDuplicates()
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
         .withColumn("distance",
                     F.levenshtein(left_col, right_col).cast("bigint"))
         .filter(F.col("distance") <= 1)

@@ -44,8 +44,14 @@ def try_cast_columns(df: DataFrame, casts: Mapping[str, str],
                      "tinyint"):
             # Integer columns arrive as float-formatted strings in the
             # source feed ("-24.0", FIXTURES.md F1); route through
-            # double so they repair instead of nulling out.
-            exprs[name] = col.try_cast("double").try_cast(dtype)
+            # double so they repair instead of nulling out.  Genuinely
+            # fractional values ("24.7") null like the reference's
+            # strict=False Int64 cast — only integral doubles survive.
+            d = col.try_cast("double")
+            # d % 1 (not floor(d) == d): floor() returns LongType and
+            # overflows under ANSI for huge doubles; % stays double and
+            # also nulls NaN/Infinity for free.
+            exprs[name] = F.when(d % 1 == 0, d).try_cast(dtype)
         else:
             exprs[name] = col.try_cast(dtype)
     return df.withColumns(exprs)

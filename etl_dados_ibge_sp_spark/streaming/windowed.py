@@ -19,6 +19,7 @@ import os
 import tempfile
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
@@ -101,8 +102,12 @@ def streaming_incremental_load(spark: SparkSession, source_dir: str,
             existing = sess.read.parquet(warehouse_dir) \
                 .select(*keys).distinct()
             delta = delta.join(existing, on=keys, how="left_anti")
-        except Exception:
-            pass  # first batch: warehouse doesn't exist yet
+        except AnalysisException:
+            # First batch only: warehouse path doesn't exist yet.  Any
+            # other failure (IO, corrupt footer, schema drift) must
+            # propagate and fail the micro-batch — swallowing it would
+            # skip the anti-join and append duplicates.
+            pass
         delta.write.mode("append").parquet(warehouse_dir)
 
     stream = (

@@ -63,17 +63,18 @@ NUMERICISH = st.one_of(
 
 def _ref_bigint(s: str):
     """Python restatement of try_cast_columns semantics for bigint:
-    dirty tokens -> null; else parse as double, truncate toward zero;
-    out-of-range/overflow -> null."""
+    dirty tokens -> null; else parse as double; non-integral values
+    null out (the reference's strict=False Int64 cast nulls '24.7',
+    while '-24.0' repairs); out-of-range/overflow -> null."""
     if s.strip() in ("INF", "-INF", "NaN", ""):
         return None
     try:
         d = float(s)
     except ValueError:
         return None
-    if math.isnan(d) or math.isinf(d):
+    if math.isnan(d) or math.isinf(d) or d != math.floor(d):
         return None
-    t = math.trunc(d)
+    t = int(d)
     if not (-2**63 <= t < 2**63):
         return None
     return t
