@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "deterministic_sample",
     "fuzzy_join_names",
+    "fuzzy_join_names_k2",
     "dedup_keep_canonical",
     "corpus_curate",
 ]

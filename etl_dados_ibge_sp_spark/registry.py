@@ -26,7 +26,8 @@ from .operators.aggregate import (
     cube_agg, davg, distinct_keys, dsum, grouping_sets_agg, rollup_agg,
 )
 from .operators.joins import (
-    anti_join_dedup, enrich_left_join, fuzzy_join_deletes, semi_join,
+    anti_join_dedup, enrich_left_join, fuzzy_join_deletes,
+    fuzzy_join_qgrams, semi_join,
 )
 from .operators.project import (
     allowlist_select, drop_if_present, melt, rename_first_match, rename_map,
@@ -791,6 +792,47 @@ def q_fuzzy_join_names(spark, sf_dir):
     a = sup.select(F.col("s_name").alias("name_a"))
     b = sup.select(F.col("s_name").alias("name_b"))
     return fuzzy_join_deletes(a, b, "name_a", "name_b") \
+        .filter(F.col("name_a") < F.col("name_b")) \
+        .select("name_a", "name_b", "distance")
+
+
+@register("fuzzy_join_names_k2", sql="""
+WITH names AS (
+    SELECT concat(substr(md5(CAST(c_custkey // 4 AS VARCHAR)), 1, 10),
+                  '#', CAST(c_custkey % 4 AS VARCHAR)) AS nm
+    FROM customer
+)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS distance
+FROM names a
+JOIN names b ON a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 2
+""")
+def q_fuzzy_join_names_k2(spark, sf_dir):
+    """Edit-distance <= 2 entity matching via q-gram prefix blocking
+    (Ed-Join family; operators/joins.py:fuzzy_join_qgrams), k=2 being
+    past what deletion-neighborhood blocking (k=1) covers.
+
+    Fixture: every group of 4 customer keys shares an md5-derived
+    10-char base and differs only in a trailing digit, so true pairs
+    are planted (linear in rows, ~6 per group) while ALL strings share
+    one length — the exact skew that makes length-cell blocking
+    per-cell quadratic.  Rarest-gram prefixes keep the candidate join
+    near-singleton per bucket; DuckDB's quadratic join is the oracle.
+    (Supplier/part names are unusable here: their templated keyspaces
+    put ~30% of all pairs within distance 2, so any algorithm's output
+    would itself be quadratic.)"""
+    cust = _t(spark, sf_dir, "customer")
+    nm = F.concat(
+        F.substring(
+            F.md5(F.floor(F.col("c_custkey") / 4).cast("string")), 1, 10),
+        F.lit("#"), (F.col("c_custkey") % 4).cast("string"))
+    a = cust.select(nm.alias("name_a"))
+    b = cust.select(nm.alias("name_b"))
+    # q=4: the strings are hex+digit (dense alphabet) — see the q
+    # selectivity note in fuzzy_join_qgrams.
+    return fuzzy_join_qgrams(a, b, "name_a", "name_b",
+                             max_dist=2, q=4) \
         .filter(F.col("name_a") < F.col("name_b")) \
         .select("name_a", "name_b", "distance")
 

@@ -303,6 +303,53 @@ def test_fuzzy_join_deletes_matches_naive_cross(spark):
     assert ("ab", "ba") not in got
 
 
+def test_fuzzy_join_qgrams_matches_naive_cross(spark):
+    """q-gram prefix blocking must lose no distance<=2 pairs vs the
+    naive cross product — including the all-same-length fixture that
+    defeats length-cell blocking, strings below the count-filter
+    floor (the short-string fallback path), empty strings, and
+    multiplicity of duplicate input rows."""
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_qgrams
+
+    names = ["kitten", "sitten", "sittin", "sitting", "mitten", "",
+             "a", "ab", "ba", "abc", "bbc", "abcd", "abcdef",
+             "Supplier#000000001", "Supplier#000000002",
+             "Supplier#000000011", "Supplier#000000101",
+             "totally-different", "sitting"]  # duplicate on purpose
+    a = spark.createDataFrame([(n,) for n in names], ["name_a"])
+    b = spark.createDataFrame([(n,) for n in names], ["name_b"])
+    got = sorted(
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_join_qgrams(a, b, "name_a", "name_b", max_dist=2)
+        .filter(F.col("name_a") < F.col("name_b")).collect())
+    naive = sorted(
+        (r["name_a"], r["name_b"])
+        for r in a.crossJoin(b)
+        .filter((F.levenshtein("name_a", "name_b") <= 2) &
+                (F.col("name_a") < F.col("name_b"))).collect())
+    assert got == naive and len(got) > 0
+
+
+def test_fuzzy_join_qgrams_k3(spark):
+    """The blocking is parameterized in k, not hard-wired to 2."""
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_qgrams
+
+    names = ["abcdefghij", "abcdefgxyz", "abcdefghxy", "zzzzzzzzzz",
+             "abcdefghijk"]
+    a = spark.createDataFrame([(n,) for n in names], ["name_a"])
+    b = spark.createDataFrame([(n,) for n in names], ["name_b"])
+    got = sorted(
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_join_qgrams(a, b, "name_a", "name_b", max_dist=3)
+        .filter(F.col("name_a") < F.col("name_b")).collect())
+    naive = sorted(
+        (r["name_a"], r["name_b"])
+        for r in a.crossJoin(b)
+        .filter((F.levenshtein("name_a", "name_b") <= 3) &
+                (F.col("name_a") < F.col("name_b"))).collect())
+    assert got == naive and len(got) > 0
+
+
 def test_connected_components_chain(spark):
     """A path graph (diameter > 1) must fully converge to the minimum
     label — exercises the iterative propagation, not just near-cliques."""
