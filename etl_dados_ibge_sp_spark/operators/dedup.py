@@ -225,7 +225,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          node_col: str = "node",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components by iterative min-label propagation: the
     keeper-assignment stage of dedup (every document in a near-dup
     cluster maps to the cluster's minimum id).
@@ -233,33 +234,47 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Driver-side loop, executor-side work: each round is one join +
     min-aggregation; convergence needs O(component diameter) rounds —
     LSH/Jaccard clusters are near-cliques, so 2-4 in practice (same
-    algorithm as GraphX/GraphFrames CC).  ``localCheckpoint`` truncates
-    the lineage each round so the plan doesn't grow with iterations —
-    the standard Spark iterative-algorithm pattern.  The convergence
-    check is an aggregated count, not a collect of data rows.
+    algorithm as GraphX/GraphFrames CC).  Checkpointing truncates the
+    lineage each round so the plan doesn't grow with iterations — the
+    standard Spark iterative-algorithm pattern.  The convergence check
+    is an aggregated count, not a collect of data rows.
+
+    ``checkpoint_dir``: when set, rounds use *reliable* checkpoints
+    written to that directory (HDFS/S3 on a cluster).  Default is
+    ``localCheckpoint`` — fine single-node, but executor-local blocks
+    are not fault-tolerant: at 1000 executors one lost node invalidates
+    the iteration, so long-running cluster jobs should pass a dir.
 
     ``nodes``: one column (node ids); ``pairs``: (id_a, id_b) edges.
     Returns (node_col, component_id).
     """
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     # Materialize the edge set once: its lineage (the whole pair-
     # discovery pipeline) would otherwise re-execute on every round.
-    edges = (
+    edges = ckpt(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"),
                                F.col("id_a").alias("v")))
-    ).localCheckpoint()
-    labels = nodes.select(F.col(node_col).alias("n"),
-                          F.col(node_col).alias("l")).localCheckpoint()
+    )
+    labels = ckpt(nodes.select(F.col(node_col).alias("n"),
+                               F.col(node_col).alias("l")))
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.v == labels.n)
             .groupBy("u").agg(F.min("l").alias("nl"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neigh, labels.n == neigh.u, "left")
             .select(F.col("n"),
                     F.least(F.col("l"), F.coalesce("nl", "l")).alias("l"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("a").join(labels.alias("b"), "n")

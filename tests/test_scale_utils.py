@@ -362,3 +362,22 @@ def test_connected_components_chain(spark):
     got = {r["node"]: r["component_id"]
            for r in connected_components(nodes, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches rounds to reliable checkpoints (the
+    cluster-safe path — localCheckpoint blocks die with their executor)
+    with an identical result, and actually writes checkpoint files."""
+    import os
+
+    from etl_dados_ibge_sp_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["node"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"])
+    ckdir = str(tmp_path / "ck")
+    got = {r["node"]: r["component_id"]
+           for r in connected_components(
+               nodes, pairs, checkpoint_dir=ckdir).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+    assert any(files for _, _, files in os.walk(ckdir))
