@@ -7,10 +7,10 @@ large warehouse tables add partitioned reads (partitionColumn/
 lowerBound/upperBound/numPartitions) so the extract parallelizes across
 executors instead of funneling through one connection.
 
-No JDBC database exists in the test container, so this module is
-exercised by unit tests only via option-plumbing assertions; the
-delete&insert sink helper (sinks/jdbc_sink.py) is its write-side
-counterpart.
+Integration-tested against embedded Derby (which ships in Spark's
+jars) in tests/test_jdbc_integration.py — real pushdown reads and
+write.jdbc round-trips, no fakes; the delete&insert sink helper
+(sinks/jdbc_sink.py) is its write-side counterpart.
 """
 
 from __future__ import annotations
