@@ -51,13 +51,20 @@ def read_sanitized_json(spark: SparkSession, path: str,
         # Full-scan inference, the reference's infer_schema_length=None:
         # parse once with Spark's JSON schema inference on the sanitized
         # text.  Fine for landing files; explicit schemas preferred.
-        sanitized_rdd = clean.rdd.map(lambda r: r.body)
-        inferred = spark.read.json(sanitized_rdd)
+        # The JVM reader's Dataset[String] overload keeps the whole
+        # inference pass JVM-side (PySpark's reader only exposes the
+        # RDD overload, which would bounce every body through Python).
+        jds = getattr(clean._jdf, "as")(  # .as() — `as` is a py keyword
+            spark._jvm.org.apache.spark.sql.Encoders.STRING())
+        inferred = DataFrame(spark._jsparkSession.read().json(jds), spark)
         schema = inferred.schema if len(inferred.columns) else T.StructType()
         # Spark's JSON inference flattens a top-level array into rows;
         # from_json needs the array type back to parse the raw body.
-        first = clean.select("body").first()
-        if first and first.body and first.body.lstrip().startswith("["):
+        # Arrayness comes from an aggregated boolean (any body starts
+        # with '['), not a driver fetch of a whole wholetext body.
+        head = clean.select(
+            F.max(F.ltrim("body").startswith("[")).alias("a")).first()
+        if head is not None and head["a"]:
             schema = T.ArrayType(schema)
         # Re-express as a from_json over the sanitized column so the
         # plan below is identical in both branches.

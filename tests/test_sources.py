@@ -134,3 +134,17 @@ def test_anti_join_empty_warehouse_schema_pinned(spark):
                           ["municipio", "ano_ref", "mes_ref"])
     assert out.count() == 2
     assert dict(pinned.dtypes)["ano_ref"] == "bigint"
+
+
+def test_sanitized_json_inference_stays_jvm_side(spark, tmp_path):
+    """The no-schema inference path must not bounce bodies through
+    Python: no RDD/Python-eval nodes in the executed plan (VERDICT r1
+    item 7 — the JVM Dataset[String] reader overload, not clean.rdd)."""
+    p = tmp_path / "x.json"
+    p.write_text('{"rows": [{"a": 1}, {"a": 2}]}')
+    out = unwrap_envelope(read_sanitized_json(spark, str(p)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not any(t in plan for t in
+                   ("BatchEvalPython", "ArrowEvalPython", "ExistingRDD",
+                    "MapPartitions"))
+    assert sorted(r["a"] for r in out.collect()) == [1, 2]
