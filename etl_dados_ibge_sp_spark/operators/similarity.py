@@ -116,3 +116,35 @@ def ann_bucketed_topk(emb: DataFrame, query: DataFrame, k: int,
          .alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ann_multiprobe_topk(emb: DataFrame, query: DataFrame, k: int,
+                        n_bits: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_vec_col: str = "query_vec") -> DataFrame:
+    """Multi-probe IVF: scan the query's sign bucket plus every bucket
+    at Hamming distance 1 (1 + n_bits cells of the 2^n_bits grid).
+
+    Single-probe recall collapses for queries near a sign boundary —
+    one flipped bit puts the true neighbor in an adjacent cell.
+    Probing the Hamming-1 shell recovers exactly those neighbors (the
+    multi-probe LSH idea: perturb the code, not the query) for
+    (1+n_bits)/2^n_bits of the scan cost, still partition-prunable at
+    scale because probes arrive as join keys.  Each corpus vector
+    lives in one bucket, so probes never duplicate candidates.
+    """
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    qb = query.withColumn("__qb", sign_bucket(F.col(query_vec_col), n_bits))
+    probes = F.array(
+        F.col("__qb"),
+        *[F.col("__qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)])
+    q = qb.select(F.col(query_vec_col),
+                  F.explode(probes).alias("bucket"))
+    joined = bucketed.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+         .alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
