@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import normalized_text
 
@@ -117,8 +118,26 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     on the collected token sets — no re-shuffle of the inverted index).
 
     Still the verification path at extreme scale (LSH first), but now
-    usable directly up to very large corpora."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    usable directly up to very large corpora.
+
+    Plan shape: the exploded shingle set feeds three subtrees (doc
+    frequency, per-doc stats, the prefix join) that Catalyst cannot
+    fuse — they aggregate on different keys — so it is persisted
+    (memory-and-disk) rather than recomputed per consumer; one
+    ``groupBy(id)`` produces both the set size and the collected token
+    array (two aggregates, one shuffle)."""
+    from pyspark.storagelevel import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    # One shuffle for both per-doc aggregates: prefix length needs the
+    # size, verification needs the full set.  Persisted too — column
+    # pruning would otherwise split the consumers back into two
+    # aggregations over two scans.
+    stats = shingles.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.collect_list("shingle").alias("__toks"))
+    stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = stats.select(id_col, "sz")
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # Rarest-first total order; round before ceil so float noise in
     # t*sz can never shorten the prefix (boundary-exactness guard).
@@ -139,8 +158,7 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
         .select("id_a", "id_b")
         .distinct()
     )
-    toks = shingles.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("__toks"))
+    toks = stats.select(id_col, "__toks")
     return (
         cand
         .join(toks.select(F.col(id_col).alias("id_a"),
@@ -236,8 +254,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     LSH/Jaccard clusters are near-cliques, so 2-4 in practice (same
     algorithm as GraphX/GraphFrames CC).  Checkpointing truncates the
     lineage each round so the plan doesn't grow with iterations — the
-    standard Spark iterative-algorithm pattern.  The convergence check
-    is an aggregated count, not a collect of data rows.
+    standard Spark iterative-algorithm pattern.
+
+    Convergence: labels only ever decrease per node, so for numeric
+    ids the multiset changed iff ``sum(l)`` decreased — one join-free
+    aggregate over the already-checkpointed labels per round (decimal
+    accumulator, overflow-safe at any id range).  Non-numeric ids fall
+    back to the join-based changed-count.
 
     ``checkpoint_dir``: when set, rounds use *reliable* checkpoints
     written to that directory (HDFS/S3 on a cluster).  Default is
@@ -266,6 +289,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     )
     labels = ckpt(nodes.select(F.col(node_col).alias("n"),
                                F.col(node_col).alias("l")))
+    numeric_ids = isinstance(labels.schema["l"].dataType, T.NumericType)
+
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("l").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.v == labels.n)
@@ -276,12 +306,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             .select(F.col("n"),
                     F.least(F.col("l"), F.coalesce("nl", "l")).alias("l"))
         )
-        changed = (
-            new_labels.alias("a").join(labels.alias("b"), "n")
-            .filter(F.col("a.l") != F.col("b.l")).count()
-        )
+        if numeric_ids:
+            new_sum = label_sum(new_labels)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("a").join(labels.alias("b"), "n")
+                .filter(F.col("a.l") != F.col("b.l")).count()
+            ) > 0
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     return labels.select(F.col("n").alias(node_col),
                          F.col("l").alias("component_id"))
