@@ -88,3 +88,29 @@ def grouping_sets_agg(df: DataFrame, sets: Sequence[Sequence[str]],
         df.groupingSets([[F.col(c) for c in s] for s in sets], *dims)
         .agg(_grouping_level(dims).alias("grp_level"), *aggs)
     )
+
+
+def approx_percentiles(df: DataFrame, group_cols: Sequence[str],
+                       value_col: str,
+                       percentiles: Sequence[float],
+                       accuracy: int = 10_000) -> DataFrame:
+    """The 100-TB percentile path: ``approx_percentile`` sketches.
+
+    Exact ``percentile`` shuffles every value to its group's reducer
+    and sorts; the sketch is map-side combinable — each task condenses
+    its partition into a bounded-size summary (error <= 1/accuracy in
+    rank), so the exchange carries KBs per group no matter how many
+    rows feed it.  This is the switch the exact operator's docstring
+    prescribes (``registry_ext.q_value_percentiles``); keep the exact
+    form for oracle-checkable correctness at test scale.
+
+    Output columns: ``p<pct*100:g>`` per requested percentile
+    (p50, p90, p99, ...), matching the exact operator's naming.
+    """
+    arr = F.percentile_approx(
+        value_col, [float(p) for p in percentiles], accuracy)
+    out = df.groupBy(*group_cols).agg(arr.alias("__ps"))
+    return out.select(
+        *group_cols,
+        *[F.element_at("__ps", i + 1).alias(f"p{p * 100:g}")
+          for i, p in enumerate(percentiles)])

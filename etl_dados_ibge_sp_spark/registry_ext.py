@@ -881,6 +881,18 @@ def q_stream_windowed_agg(spark, sf_dir):
     return stream_windowed_event_agg(spark, sf_dir)
 
 
+@register("stream_enrich_events", sql="""
+SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""")
+def q_stream_enrich_events(spark, sf_dir):
+    """Stream-static broadcast enrichment run availableNow: stateless
+    per-micro-batch dim join, no stream-side shuffle; final table
+    equals the batch join (the oracle)."""
+    from .streaming.windowed import stream_static_enrich
+    return stream_static_enrich(spark, sf_dir)
+
+
 @register("stream_sessionize", sql=None)
 def q_stream_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):

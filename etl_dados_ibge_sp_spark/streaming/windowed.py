@@ -76,6 +76,38 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the streaming form of the
+    J1 dimension join (reference dags/etl_municipios.py's municipality
+    enrichment, continuous): every micro-batch equi-joins the static
+    dim snapshot, the dim broadcasts, so the stream side never
+    shuffles and needs no watermark (static side is bounded, the join
+    is stateless).  Run to completion with availableNow; the final
+    table equals the batch join — the parity oracle.
+    """
+    stream = _events_stream(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"),
+                "c_name", "c_mktsegment")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "event_type", "c_name", "c_mktsegment", "value")
+    qname = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
+
+
 def streaming_incremental_load(spark: SparkSession, source_dir: str,
                                schema, warehouse_dir: str,
                                checkpoint_dir: str,

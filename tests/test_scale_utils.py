@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -422,3 +424,37 @@ def test_connected_components_string_ids(spark):
     got = {r["node"]: r["component_id"]
            for r in connected_components(nodes, pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_approx_percentiles_match_exact_within_rank_error(spark, sf_dir):
+    """The sketch path must agree with exact percentiles to within the
+    sketch's rank-error bound, and its plan must partial-aggregate
+    (map-side combinable) rather than shuffle raw values."""
+    from etl_dados_ibge_sp_spark.operators.aggregate import (
+        approx_percentiles,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    approx = approx_percentiles(
+        e, ["event_type"], "value", [0.5, 0.9, 0.99], accuracy=10_000)
+    # The sketch guarantee is on RANK, not value (and exact
+    # `percentile` interpolates while the sketch returns a data value,
+    # so value-comparison breaks on heavy tails): check the empirical
+    # rank of each sketched percentile.
+    vals = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for v in vals.values():
+        v.sort()
+    for r in approx.collect():
+        v = vals[r["event_type"]]
+        n = len(v)
+        for c, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            import bisect
+            lo = bisect.bisect_left(v, r[c]) / n
+            hi = bisect.bisect_right(v, r[c]) / n
+            slack = 1 / 10_000 + 1 / n
+            assert lo - slack <= p <= hi + slack, (c, p, lo, hi)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "partial_percentile_approx" in plan.lower() \
+        or "objhashaggregate" in plan.lower()
