@@ -893,6 +893,81 @@ def q_stream_enrich_events(spark, sf_dir):
     return stream_static_enrich(spark, sf_dir)
 
 
+from .operators.ranking import bm25_oracle_sql  # noqa: E402
+
+_BM25_TERMS = ("spark", "dup", "batch")
+
+
+@register("text_bm25_topk",
+          sql=bm25_oracle_sql(_BM25_TERMS, 20, _NORM_SQL))
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 relevance top-k (rational-idf variant): two full scans,
+    zero keyed shuffles — per-term tf is an array fold per row, corpus
+    stats are ONE scalar aggregate broadcast back onto the scan."""
+    from .operators.ranking import bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, list(_BM25_TERMS), 20)
+
+
+@register("scd2_event_history", sql="""
+WITH x AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+), y AS (
+    SELECT user_id, event_type, us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS new_run
+    FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), z AS (
+    SELECT user_id, event_type, us,
+           SUM(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM y
+), r AS (
+    SELECT user_id, min(event_type) AS event_type, run,
+           min(us) AS valid_from_us,
+           count(*) AS n_changes
+    FROM z GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       lead(valid_from_us) OVER w2 IS NULL AS is_current,
+       n_changes
+FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+""")
+def q_scd2_event_history(spark, sf_dir):
+    """SCD Type 2 dimension history from the event feed: consecutive
+    equal event_type runs per user collapse to validity intervals.
+    One shuffle on the key, then narrow window arithmetic."""
+    from .operators.history import scd2_intervals
+    e = _t(spark, sf_dir, "events")
+    out = scd2_intervals(e, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        "is_current", "n_changes")
+
+
+@register("stream_interval_join", sql="""
+SELECT p.user_id, p.event_id AS purchase_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+       c.value AS click_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+""")
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides, bounded
+    state): purchases x clicks by the same user within the prior 6 h,
+    run availableNow; equals the batch interval join (the oracle)."""
+    from .streaming.windowed import stream_stream_interval_join
+    return stream_stream_interval_join(spark, sf_dir)
+
+
 @register("stream_sessionize", sql=None)
 def q_stream_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):

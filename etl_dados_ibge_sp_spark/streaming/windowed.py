@@ -108,6 +108,61 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def stream_stream_interval_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    each purchase joins every click by the same user in the 6 hours
+    leading up to it.
+
+    The canonical Structured Streaming two-stream join: BOTH sides are
+    watermarked and the join condition carries a time range, so the
+    state store can evict — a click older than the purchase-side
+    watermark minus 6 h can never match again and is dropped.  Without
+    the range the state is unbounded (the 100 TB failure mode).
+    Run to completion with availableNow; the result equals the batch
+    interval join — the parity oracle.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("value").alias("click_value"))
+        .withWatermark("c_ts", "1 day")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user")) &
+        (F.col("c_ts") <= F.col("p_ts")) &
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id",
+        F.unix_micros(F.col("c_ts")).alias("click_us"),
+        "click_value",
+    )
+    qname = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
+
+
 def streaming_incremental_load(spark: SparkSession, source_dir: str,
                                schema, warehouse_dir: str,
                                checkpoint_dir: str,
