@@ -118,6 +118,115 @@ def ann_bucketed_topk(emb: DataFrame, query: DataFrame, k: int,
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def _centroid_lit(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def l2_normalized(vec: Column) -> Column:
+    """Unit-normalize a double array (cosine order ≡ dot order after
+    this, so spherical k-means can cluster by plain dot product)."""
+    nrm = F.sqrt(dot(vec, vec))
+    return F.transform(vec, lambda x: x / nrm)
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-dot centroid index for a unit vector; ties resolve to the
+    lowest index (first-match CASE)."""
+    dots = [dot(vec, _centroid_lit(c)) for c in centroids]
+    if len(dots) == 1:
+        return F.lit(0)
+    best = F.greatest(*dots)
+    idx = F.lit(len(dots) - 1)
+    for i in reversed(range(len(dots) - 1)):
+        idx = F.when(dots[i] == best, F.lit(i)).otherwise(idx)
+    return idx.cast("int")
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical k-means: the learned coarse quantizer for real IVF.
+
+    Pure DataFrame iterations — assignment is a broadcast-constant
+    argmax expression (narrow), the update is posexplode → per
+    (cluster, dim) decimal-sum aggregate (map-side combinable; k·d
+    rows to the driver, the model state, like any trained model).
+    Deterministic: seeds are the k lowest-id vectors, sums are
+    decimal-accumulated (order-independent), fixed iteration count —
+    rerunning on any partitioning yields bit-identical centroids.
+
+    At 100 TB: each iteration is one corpus scan + a k·d-row shuffle;
+    fit on a deterministic sample, assign the full corpus once.
+    """
+    from pyspark.sql.types import DecimalType
+    acc = DecimalType(32, 12)
+    v = emb.select(F.col(id_col).alias("__id"),
+                   l2_normalized(_as_double(F.col(vec_col))).alias("__v"))
+    centroids = [r["__v"] for r in v.orderBy("__id").limit(k).collect()]
+    for _ in range(n_iter):
+        assigned = v.select(
+            nearest_centroid(F.col("__v"), centroids).alias("__c"), "__v")
+        stats = (
+            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__c", "__d")
+            .agg(F.sum(F.col("__x").cast(acc)).alias("__s"),
+                 F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        for r in stats:
+            sums.setdefault(r["__c"], {})[r["__d"]] = \
+                float(r["__s"]) / r["__n"]
+        new = []
+        for i, old in enumerate(centroids):
+            if i not in sums:
+                new.append(old)  # empty cluster keeps its centroid
+                continue
+            mean = [sums[i][d] for d in range(len(old))]
+            nrm = sum(x * x for x in mean) ** 0.5
+            new.append([x / nrm for x in mean] if nrm > 0 else old)
+        centroids = new
+    return centroids
+
+
+def ann_ivf_topk(emb: DataFrame, query: DataFrame, k: int,
+                 centroids: list[list[float]], nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF probe with a LEARNED quantizer: assign every vector to its
+    nearest centroid (the inverted list key; at scale the table's
+    partition/bucket column, written once at ingest), then scan only
+    the query's ``nprobe`` closest lists.
+
+    Unlike the sign-bucket grid, the lists follow the data
+    distribution, so recall per scanned fraction is what IVF actually
+    promises.  Probes arrive as broadcast join keys — partition-
+    prunable, never a corpus scan.
+    """
+    bucketed = emb.withColumn(
+        "bucket",
+        nearest_centroid(l2_normalized(_as_double(F.col(vec_col))),
+                         centroids))
+    qn = l2_normalized(_as_double(F.col(query_vec_col)))
+    ranked = F.reverse(F.array_sort(F.array(
+        *[F.struct(dot(qn, _centroid_lit(c)).alias("d"),
+                   F.lit(i).alias("i"))
+          for i, c in enumerate(centroids)])))
+    q = query.select(
+        F.col(query_vec_col),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+        ).alias("bucket"))
+    joined = bucketed.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+         .alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def ann_multiprobe_topk(emb: DataFrame, query: DataFrame, k: int,
                         n_bits: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding",

@@ -607,6 +607,22 @@ def q_embed_ann_multiprobe(spark, sf_dir):
     return S.ann_multiprobe_topk(emb, query, k=10, n_bits=4)
 
 
+@register("embed_ann_ivf", sql=None)
+def q_embed_ann_ivf(spark, sf_dir):
+    """IVF ANN with a LEARNED coarse quantizer (spherical k-means fit
+    in pure DataFrame iterations): probe the 2 nearest of 8 inverted
+    lists.  Deterministic (decimal-summed centroid updates, fixed
+    seeds/iterations) but k-means is iterative — not SQL-expressible,
+    so rows-only driver check; the recall-vs-exact law is pinned in
+    tests/test_ranking_history.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = S.kmeans_fit(corpus, k=8, n_iter=3)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    return S.ann_ivf_topk(corpus, query, k=10, centroids=cents, nprobe=2)
+
+
 @register("dedup_embed_neardup", sql="""
 WITH corpus AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -48,6 +48,32 @@ def test_bm25_plan_is_scan_shaped(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivf_ann_recall_beats_fraction_scanned(spark, sf_dir):
+    """Learned-quantizer IVF scanning 2/8 lists must recover most of
+    the exact top-10 (the point of clustering by data distribution),
+    and the fit must be deterministic across reruns."""
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+
+    cents = kmeans_fit(corpus, k=8, n_iter=3)
+    again = kmeans_fit(corpus.repartition(7), k=8, n_iter=3)
+    assert cents == again  # decimal-summed updates: partitioning-proof
+
+    exact = {r["vec_id"] for r in cosine_topk(corpus, query, 10).collect()}
+    ivf = {r["vec_id"]
+           for r in ann_ivf_topk(corpus, query, 10, cents, 2).collect()}
+    recall = len(exact & ivf) / 10
+    assert recall >= 0.7, recall
+
+
 def _ts(s):
     return datetime.datetime.fromisoformat(s)
 
