@@ -59,6 +59,13 @@ HEADLINE = [
     "fuzzy_join_names_k2",
     "dedup_keep_canonical",
     "corpus_curate",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition",
+    "doc_chunk",
+    "seq_pack",
+    "events_funnel",
+    "user_retention",
 ]
 
 

@@ -354,3 +354,62 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.sum("bitval").cast("bigint").alias("simhash"))
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def contamination_stats(train: DataFrame, eval_docs: DataFrame,
+                        id_col: str, text_col: str, n: int = 3,
+                        flag_threshold: float = 0.2) -> DataFrame:
+    """Per-document n-gram overlap against an evaluation corpus — the
+    standard decontamination gate a training-data pipeline runs before
+    a benchmark ships in the training set.
+
+    Output: (id, n_grams, n_contaminated, contamination_ratio,
+    contaminated) where the ratio is |distinct doc n-grams ∩ eval
+    n-grams| / |distinct doc n-grams|.
+
+    Scale shape (100 TB training side, ~10^6-gram eval side):
+
+    - the eval gram set is distinct-ed and **broadcast** — benchmark
+      suites are tiny next to a training corpus, so the train side is
+      never shuffled by the membership probe;
+    - per-document gram totals are computed **in-row** from the token
+      array (no explode), so the only exploded rows are the ones that
+      must probe the broadcast set;
+    - the per-document hit count partial-aggregates map-side before
+      the single (id)-keyed shuffle, whose width is bounded by the
+      hit rows, not the corpus.
+    """
+    grams_expr = F.array_distinct(
+        F.when(
+            F.size("__tk") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+                lambda i: F.array_join(F.slice("__tk", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (train.select(F.col(id_col), toks.alias("__tk"))
+            .select(F.col(id_col), grams_expr.alias("__grams")))
+    totals = base.select(F.col(id_col),
+                         F.size("__grams").cast("bigint").alias("n_grams"))
+    doc_grams = base.select(F.col(id_col),
+                            F.explode("__grams").alias("shingle"))
+    eval_grams = (word_shingles(eval_docs, id_col, text_col, n=n)
+                  .select("shingle").distinct())
+    hits = (doc_grams.join(F.broadcast(eval_grams), "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated")))
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_contaminated").cast("double") / F.col("n_grams"), 6)
+    ).otherwise(F.lit(0.0))
+    return (totals.join(hits, id_col, "left")
+            .withColumn("n_contaminated",
+                        F.coalesce("n_contaminated", F.lit(0)).cast("bigint"))
+            .withColumn("contamination_ratio", ratio)
+            .withColumn("contaminated",
+                        F.col("contamination_ratio") >= flag_threshold))

@@ -130,3 +130,72 @@ def fingerprint64(col: Column) -> Column:
     as a bigint — engine-portable (conv is plain hex parsing)."""
     return F.conv(F.substring(fingerprint_md5(col), 1, 15), 16, 10) \
         .cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+# Patterns restricted to the RE2 ∩ java.util.regex common subset (no
+# lookaround, no backrefs) so the Spark plan and the DuckDB oracle
+# compile the same automaton.  Order matters: emails first (they
+# contain dots an IP pattern could nibble), then SSN before phone
+# (3-2-4 vs 3-3-4 are disjoint, but keep the more specific first).
+PII_PATTERNS = (
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[SSN]", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("[PHONE]", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("[IP]", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII occurrence counts (JVM regexp_count)."""
+    return {tag: F.regexp_count(col, F.lit(pat)).cast("bigint")
+            for tag, pat in PII_PATTERNS}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its category tag.  A chain of four
+    JVM regexp_replace calls — single pass over the bytes each, inside
+    whole-stage codegen; no Python."""
+    out = col
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition
+# --------------------------------------------------------------------------
+
+def word_ngrams_array(tok_attr: Column, n: int) -> Column:
+    """Non-distinct word n-gram array from a pre-materialized token
+    array attribute (same guard as dedup.word_shingles: <n tokens →
+    empty array, never a descending sequence)."""
+    return F.when(
+        F.size(tok_attr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_attr) - (n - 1)),
+            lambda i: F.array_join(F.slice(tok_attr, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_token_fraction(tok_attr: Column) -> Column:
+    """Fraction of tokens taken by the most frequent token.  Computed
+    in-row (array_max over per-distinct-token filter counts): O(d·n)
+    per document but narrow — no explode, no shuffle, which is the
+    100 TB-friendly shape for short documents."""
+    counts = F.transform(
+        F.array_distinct(tok_attr),
+        lambda w: F.size(F.filter(tok_attr, lambda x: x == w)))
+    return F.round(F.array_max(counts).cast("double") / F.size(tok_attr), 6)
+
+
+# --------------------------------------------------------------------------
+# Chunking & sequence packing
+# --------------------------------------------------------------------------
+
+def chunk_starts(tok_attr: Column, stride: int) -> Column:
+    """1-based chunk start offsets: 1, 1+stride, … while ≤ n_tokens."""
+    return F.sequence(F.lit(1), F.size(tok_attr), F.lit(stride))

@@ -994,3 +994,293 @@ def q_stream_sessionize(spark, sf_dir):
     tests/test_nested_and_streaming.py."""
     from .streaming.windowed import stream_sessionize
     return stream_sessionize(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Training-data curation, part 2: decontamination, PII, repetition,
+# chunking, packing — plus event funnel / retention analytics.
+# --------------------------------------------------------------------------
+
+# Distinct-trigram list (the per-document shingle set, in-row).
+_TRIGRAMS_DISTINCT_SQL = f"list_distinct({_TRIGRAMS_SQL})"
+
+
+@register("text_decontaminate", sql=f"""
+WITH tr AS (
+    SELECT doc_id, {_TRIGRAMS_DISTINCT_SQL} AS gs
+    FROM documents WHERE doc_id % 23 <> 0
+), ev AS (
+    SELECT DISTINCT unnest({_TRIGRAMS_DISTINCT_SQL}) AS gram
+    FROM documents WHERE doc_id % 23 = 0
+), g AS (
+    SELECT doc_id, unnest(gs) AS gram FROM tr
+), hits AS (
+    SELECT doc_id, count(*) AS n_hit FROM g JOIN ev USING (gram)
+    GROUP BY doc_id
+), scored AS (
+    SELECT tr.doc_id,
+           CAST(len(tr.gs) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN len(tr.gs) > 0
+                THEN round(coalesce(h.n_hit, 0) * 1.0 / len(tr.gs), 6)
+                ELSE 0.0 END AS contamination_ratio
+    FROM tr LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id, n_grams, n_contaminated, contamination_ratio,
+       CAST(contamination_ratio >= 0.2 AS INT) AS contaminated
+FROM scored
+""")
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-trigram overlap of every
+    training document against a held-out eval slice (doc_id % 23 == 0
+    stands in for the benchmark corpus).  Eval gram set is broadcast;
+    the training side never shuffles for the membership probe (see
+    operators/dedup.py:contamination_stats for the 100 TB notes)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    out = D.contamination_stats(train, ev, "doc_id", "text", n=3,
+                                flag_threshold=0.2)
+    return out.withColumn("contaminated",
+                          F.col("contaminated").cast("int"))
+
+
+def _pii_redact_sql(inner: str) -> str:
+    out = inner
+    for tag, pat in T.PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
+@register("text_pii_redact", sql=f"""
+WITH i AS (
+    SELECT doc_id, text || CASE CAST(doc_id % 10 AS INT)
+        WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+        WHEN 1 THEN ' call 555-123-4567'
+        WHEN 2 THEN ' ssn 123-45-6789'
+        WHEN 3 THEN ' host 10.0.0.3 down'
+        ELSE '' END AS inj
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(inj, '{T.PII_PATTERNS[0][1]}')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(inj, '{T.PII_PATTERNS[1][1]}')) AS BIGINT)
+           AS n_ssn,
+       CAST(len(regexp_extract_all(inj, '{T.PII_PATTERNS[2][1]}')) AS BIGINT)
+           AS n_phone,
+       CAST(len(regexp_extract_all(inj, '{T.PII_PATTERNS[3][1]}')) AS BIGINT)
+           AS n_ip,
+       {_pii_redact_sql('inj')} AS clean_text
+FROM i
+""")
+def q_text_pii_redact(spark, sf_dir):
+    """PII detection + redaction: deterministic synthetic PII is
+    injected (so the op provably fires), then counted and replaced by
+    category tags.  Four JVM regexp passes inside whole-stage codegen;
+    patterns live in the RE2 ∩ java.util.regex common subset so the
+    DuckDB oracle compiles the identical automaton."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    inj = F.concat(
+        F.col("text"),
+        F.when(m == 0, F.concat(F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com")))
+         .when(m == 1, F.lit(" call 555-123-4567"))
+         .when(m == 2, F.lit(" ssn 123-45-6789"))
+         .when(m == 3, F.lit(" host 10.0.0.3 down"))
+         .otherwise(F.lit("")))
+    base = docs.select("doc_id", inj.alias("__inj"))
+    c = T.pii_counts(F.col("__inj"))
+    return base.select(
+        "doc_id",
+        c["[EMAIL]"].alias("n_email"),
+        c["[SSN]"].alias("n_ssn"),
+        c["[PHONE]"].alias("n_phone"),
+        c["[IP]"].alias("n_ip"),
+        T.redact_pii(F.col("__inj")).alias("clean_text"))
+
+
+@register("text_repetition", sql=f"""
+WITH b AS (
+    SELECT doc_id, {_TOKS_SQL} AS ws, {_TRIGRAMS_SQL} AS gs
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_ratio,
+       round(list_max(list_transform(list_distinct(ws),
+             w -> len(list_filter(ws, x -> x = w)))) * 1.0 / len(ws), 6)
+           AS top_token_frac,
+       CASE WHEN len(gs) > 0
+            THEN round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM b
+""")
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition metrics (the 'repetitive doc' quality
+    gate): distinct-token ratio, most-frequent-token share, duplicate
+    trigram fraction.  All computed in-row from the token array —
+    no explode, no shuffle; O(d·n) per doc is the right trade for
+    short documents at 100 TB (bytes stream once through codegen)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id",
+                       T.tokens(F.col("text")).alias("__tk"))
+    tk = F.col("__tk")
+    gs = T.word_ngrams_array(tk, 3)
+    n_tok = F.size(tk).cast("bigint")
+    n_dist = F.size(F.array_distinct(tk)).cast("bigint")
+    dup_tri = F.when(
+        F.size(gs) > 0,
+        F.round(F.lit(1.0) -
+                F.size(F.array_distinct(gs)).cast("double") / F.size(gs), 6)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dist.alias("n_distinct"),
+        F.round(n_dist.cast("double") / n_tok, 6).alias("distinct_ratio"),
+        T.top_token_fraction(tk).alias("top_token_frac"),
+        dup_tri.alias("dup_trigram_frac"))
+
+
+@register("doc_chunk", sql=f"""
+WITH b AS (
+    SELECT doc_id, {_TOKS_SQL} AS ws FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+       array_to_string(ws[s:s+31], ' ') AS chunk_text,
+       CAST(least(32, len(ws) - s + 1) AS BIGINT) AS n_chunk_tokens
+FROM b, LATERAL (SELECT unnest(generate_series(1, len(ws), 24)) AS s)
+""")
+def q_doc_chunk(spark, sf_dir):
+    """Fixed-size document chunking with overlap (context-window prep):
+    32-token windows every 24 tokens (8-token overlap).  Chunk starts
+    are a narrow in-row sequence + posexplode — rows fan out ~n/24×
+    with zero shuffle, the embarrassingly-parallel shape."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("__tk"))
+    starts = T.chunk_starts(F.col("__tk"), stride=24)
+    return base.select(
+        "doc_id", F.col("__tk"),
+        F.posexplode(starts).alias("chunk_id", "s"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice("__tk", F.col("s"), 32), " ")
+         .alias("chunk_text"),
+        F.least(F.lit(32), F.size("__tk") - F.col("s") + 1)
+         .cast("bigint").alias("n_chunk_tokens"))
+
+
+@register("seq_pack", sql=f"""
+WITH d AS (
+    SELECT doc_id, source, len({_TOKS_SQL}) AS n_tok FROM documents
+), packed AS (
+    SELECT source, doc_id, n_tok,
+           CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT)
+               AS bin_id
+    FROM d
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY source, bin_id
+""")
+def q_seq_pack(spark, sf_dir):
+    """Greedy sequence packing into ~256-token training bins, the
+    'concat-and-chunk' variant: docs are packed in id order within
+    each source shard; a doc whose tokens start before a bin boundary
+    joins that bin (bins may overflow, never split a doc's start).
+    Window semantics = one shuffle on source; per-shard packing (not a
+    global order) is deliberate — a global ORDER BY would serialize on
+    one partition at 100 TB, per-shard is how packing runs in real
+    pipelines."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source",
+                    F.size(T.tokens(F.col("text"))).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = d.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 256)
+         .cast("bigint"))
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"))
+
+
+@register("events_funnel", sql="""
+WITH u AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+    FROM events GROUP BY user_id
+)
+SELECT CAST(count(tv) AS BIGINT) AS n_view,
+       CAST(count(CASE WHEN tc > tv THEN 1 END) AS BIGINT) AS n_view_click,
+       CAST(count(CASE WHEN tc > tv AND tp > tc THEN 1 END) AS BIGINT)
+           AS n_view_click_purchase
+FROM u
+""")
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase by first-occurrence
+    time): one shuffle on user_id with map-side partial min()s, then a
+    single global reduce — the canonical scalable funnel shape (no
+    self-joins, no per-user sorting)."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+         .alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("tp"))
+    return u.agg(
+        F.count("tv").cast("bigint").alias("n_view"),
+        F.count(F.when(F.col("tc") > F.col("tv"), 1))
+         .cast("bigint").alias("n_view_click"),
+        F.count(F.when((F.col("tc") > F.col("tv"))
+                       & (F.col("tp") > F.col("tc")), 1))
+         .cast("bigint").alias("n_view_click_purchase"))
+
+
+@register("user_retention", sql="""
+WITH f AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS d0
+    FROM events GROUP BY user_id
+), a AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT f.d0 AS cohort_day,
+       CAST((a.d - f.d0) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""")
+def q_user_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen day, counted per
+    week offset they return in.  Both aggregations and the join key on
+    user_id — the first groupBy's hash partitioning is reused by the
+    join (one logical shuffle family), then a small (cohort, offset)
+    reduce."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (a.join(f, "user_id")
+            .groupBy(F.col("d0").alias("cohort_day"),
+                     F.floor(F.datediff(F.col("d"), F.col("d0")) / 7)
+                      .cast("bigint").alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("n_users")))
