@@ -87,10 +87,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm the JVM + parquet footers once so query 1 isn't charged for
-    # session startup (steady-state engine time is what we measure).
-    for t in ("lineitem", "orders", "documents", "events", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # Warm the JVM, parquet footers AND data pages once so query 1
+    # isn't charged for session startup or a cold OS page cache
+    # (steady-state engine time is what we measure).  A count() is not
+    # enough: parquet answers it from row-group metadata without
+    # touching data pages, so the first real scan after a reboot would
+    # still pay cold disk.
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "documents", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -376,12 +376,11 @@ def contamination_stats(train: DataFrame, eval_docs: DataFrame,
     - the eval gram set is distinct-ed and **broadcast** — benchmark
       suites are tiny next to a training corpus, so the train side is
       never shuffled by the membership probe;
-    - per-document gram totals are computed **in-row** from the token
-      array (no explode), so the only exploded rows are the ones that
-      must probe the broadcast set;
-    - the per-document hit count partial-aggregates map-side before
-      the single (id)-keyed shuffle, whose width is bounded by the
-      hit rows, not the corpus.
+    - ONE scan, ONE shuffle: the per-doc total rides the exploded rows
+      (``explode_outer`` keeps zero-gram docs), every row probes the
+      broadcast set for a 0/1 hit mark, and a single (id)-keyed
+      groupBy folds both the total and the hit count — map-side
+      partial-aggregated, so the shuffle carries one row per doc.
     """
     grams_expr = F.array_distinct(
         F.when(
@@ -392,24 +391,23 @@ def contamination_stats(train: DataFrame, eval_docs: DataFrame,
             ),
         ).otherwise(F.array().cast("array<string>")))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = (train.select(F.col(id_col), toks.alias("__tk"))
-            .select(F.col(id_col), grams_expr.alias("__grams")))
-    totals = base.select(F.col(id_col),
-                         F.size("__grams").cast("bigint").alias("n_grams"))
-    doc_grams = base.select(F.col(id_col),
-                            F.explode("__grams").alias("shingle"))
+    exploded = (train.select(F.col(id_col), toks.alias("__tk"))
+                .select(F.col(id_col), grams_expr.alias("__grams"))
+                .select(F.col(id_col),
+                        F.size("__grams").cast("bigint").alias("n_grams"),
+                        F.explode_outer("__grams").alias("shingle")))
     eval_grams = (word_shingles(eval_docs, id_col, text_col, n=n)
-                  .select("shingle").distinct())
-    hits = (doc_grams.join(F.broadcast(eval_grams), "shingle")
-            .groupBy(id_col)
-            .agg(F.count("*").alias("n_contaminated")))
+                  .select("shingle").distinct()
+                  .withColumn("__hit", F.lit(1)))
+    marked = exploded.join(F.broadcast(eval_grams), "shingle", "left")
     ratio = F.when(
         F.col("n_grams") > 0,
         F.round(F.col("n_contaminated").cast("double") / F.col("n_grams"), 6)
     ).otherwise(F.lit(0.0))
-    return (totals.join(hits, id_col, "left")
-            .withColumn("n_contaminated",
-                        F.coalesce("n_contaminated", F.lit(0)).cast("bigint"))
+    return (marked.groupBy(id_col)
+            .agg(F.first("n_grams").alias("n_grams"),
+                 F.sum(F.coalesce("__hit", F.lit(0)))
+                  .cast("bigint").alias("n_contaminated"))
             .withColumn("contamination_ratio", ratio)
             .withColumn("contaminated",
                         F.col("contamination_ratio") >= flag_threshold))

@@ -56,3 +56,22 @@ def scd2_intervals(feed: DataFrame, key_col: str, attr_col: str,
         F.lead("valid_from").over(w_run).isNull().alias("is_current"),
         "n_changes",
     )
+
+
+def cdc_latest_state(feed: DataFrame, key_col: str, ts_col: str,
+                     tiebreak_col: str, delete_predicate) -> DataFrame:
+    """Apply a change feed to produce current state: last write wins
+    per key; keys whose final operation satisfies ``delete_predicate``
+    are absent from the result (the CDC-merge semantics of a lakehouse
+    MERGE INTO, expressed engine-agnostically).
+
+    One shuffle (the per-key window); no join against a snapshot — at
+    scale the snapshot union-s in as older feed rows, which keeps the
+    operator a single window over (key, ts) instead of a
+    full-outer-join storm.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc())
+    latest = (feed.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    return latest.filter(~delete_predicate)

@@ -57,3 +57,35 @@ def hash_bucket_sql(key_cols: Sequence[str], salt: str = "smp") -> str:
     key = ", ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
     return (f"CAST(concat('0x', substr(md5(concat('{salt}:', "
             f"concat_ws(chr(31), {key}))), 1, 15)) AS BIGINT) % {N_BUCKETS}")
+
+
+def stratified_balance(df: DataFrame, group_col: str,
+                       key_cols: Sequence[str], k: int | None = None,
+                       salt: str = "strat") -> DataFrame:
+    """Balanced downsampling: keep a deterministic k-subset of every
+    stratum (default k = the smallest stratum's size), the standard
+    class-balancing step before training.
+
+    Selection is by hash rank, not random(): same inputs -> same
+    sample on any cluster/partitioning/retry, and the oracle can
+    reproduce it exactly.
+
+    Scale: one window shuffle on the stratum key (row_number over
+    hash order); the stratum-size reduce is a map-side-combinable
+    count whose tiny result broadcasts back.  Skewed strata cost what
+    any per-key window costs — at 100 TB pre-filter obvious giants or
+    sample within shards first.
+    """
+    from pyspark.sql import Window
+
+    if k is None:
+        kdf = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.min("__n").alias("__k")))
+        k_col = F.broadcast(kdf)
+    order = [hash_bucket(key_cols, salt)] + [F.col(c) for c in key_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    if k is None:
+        return ranked.join(k_col).filter(F.col("rn") <= F.col("__k")) \
+            .drop("__k")
+    return ranked.filter(F.col("rn") <= k)

@@ -1284,3 +1284,87 @@ def q_user_retention(spark, sf_dir):
                       .cast("bigint").alias("week_offset"))
             .agg(F.countDistinct("user_id").cast("bigint")
                   .alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# CDC merge, balanced sampling, vocabulary induction
+# --------------------------------------------------------------------------
+
+from .operators.sample import hash_bucket_sql as _hb_sql  # noqa: E402
+
+
+@register("cdc_latest_state", sql="""
+WITH r AS (
+    SELECT user_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_type AS last_op, value AS last_value,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+FROM r WHERE rn = 1 AND event_type <> 'error'
+""")
+def q_cdc_latest_state(spark, sf_dir):
+    """CDC merge to current state (lakehouse MERGE INTO semantics):
+    last write per key wins, keys whose final op is a delete marker
+    ('error' stands in) vanish.  Single (key)-window shuffle; the
+    snapshot would union in as older feed rows at scale — no
+    full-outer join."""
+    from .operators.history import cdc_latest_state
+    e = _t(spark, sf_dir, "events")
+    out = cdc_latest_state(e, "user_id", "ts", "event_id",
+                           F.col("event_type") == "error")
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+
+
+@register("stratified_sample", sql=f"""
+WITH k AS (
+    SELECT min(cnt) AS k FROM (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+), r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY {_hb_sql(['doc_id'], 'strat')}, doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM r, k WHERE rn <= k.k
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Class balancing: every language stratum downsampled to the
+    smallest stratum's size by deterministic hash rank (same sample on
+    any cluster/retry; random() could never be oracle-checked).  One
+    window shuffle + a broadcast scalar."""
+    from .operators.sample import stratified_balance
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_balance(docs, "lang", ["doc_id"], salt="strat") \
+        .select("doc_id", "lang", "rn")
+
+
+@register("vocab_topk", sql=f"""
+WITH t AS (
+    SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+), c AS (
+    SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+FROM c ORDER BY cnt DESC, tok LIMIT 100
+""")
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary induction: global token frequencies (map-side
+    combinable wordcount over exploded tokens), top-100 with a
+    deterministic tie-break.  The rank window runs over the already-
+    limited 100-row result, never the full vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(100)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return top.select(
+        "tok", F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number().over(w).cast("bigint").alias("rank"))

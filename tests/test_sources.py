@@ -148,3 +148,39 @@ def test_sanitized_json_inference_stays_jvm_side(spark, tmp_path):
                    ("BatchEvalPython", "ArrowEvalPython", "ExistingRDD",
                     "MapPartitions"))
     assert sorted(r["a"] for r in out.collect()) == [1, 2]
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source roundtrip preserves values; filters push into
+    the ORC scan (same lakehouse properties as parquet)."""
+    from etl_dados_ibge_sp_spark.sources.orc_source import read_orc, write_orc
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    plan = (back.filter(F.col("n_regionkey") == 1)
+            .select("n_name")._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "n_regionkey" in plan  # filter reached the scan
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned ORC layout: a partition-key filter prunes to one
+    directory (scan reads a single partition, not the table)."""
+    from etl_dados_ibge_sp_spark.sources.orc_source import read_orc, write_orc
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc_part")
+    write_orc(nation, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path).filter(F.col("n_regionkey") == 2)
+    expected = nation.filter(F.col("n_regionkey") == 2).count()
+    assert back.count() == expected
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey" in plan
