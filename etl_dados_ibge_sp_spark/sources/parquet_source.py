@@ -46,16 +46,33 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Restore a proper session-zoned timestamp from the on-disk
+    TIMESTAMP(NANOS) column, whichever way the reader surfaced it:
+
+    * nanos-long (``spark.sql.legacy.parquet.nanosAsLong``, Spark
+      <= 4.0): integer-divide to micros (nanos exceed double
+      precision) and convert.
+    * ``timestamp_ntz`` (Spark 4.1+ reads parquet nanos natively as
+      NTZ): cast to TIMESTAMP — with the UTC session timezone this is
+      the identical instant, and watermarks/windows require the
+      zoned type.
+    """
+    from pyspark.sql import functions as F
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                fan_out: bool = True) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, read as nanos-long under
-        # spark.sql.legacy.parquet.nanosAsLong; restore a proper
-        # timestamp (integer div — nanos exceed double precision).
-        from pyspark.sql import functions as F
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df)
     if fan_out and name in FACT_TABLES:
         df = ensure_parallelism(df, spark)
     return df

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from ..sources.parquet_source import normalize_ts
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.  Schema comes from a
@@ -38,10 +40,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ts(stream)
 
 
 def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,9 +201,7 @@ def streaming_incremental_load(spark: SparkSession, source_dir: str,
         .option("maxFilesPerTrigger", 1)  # one micro-batch per file
         .parquet(source_dir)
     )
-    if dict(stream.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    stream = normalize_ts(stream, ts_col)
     query = (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)

@@ -70,9 +70,10 @@ def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path):
     def staged_stream(spark_, _sf):
         schema = spark_.read.parquet(src).schema
         s = spark_.readStream.schema(schema).parquet(str(stage))
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
+        from etl_dados_ibge_sp_spark.sources.parquet_source import (
+            normalize_ts,
+        )
+        return normalize_ts(s)
 
     W._events_stream = staged_stream
     try:
