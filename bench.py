@@ -66,6 +66,13 @@ HEADLINE = [
     "seq_pack",
     "events_funnel",
     "user_retention",
+    "corpus_mix",
+    "docs_shuffle_shard",
+    "unigram_logprob",
+    "dedup_prefix_hash",
+    "ngram_counts",
+    "winsorize_outliers",
+    "salted_join_events",
 ]
 
 

@@ -100,6 +100,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str,
     )
 
 
+def prefix_dedup_groups(df: DataFrame, id_col: str, text_col: str,
+                        prefix_len: int = 100) -> DataFrame:
+    """Prefix-hash dedup (the C4/Gopher "same first k characters"
+    heuristic): documents sharing their first ``prefix_len`` raw
+    characters are near-certain template duplicates — cheaper than
+    MinHash and catches the boilerplate class exact dedup misses
+    (same lede, diverging tails).  Same shuffle shape as exact dedup:
+    only (hash, id) pairs move, never bodies."""
+    return (
+        df.select(F.col(id_col),
+                  F.md5(F.substring(F.trim(F.col(text_col)), 1, prefix_len))
+                   .alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(F.min(id_col).alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def jaccard_pairs(shingles: DataFrame, id_col: str,
                   threshold: float) -> DataFrame:
     """All-pairs set Jaccard >= threshold, exact, via **prefix

@@ -905,11 +905,11 @@ def _ordered_names() -> list[str]:
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Import extension modules for their registration side effects.
-    from . import registry_ext  # noqa: F401
+    from . import registry_ext, registry_ext2  # noqa: F401
     return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    from . import registry_ext  # noqa: F401
+    from . import registry_ext, registry_ext2  # noqa: F401
     return {name: REGISTRY[name].sql for name in _ordered_names()
             if REGISTRY[name].sql is not None}

@@ -1,0 +1,238 @@
+"""Round-3 extension queries: corpus composition (mixing, sharding,
+perplexity-proxy scoring), prefix dedup, skew-salted join, ORC
+round-trip, bigram LM counts, winsorized robust aggregates, and the
+watermarked streaming dedup parity query.
+
+Same contract as registry_ext: every SQL-expressible query carries a
+DuckDB oracle built on engine-portable primitives, with arithmetic
+association mirrored exactly so double-precision results are
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import mixing as X
+from .operators.aggregate import dsum
+from .operators.joins import salted_join
+from .registry import _t, register
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Corpus composition
+# --------------------------------------------------------------------------
+
+@register("corpus_mix", sql=X.source_mix_sql(
+    "documents", "doc_id", "text", "source", budget_frac=0.5, salt="mix"))
+def q_corpus_mix(spark, sf_dir):
+    """Weighted source mixing under a token budget (see
+    operators/mixing.source_mix): per-source rates from a keys-only
+    aggregate, broadcast back, content-hash sampled in the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.source_mix(docs, "doc_id", "text", "source",
+                        budget_frac=0.5, salt="mix")
+
+
+@register("docs_shuffle_shard", sql=f"""
+WITH b AS (
+    SELECT doc_id,
+           {X.hash_bucket_sql(["doc_id"], "shf")} AS bucket
+    FROM documents
+)
+SELECT doc_id, CAST(bucket % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY bucket % 8
+                               ORDER BY bucket, doc_id) AS BIGINT) AS pos
+FROM b
+""")
+def q_docs_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + 8-way shard assignment (the
+    "shuffle the corpus, write N training shards" step) — one shuffle,
+    no global sort (operators/mixing.shuffle_shard)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return X.shuffle_shard(docs, ["doc_id"], n_shards=8, salt="shf") \
+        .select("doc_id", "shard", "pos")
+
+
+@register("unigram_logprob", sql=f"""
+WITH t AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), f AS (
+    SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+), tot AS (
+    SELECT SUM(cnt) AS tot FROM f
+), v AS (
+    SELECT tok,
+           CAST(round((-ln(cnt / tot)) * 1000000.0) AS BIGINT) AS nll
+    FROM f CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(SUM(nll) AS BIGINT) AS nll_micro,
+       (CAST(SUM(nll) AS DOUBLE) / count(*)) / 1000000.0 AS avg_nll
+FROM t JOIN v USING (tok) GROUP BY doc_id
+""")
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM negative log-likelihood per document — the
+    perplexity-filter baseline (operators/mixing.unigram_nll):
+    integer micro-nat quantization keeps document sums exact and
+    engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.unigram_nll(docs, "doc_id", "text")
+
+
+@register("dedup_prefix_hash", sql="""
+SELECT md5(substr(trim(text), 1, 100)) AS prefix_key,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+""")
+def q_dedup_prefix_hash(spark, sf_dir):
+    """Prefix-hash dedup (C4/Gopher "same first 100 chars" heuristic):
+    catches same-lede template duplicates exact dedup misses, at exact
+    dedup's shuffle cost (operators/dedup.prefix_dedup_groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.prefix_dedup_groups(docs, "doc_id", "text", prefix_len=100)
+
+
+@register("ngram_counts", sql=f"""
+WITH d AS (
+    SELECT {_TOKS} AS toks FROM documents
+), g AS (
+    SELECT unnest(list_transform(
+        generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM d
+), c AS (
+    SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank
+FROM c ORDER BY cnt DESC, gram LIMIT 50
+""")
+def q_ngram_counts(spark, sf_dir):
+    """Bigram language-model counts, top-50 with deterministic
+    tie-break — the n-gram-LM counterpart of vocab_topk, keeping
+    multiplicity (a shingle-dedup would undercount).  Map-side
+    combinable wordcount over a generated bigram array; the rank
+    window runs over the 50-row result only."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(X.tokens(F.col("text")).alias("__tk"))
+    grams = tk.select(F.explode(F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("__tk"), i),
+                F.element_at(F.col("__tk"), i + 1))),
+    ).otherwise(F.array().cast("array<string>"))).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(50)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    return top.select(
+        "gram", F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Robust aggregates / skew / formats / streaming
+# --------------------------------------------------------------------------
+
+@register("winsorize_outliers", sql="""
+WITH p AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS p01,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(least(greatest(e.value, p.p01), p.p99)
+                     AS DECIMAL(32,6))) AS DOUBLE) AS sum_clipped,
+       round(min(least(greatest(e.value, p.p01), p.p99)), 6)
+           AS min_clipped,
+       round(max(least(greatest(e.value, p.p01), p.p99)), 6)
+           AS max_clipped
+FROM events e JOIN p USING (event_type)
+GROUP BY e.event_type
+""")
+def q_winsorize_outliers(spark, sf_dir):
+    """Winsorized (p01/p99-clipped) robust aggregates per group — the
+    outlier-clipping step of metric cleaning.  The tiny per-group
+    percentile table broadcasts back onto the fact scan; at 100 TB
+    swap the exact percentile for approx_percentile and nothing else
+    changes."""
+    e = _t(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"))
+    clip = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(clip).alias("sum_clipped"),
+             F.round(F.min(clip), 6).alias("min_clipped"),
+             F.round(F.max(clip), 6).alias("max_clipped"))
+    )
+
+
+@register("salted_join_events", sql="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""")
+def q_salted_join_events(spark, sf_dir):
+    """Skew-salted equi-join (operators/joins.salted_join): the big
+    side salts on a hash of its payload, the medium side replicates
+    across the salt domain, and the result is row-identical to the
+    plain join — the oracle IS the plain join."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return salted_join(ev, dim, ["user_id"], "inner", n_salts=8) \
+        .select("event_id", "user_id", "c_mktsegment", "value")
+
+
+@register("orc_roundtrip", sql="""
+SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+""")
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink → ORC scan round-trip (sources/orc_source): the 1997
+    lineitem slice is written to ORC and aggregated from the ORC copy;
+    matching the parquet-side oracle proves the format path is
+    lossless (types, timestamps, nulls) end to end."""
+    from .sources.orc_source import read_orc, write_orc
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.year("l_shipdate") == 1997)
+          .select("l_orderkey", "l_quantity", "l_shipdate"))
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(li, f"{tmp}/li")
+    back = read_orc(spark, f"{tmp}/li")
+    return (
+        back.groupBy(F.month("l_shipdate").cast("bigint")
+                     .alias("ship_month"))
+        .agg(dsum("l_quantity").alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register("stream_dedup_watermark", sql="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+""")
+def q_stream_dedup_watermark(spark, sf_dir):
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) run
+    availableNow: with a unique-keyed source the output equals the
+    input — the batch-parity oracle; duplicate-arrival behavior is
+    pinned by test_streaming_dedup_drops_duplicates."""
+    from .streaming.windowed import streaming_dedup
+    out = streaming_dedup(spark, sf_dir)
+    return out.select("event_id", "user_id", "event_type",
+                      F.unix_micros("ts").alias("ts_us"))
