@@ -73,6 +73,7 @@ HEADLINE = [
     "ngram_counts",
     "winsorize_outliers",
     "salted_join_events",
+    "nation_pagerank",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Graph operators beyond connected components: weighted PageRank by
+power iteration.
+
+Driver-side loop, executor-side work — the same iterative shape as
+``dedup.connected_components``: each round is one join + one
+aggregation on (node, rank) pairs, never on payloads.  At 100 TB the
+edge list is the big table; it is materialized (checkpointed) once,
+the per-round shuffles move only (node, double) pairs, and the round
+count is a fixed hyperparameter (power iteration converges
+geometrically at rate = damping).
+
+Determinism across engines/partitionings: per-edge contributions are
+computed in double (bit-identical given identical inputs), but the
+per-node SUM accumulates in DECIMAL(38,18) — order-insensitive — so
+every iteration's rank vector is reproducible to the bit on any
+cluster, and matches the unrolled-CTE SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
+             src: str = "u", dst: str = "v", weight: str = "w",
+             iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank, ``iters`` fixed power iterations.
+
+    ``nodes``: one column of node ids.  ``edges``: (src, dst, weight)
+    — weights need not be normalized; transition probability is
+    weight / out-weight(src).  Nodes without out-edges contribute
+    nothing (their rank mass leaks — the simplified formulation; both
+    this and the SQL oracle implement it identically).
+
+    Returns (node_col, pagerank) with rank rounded to 9 decimals.
+    """
+    n = nodes.count()
+    jump = (1 - damping) / n
+
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
+    trans = edges.join(out_w, src).select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v"),
+        (F.col(weight) / F.col("__ow")).alias("__p"))
+    # The transition matrix is reused every round; cut its lineage so
+    # round k's plan doesn't re-derive the edge pipeline k times.
+    trans = trans.localCheckpoint(eager=False)
+
+    ranks = nodes.select(F.col(node_col).alias("__n"),
+                         F.lit(1.0 / n).alias("__r"))
+    bare = nodes.select(F.col(node_col).alias("__n"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["__u"] == ranks["__n"])
+            .select(F.col("__v").alias("__n2"),
+                    (F.col("__r") * F.col("__p")).alias("__c")))
+        agg = contrib.groupBy("__n2").agg(
+            F.sum(F.col("__c").cast("decimal(38,18)")).cast("double")
+            .alias("__s"))
+        ranks = (
+            bare.join(agg, F.col("__n") == F.col("__n2"), "left")
+            .select("__n",
+                    (F.lit(jump)
+                     + F.lit(damping) * F.coalesce("__s", F.lit(0.0)))
+                    .alias("__r")))
+    return ranks.select(F.col("__n").alias(node_col),
+                        F.round("__r", 9).alias("pagerank"))
+
+
+def pagerank_sql(nodes_cte: str, edges_cte: str, n_nodes: int,
+                 iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB rendering of :func:`pagerank`, kept adjacent
+    so the two cannot drift.  ``nodes_cte``/``edges_cte`` are SQL
+    bodies producing (node) and (u, v, w); arithmetic association and
+    the DECIMAL(38,18) accumulator mirror the Spark side exactly."""
+    jump = (1 - damping) / n_nodes
+    init = 1.0 / n_nodes
+    parts = [f"""
+WITH nodes AS ({nodes_cte}), edges AS ({edges_cte}),
+outw AS (SELECT u, SUM(w) AS ow FROM edges GROUP BY u),
+trans AS (SELECT e.u, e.v, e.w / o.ow AS p
+          FROM edges e JOIN outw o ON o.u = e.u),
+r0 AS (SELECT node, {init!r} AS r FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+a{k} AS (SELECT t.v AS node,
+                CAST(SUM(CAST(r.r * t.p AS DECIMAL(38,18))) AS DOUBLE) AS s
+         FROM trans t JOIN r{k - 1} r ON r.node = t.u GROUP BY t.v),
+r{k} AS (SELECT n.node,
+                {jump!r} + {damping!r} * coalesce(a.s, 0.0) AS r
+         FROM nodes n LEFT JOIN a{k} a ON a.node = n.node)""")
+    parts.append(f"""
+SELECT node, round(r, 9) AS pagerank FROM r{iters}""")
+    return "".join(parts)

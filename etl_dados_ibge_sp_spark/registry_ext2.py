@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import mixing as X
 from .operators.aggregate import dsum
+from .operators.graph import pagerank_sql
 from .operators.joins import salted_join
 from .registry import _t, register
 
@@ -220,6 +221,107 @@ def q_orc_roundtrip(spark, sf_dir):
                      .alias("ship_month"))
         .agg(dsum("l_quantity").alias("sum_qty"),
              F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_PR_NODES = "SELECT n_nationkey AS node FROM nation"
+_PR_EDGES = """
+SELECT c.c_nationkey AS u, s.s_nationkey AS v,
+       CAST(count(*) AS BIGINT) AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+@register("nation_pagerank", sql=f"""
+WITH pr AS ({pagerank_sql(_PR_NODES, _PR_EDGES, 25, iters=5)})
+SELECT n.n_name, pr.pagerank FROM pr JOIN nation n ON n.n_nationkey = pr.node
+""")
+def q_nation_pagerank(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (customer
+    nation -> supplier nation, edge weight = lineitem count), 5 power
+    iterations (operators/graph.pagerank).  The edge build is the
+    multi_join_revenue star join; the iteration shuffles only
+    (node, rank) pairs.  Oracle: the same 5 rounds unrolled as CTEs,
+    decimal-accumulated so the doubles match to the bit."""
+    from .operators.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("u"),
+                 F.col("s_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    pr = pagerank(nodes, edges, iters=5)
+    return pr.join(F.broadcast(nation),
+                   pr.node == nation.n_nationkey) \
+        .select("n_name", "pagerank")
+
+
+@register("jsonl_roundtrip", sql="""
+SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+""")
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink → scan round-trip: the documents table is
+    written as JSONL (the lingua franca of training-data interchange)
+    and read back with an explicit schema; md5 of the recovered text
+    against the parquet-side oracle proves the encode/decode is
+    lossless (quoting, unicode, nulls)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    docs.write.mode("overwrite").json(f"{tmp}/docs")
+    back = spark.read.schema(docs.schema).json(f"{tmp}/docs")
+    return back.select("doc_id", "lang", "source",
+                       F.md5("text").alias("text_md5"))
+
+
+@register("text_source_roundtrip", sql=f"""
+SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+""")
+def q_text_source_roundtrip(spark, sf_dir):
+    """Raw-text sink → `spark.read.text` scan round-trip: documents
+    serialized as tab-separated lines, re-parsed with JVM regex
+    extraction (id + body), token counts matched against the parquet
+    side.  The line-oriented text source is how raw corpora actually
+    arrive; at 100 TB the directory is the unit of parallelism."""
+    from .operators.text import token_count
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="text_rt_")
+    docs.select(F.concat_ws("\t", F.col("doc_id"), F.col("text"))
+                .alias("value")).write.mode("overwrite").text(f"{tmp}/docs")
+    back = spark.read.text(f"{tmp}/docs")
+    return back.select(
+        F.regexp_extract("value", r"^(\d+)\t", 1).cast("bigint")
+         .alias("doc_id"),
+        token_count(F.regexp_replace("value", r"^\d+\t", ""))
+         .alias("n_tok"))
+
+
+@register("sketch_cardinality", sql=None)
+def q_sketch_cardinality(spark, sf_dir):
+    """HyperLogLog++ cardinality sketches vs exact distinct counts —
+    the 100-TB path for COUNT(DISTINCT): the sketch is fixed-size,
+    map-side combinable, and mergeable across partitions/days, where
+    exact distinct shuffles every key.  No SQL oracle (the sketch
+    estimate is engine-specific); the <=5% relative-error law vs the
+    exact column is pinned by pytest."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02)
+             .alias("approx_users"),
+             F.countDistinct("user_id").alias("exact_users"))
     )
 
 
