@@ -74,6 +74,8 @@ HEADLINE = [
     "winsorize_outliers",
     "salted_join_events",
     "nation_pagerank",
+    "pretrain_sequences",
+    "session_window_agg",
 ]
 
 

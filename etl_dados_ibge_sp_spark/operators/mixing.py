@@ -66,16 +66,20 @@ def source_mix(docs: DataFrame, id_col: str, text_col: str,
     """
     d = docs.select(F.col(id_col), F.col(source_col),
                     token_count(F.col(text_col)).alias("n_tok"))
-    per_src = d.groupBy(source_col).agg(F.sum("n_tok").alias("src_tok"))
-    w = per_src.withColumn("w", source_weight(source_col))
-    glob = w.agg(F.sum("src_tok").alias("all_tok"),
-                 F.sum("w").alias("w_sum"))
-    rates = w.crossJoin(F.broadcast(glob)).select(
+    per_src = (d.groupBy(source_col).agg(F.sum("n_tok").alias("src_tok"))
+               .withColumn("w", source_weight(source_col)))
+    # Global totals as window-over-aggregate (not a crossJoin of a
+    # second aggregate): the rate table derives from ONE pass over the
+    # per-source aggregate, so the corpus scan isn't repeated for the
+    # totals.  The empty-frame window runs on the ~#sources-row
+    # aggregate only.
+    wall = Window.partitionBy()
+    rates = per_src.select(
         source_col,
         F.least(
             F.lit(1.0),
-            (F.lit(budget_frac) * F.col("all_tok"))
-            * (F.col("w") / F.col("w_sum")) / F.col("src_tok"),
+            (F.lit(budget_frac) * F.sum("src_tok").over(wall))
+            * (F.col("w") / F.sum("w").over(wall)) / F.col("src_tok"),
         ).alias("rate"))
     return (
         d.join(F.broadcast(rates), source_col)
@@ -101,13 +105,11 @@ WITH d AS (
     SELECT {source_col}, SUM(n_tok) AS src_tok,
            {source_weight_sql(source_col)} AS w
     FROM d GROUP BY {source_col}
-), totals AS (
-    SELECT SUM(src_tok) AS all_tok, SUM(w) AS w_sum FROM per_src
 ), rates AS (
     SELECT {source_col},
-           least(1.0, ({budget_frac} * all_tok) * (w / w_sum) / src_tok)
-               AS rate
-    FROM per_src CROSS JOIN totals
+           least(1.0, ({budget_frac} * SUM(src_tok) OVER ())
+                      * (w / SUM(w) OVER ()) / src_tok) AS rate
+    FROM per_src
 )
 SELECT d.{id_col}, d.{source_col}, d.n_tok
 FROM d JOIN rates USING ({source_col})

@@ -224,6 +224,111 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+@register("pretrain_sequences", sql=f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+           {X.hash_bucket_sql(["doc_id"], "shf")} AS b
+    FROM documents
+), sh AS (
+    SELECT doc_id, n_tok, b, CAST(b % 8 AS BIGINT) AS shard FROM d
+), off AS (
+    SELECT doc_id, n_tok, shard,
+           CAST(coalesce(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS o
+    FROM sh
+), seqs AS (
+    SELECT shard, doc_id, n_tok, o,
+           unnest(generate_series(o // 256, (o + n_tok - 1) // 256))
+               AS seq_id
+    FROM off
+)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(least((seq_id + 1) * 256, o + n_tok)
+                - greatest(seq_id * 256, o)) AS BIGINT) AS n_tok
+FROM seqs GROUP BY shard, seq_id
+""")
+def q_pretrain_sequences(spark, sf_dir):
+    """The GPT-style pretraining layout: concatenate the (hash-
+    shuffled) documents of each shard and cut the token stream into
+    fixed 256-token training sequences that CROSS document boundaries
+    (unlike seq_pack's whole-doc bins and doc_chunk's per-doc
+    windows).  Per (shard, sequence): contributing docs and token
+    count — all integer arithmetic on token offsets (one window
+    cumsum + a span explode), so the oracle matches exactly.  One
+    shuffle on the shard key; sequences never materialize tokens."""
+    S = 256
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    b = X.hash_bucket(["doc_id"], "shf")
+    d = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tok"),
+        b.alias("__b"), (b % 8).cast("bigint").alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("__b", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = d.withColumn("o", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    seqs = off.select(
+        "shard", "n_tok", "o",
+        F.explode(F.sequence(
+            F.expr(f"o div {S}"),
+            F.expr(f"(o + n_tok - 1) div {S}")))
+        .alias("seq_id"))
+    return (
+        seqs.groupBy("shard", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.least((F.col("seq_id") + 1) * S,
+                           F.col("o") + F.col("n_tok"))
+                   - F.greatest(F.col("seq_id") * S, F.col("o")))
+             .alias("n_tok"))
+        .select("shard", F.col("seq_id").cast("bigint").alias("seq_id"),
+                "n_docs", "n_tok")
+    )
+
+
+@register("session_window_agg", sql="""
+WITH x AS (
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+), flags AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS new_run
+    FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), runs AS (
+    SELECT user_id, us,
+           SUM(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+    FROM flags
+)
+SELECT user_id, MIN(us) AS start_us,
+       MAX(us) + 1800000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM runs GROUP BY user_id, run
+""")
+def q_session_window_agg(spark, sf_dir):
+    """Native `session_window` gap-session aggregation — the built-in
+    Catalyst form of event_sessionize (which pins the same semantics
+    via lag+running-sum): one shuffle on (user_id, session), session
+    end = last event + gap, end-exclusive.  Works identically under
+    Structured Streaming with a watermark — the operator you'd
+    actually deploy for 100-TB session rollups."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                  "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.unix_micros(F.col("sw.start")).alias("start_us"),
+                F.unix_micros(F.col("sw.end")).alias("end_us"),
+                "n_events")
+    )
+
+
 _PR_NODES = "SELECT n_nationkey AS node FROM nation"
 _PR_EDGES = """
 SELECT c.c_nationkey AS u, s.s_nationkey AS v,
