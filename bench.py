@@ -76,6 +76,8 @@ HEADLINE = [
     "nation_pagerank",
     "pretrain_sequences",
     "session_window_agg",
+    "shipping_priority",
+    "customer_distribution",
 ]
 
 

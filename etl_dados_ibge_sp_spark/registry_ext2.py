@@ -224,6 +224,120 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+@register("shipping_priority", sql="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(32,6))) AS DOUBLE) AS revenue,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+""")
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter -> star join -> revenue agg ->
+    top-10.  Both filters push into their scans (date pruning at
+    100 TB), the customer side reduces to keys before broadcasting,
+    and the top-k is TakeOrdered, never a global sort."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < "1997-01-01")
+         .select("o_orderkey", "o_custkey", "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > "1997-01-01")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    )
+
+
+@register("customer_distribution", sql="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution via left
+    outer join (zero-order customers count!) + double aggregation.
+    The first agg shuffles on custkey, the second on the tiny count
+    domain — classic two-level rollup, no skew exposure."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@register("value_histogram", sql="""
+SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""")
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram per group — scan-local bin assignment,
+    one map-side-combinable aggregation; the 100-TB distribution
+    profiling primitive (feeds the quality-binning and outlier
+    stages)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type",
+                  F.floor(F.col("value") / 25).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "bin", "n")
+    )
+
+
+@register("value_trend_regression", sql="""
+SELECT event_type,
+       round(regr_slope(value, d), 6) AS slope,
+       round(regr_intercept(value, d), 6) AS intercept,
+       round(regr_r2(value, d), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type, value,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS DOUBLE)
+               AS d
+    FROM events
+)
+GROUP BY event_type
+""")
+def q_value_trend_regression(spark, sf_dir):
+    """Per-group least-squares trend (value vs day index) via the
+    regr_* aggregates — single-pass mergeable moment states like
+    stats_moments, so the shuffle carries one small state per group.
+    Rounded to 6 dp: the moment sums are the only order-dependent
+    doubles and the magnitudes keep the noise far below the
+    rounding."""
+    e = _t(spark, sf_dir, "events")
+    d = F.expr("unix_micros(ts) div 86400000000").cast("double")
+    x = e.select("event_type", "value", d.alias("d"))
+    return x.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "d"), 6).alias("slope"),
+        F.round(F.regr_intercept("value", "d"), 6).alias("intercept"),
+        F.round(F.regr_r2("value", "d"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"))
+
+
 @register("pretrain_sequences", sql=f"""
 WITH d AS (
     SELECT doc_id,
