@@ -78,6 +78,7 @@ HEADLINE = [
     "session_window_agg",
     "shipping_priority",
     "customer_distribution",
+    "merge_upsert",
 ]
 
 

@@ -224,6 +224,97 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+@register("merge_upsert", sql="""
+WITH delta AS (
+    SELECT user_id + 1450 AS key,
+           CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS new_bal
+    FROM events GROUP BY user_id
+), snap AS (
+    SELECT c_custkey AS key, c_acctbal AS bal FROM customer
+)
+SELECT coalesce(s.key, d.key) AS key,
+       round(coalesce(d.new_bal, s.bal), 6) AS bal,
+       CASE WHEN d.key IS NULL THEN 'unchanged'
+            WHEN s.key IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_op
+FROM snap s FULL OUTER JOIN delta d ON s.key = d.key
+""")
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics without a table format: WHEN MATCHED
+    UPDATE (change row replaces the snapshot value), WHEN NOT MATCHED
+    INSERT, untouched snapshot rows pass through.  Executed as
+    tag-union + one groupBy (max_by on the change priority) — the
+    scale shape: a full-outer join would shuffle the whole snapshot
+    against the whole delta as a JOIN; the union aggregates on the
+    key ONCE and is map-side combinable.  The oracle IS the
+    full-outer-join formulation, proving the two equivalent."""
+    delta = (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") + 1450).alias("key"))
+        .agg(dsum("value").alias("val"))
+        .select("key", "val", F.lit(1).alias("pri"),
+                F.lit(True).alias("from_delta")))
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val"),
+        F.lit(0).alias("pri"), F.lit(False).alias("from_delta"))
+    merged = (
+        snap.unionByName(delta)
+        .groupBy("key")
+        .agg(F.max_by("val", "pri").alias("bal"),
+             F.max("pri").alias("has_delta"),
+             F.count(F.lit(1)).alias("n_src"))
+    )
+    return merged.select(
+        "key", F.round("bal", 6).alias("bal"),
+        F.when(F.col("has_delta") == 0, "unchanged")
+         .when(F.col("n_src") == 1, "inserted")
+         .otherwise("updated").alias("merge_op"))
+
+
+@register("quality_quantile_bins", sql="""
+WITH q AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+    FROM documents
+), cuts AS (
+    SELECT source,
+           quantile_cont(n_tok, 0.25) AS q1,
+           quantile_cont(n_tok, 0.50) AS q2,
+           quantile_cont(n_tok, 0.75) AS q3
+    FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, q.n_tok,
+       CAST(CASE WHEN q.n_tok <= c.q1 THEN 0
+                 WHEN q.n_tok <= c.q2 THEN 1
+                 WHEN q.n_tok <= c.q3 THEN 2
+                 ELSE 3 END AS BIGINT) AS bin
+FROM q JOIN cuts c ON c.source = q.source
+""")
+def q_quality_quantile_bins(spark, sf_dir):
+    """Per-source quartile binning (the quality-bucketing step of
+    curriculum / mixture design): exact per-group quartiles broadcast
+    back onto the scan as three comparisons.  At 100 TB swap
+    percentile for approx_percentile; the bin assignment is unchanged.
+    Integer token counts make the quantile cuts engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import token_count
+    q = docs.select("doc_id", "source",
+                    token_count(F.col("text")).alias("n_tok"))
+    cuts = q.groupBy("source").agg(
+        F.percentile("n_tok", 0.25).alias("q1"),
+        F.percentile("n_tok", 0.50).alias("q2"),
+        F.percentile("n_tok", 0.75).alias("q3"))
+    return (
+        q.join(F.broadcast(cuts), "source")
+        .select("doc_id", "source", "n_tok",
+                F.when(F.col("n_tok") <= F.col("q1"), 0)
+                 .when(F.col("n_tok") <= F.col("q2"), 1)
+                 .when(F.col("n_tok") <= F.col("q3"), 2)
+                 .otherwise(3).cast("bigint").alias("bin"))
+    )
+
+
 @register("shipping_priority", sql="""
 SELECT l.l_orderkey,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
