@@ -79,6 +79,7 @@ HEADLINE = [
     "shipping_priority",
     "customer_distribution",
     "merge_upsert",
+    "multimodal_ppm_roundtrip",
 ]
 
 

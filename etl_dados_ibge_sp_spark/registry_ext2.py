@@ -224,6 +224,33 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+@register("multimodal_ppm_roundtrip", sql="""
+WITH px AS (
+    SELECT d.doc_id, r.r, c.c
+    FROM documents d,
+         generate_series(0, 7) r(r),
+         generate_series(0, 7) c(c)
+)
+SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT)
+           AS sum_g,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT)
+           AS sum_b
+FROM px GROUP BY doc_id
+""")
+def q_multimodal_ppm_roundtrip(spark, sf_dir):
+    """REAL image decode, end to end: a deterministic 8×8 P6 PPM is
+    encoded per document (raw binary image bytes) and decoded back
+    with the numpy-only parser (operators/multimodal.decode_ppm);
+    per-channel pixel sums match the closed-form oracle exactly.
+    Both stages are Arrow-batched mapInPandas — narrow, no shuffle —
+    the production multimodal shape with an honest codec."""
+    from .operators.multimodal import decode_ppm, encode_ppm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_ppm(encode_ppm(docs))
+
+
 @register("merge_upsert", sql="""
 WITH delta AS (
     SELECT user_id + 1450 AS key,
