@@ -253,7 +253,7 @@ def q_multimodal_ppm_roundtrip(spark, sf_dir):
 
 @register("merge_upsert", sql="""
 WITH delta AS (
-    SELECT user_id + 1450 AS key,
+    SELECT user_id * 11 + 100 AS key,
            CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS new_bal
     FROM events GROUP BY user_id
 ), snap AS (
@@ -277,7 +277,7 @@ def q_merge_upsert(spark, sf_dir):
     full-outer-join formulation, proving the two equivalent."""
     delta = (
         _t(spark, sf_dir, "events")
-        .groupBy((F.col("user_id") + 1450).alias("key"))
+        .groupBy((F.col("user_id") * 11 + 100).alias("key"))
         .agg(dsum("value").alias("val"))
         .select("key", "val", F.lit(1).alias("pri"),
                 F.lit(True).alias("from_delta")))
