@@ -242,6 +242,40 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id",
         dec, schema=PPM_SCHEMA)
 
 
+def resize_ppm(df: DataFrame, factor: int = 2, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """REAL resize: decode the P6 payload (numpy), nearest-neighbor
+    subsample by ``factor`` (every factor-th pixel, the top-left
+    anchor convention), and emit the resized dimensions + channel
+    sums.  Same Arrow-batched narrow shape as decode; swapping the
+    subsample for a PIL resample generalizes the kernel."""
+    def rsz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+        hdr = _re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                m = hdr.match(b)
+                assert m, "not a P6 PPM"
+                w, h = int(m.group(1)), int(m.group(2))
+                px = _np.frombuffer(b, dtype=_np.uint8, offset=m.end(),
+                                    count=w * h * 3).reshape(h, w, 3)
+                small = px[::factor, ::factor, :]
+                sums = small.sum(axis=(0, 1), dtype=_np.int64)
+                rows.append((int(i), small.shape[1], small.shape[0],
+                             int(sums[0]), int(sums[1]), int(sums[2])))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "sum_r", "sum_g", "sum_b"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        rsz, schema=PPM_SCHEMA)
+
+
 def decode_real(df: DataFrame, **_kwargs) -> DataFrame:
     """General codec path — requires an image/audio library that is
     not installed in this environment.  For headerless raster formats

@@ -251,6 +251,30 @@ def q_multimodal_ppm_roundtrip(spark, sf_dir):
     return decode_ppm(encode_ppm(docs))
 
 
+@register("multimodal_ppm_resize", sql="""
+WITH px AS (
+    SELECT d.doc_id, r.r * 2 AS r, c.c * 2 AS c
+    FROM documents d,
+         generate_series(0, 3) r(r),
+         generate_series(0, 3) c(c)
+)
+SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT)
+           AS sum_g,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT)
+           AS sum_b
+FROM px GROUP BY doc_id
+""")
+def q_multimodal_ppm_resize(spark, sf_dir):
+    """REAL image resize: encode → numpy nearest-neighbor 2× downsample
+    (top-left anchor) → channel sums of the 4×4 result, matching the
+    closed-form oracle over the even-indexed pixels exactly."""
+    from .operators.multimodal import encode_ppm, resize_ppm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return resize_ppm(encode_ppm(docs), factor=2)
+
+
 @register("merge_upsert", sql="""
 WITH delta AS (
     SELECT user_id * 11 + 100 AS key,
