@@ -585,6 +585,47 @@ def q_session_window_agg(spark, sf_dir):
     )
 
 
+def _stream_curate_sql() -> str:
+    from .registry_ext import _QUALITY_SQL
+    return f"""
+SELECT doc_id, lang, {_QUALITY_SQL} AS quality,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tok
+FROM documents WHERE {_QUALITY_SQL} >= 0.45
+"""
+
+
+@register("stream_curate_pipeline", sql=_stream_curate_sql())
+def q_stream_curate_pipeline(spark, sf_dir):
+    """The curation front half run as a STREAM: documents land as
+    JSONL (the real ingest format), a file-source stream applies the
+    quality gate and token accounting per micro-batch — stateless, so
+    no watermark, no state store; the availableNow output hash-matches
+    the batch oracle over the same corpus."""
+    import uuid as _uuid
+
+    from .operators import text as T2
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="stream_cur_")
+    docs.write.mode("overwrite").json(f"{tmp}/in")
+    stream = spark.readStream.schema(docs.schema).json(f"{tmp}/in")
+    out = (
+        stream
+        .withColumn("quality",
+                    T2.quality_score(F.col("text"), F.length("text")))
+        .filter(F.col("quality") >= 0.45)
+        .select("doc_id", "lang", "quality",
+                T2.token_count(F.col("text")).alias("n_tok")))
+    qname = f"stream_cur_{_uuid.uuid4().hex[:8]}"
+    query = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+    try:
+        query.awaitTermination(300)
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
+
+
 _PR_NODES = "SELECT n_nationkey AS node FROM nation"
 _PR_EDGES = """
 SELECT c.c_nationkey AS u, s.s_nationkey AS v,
