@@ -126,6 +126,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # The headline suite GROWS round over round (25 -> 33 -> 47
+        # queries); compare `mean_query_sec` across rounds, not raw
+        # `value`, which scales with coverage.
+        "n_queries": len(timings),
+        "mean_query_sec": round(total / max(len(timings), 1), 3),
         "sf": sf_from_dir(sf_dir),
     }))
 
