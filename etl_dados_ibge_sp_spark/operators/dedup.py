@@ -212,6 +212,51 @@ def minhash_signature(shingles: DataFrame, id_col: str,
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def banded_keys(signatures: DataFrame, id_col: str,
+                rows_per_band: int = 2) -> DataFrame:
+    """(id, band, band_key) rows from a signature frame — ONE
+    posexplode over the band array (see lsh_candidate_pairs for why
+    not per-band unions)."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh")]
+    n_bands = len(mh_cols) // rows_per_band
+    band_arr = F.array(*[
+        F.concat_ws("|", *mh_cols[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(n_bands)
+    ])
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key"))
+
+
+def incremental_lsh_candidates(new_sigs: DataFrame,
+                               warehouse_sigs: DataFrame,
+                               id_col: str,
+                               rows_per_band: int = 2) -> DataFrame:
+    """Incremental dedup's pair discovery: candidates between a NEW
+    batch and the existing signature warehouse — the production
+    arrival path, where the corpus is never re-shingled and never
+    self-joined.
+
+    Both sides band identically; the join is new-bands × warehouse-
+    bands only, so the work is O(new × bucket), independent of corpus
+    size — at 100 TB the warehouse side is a bucketed/partitioned
+    signature table and the band join prunes to the new batch's
+    buckets.  Intra-batch duplicates are found separately with
+    ``lsh_candidate_pairs`` over the (small) batch itself.
+
+    Returns distinct (new_id, old_id) candidate pairs; verify with an
+    exact Jaccard recheck as usual.
+    """
+    nb = banded_keys(new_sigs, id_col, rows_per_band) \
+        .withColumnRenamed(id_col, "new_id")
+    wb = banded_keys(warehouse_sigs, id_col, rows_per_band) \
+        .withColumnRenamed(id_col, "old_id")
+    return (
+        nb.join(wb, ["band", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
                         rows_per_band: int = 2,
                         max_bucket: int | None = None) -> DataFrame:
