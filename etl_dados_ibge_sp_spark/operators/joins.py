@@ -291,11 +291,19 @@ def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
              .groupBy("__g").agg(F.count(F.lit(1)).alias("__df")))
 
     def prefix(g: DataFrame, idc: str) -> DataFrame:
-        w = Window.partitionBy(idc).orderBy("__df", "__g")
+        # Per-string rarest-(kq+1) grams via an IN-ROW array sort
+        # instead of a row_number window: the gram table regroups on
+        # the id either way (one shuffle), but sorting happens inside
+        # each <=|string| element array, not across whole partitions —
+        # and the (df, gram) struct order gives the same global
+        # tie-break the window's ORDER BY did.
         return (g.join(dfreq, "__g")
-                .withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") <= kq + 1)
-                .select(idc, "__len", "__g"))
+                .groupBy(idc, "__len")
+                .agg(F.collect_list(F.struct("__df", "__g")).alias("__gs"))
+                .select(idc, "__len",
+                        F.explode(F.slice(F.array_sort("__gs"), 1, kq + 1))
+                        .alias("__s"))
+                .select(idc, "__len", F.col("__s.__g").alias("__g")))
 
     lp = prefix(lg, "__lid").withColumnRenamed("__len", "__ll")
     rp = prefix(rg, "__rid").withColumnRenamed("__len", "__rl")
