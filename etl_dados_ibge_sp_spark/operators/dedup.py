@@ -157,16 +157,24 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = stats.select(id_col, "sz")
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    # Rarest-first total order; round before ceil so float noise in
-    # t*sz can never shorten the prefix (boundary-exactness guard).
-    rank_w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    # Rarest-first total order realized IN-ROW: regroup the df-tagged
+    # tokens per doc and slice the (df, shingle)-sorted array to the
+    # prefix length — same single shuffle on the id as the row_number
+    # window had, same tie-break, but the sort is per-array (<= |doc|
+    # tokens) instead of a partition-wide window sort, and the set
+    # size falls out of the array length (no extra `sizes` join).
+    # Round before ceil so float noise in t*sz can never shorten the
+    # prefix (boundary-exactness guard).
+    plen = (F.size("__gs")
+            - F.ceil(F.round(threshold * F.size("__gs"), 6)) + 1)
     prefix = (
         shingles.join(dfreq, "shingle")
-        .withColumn("__r", F.row_number().over(rank_w))
-        .join(sizes, id_col)
-        .filter(F.col("__r") <=
-                F.col("sz") - F.ceil(F.round(threshold * F.col("sz"), 6)) + 1)
-        .select(F.col(id_col), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("__df", "shingle")).alias("__gs"))
+        .select(F.col(id_col),
+                F.explode(F.slice(F.array_sort("__gs"), F.lit(1),
+                                  plen.cast("int"))).alias("__s"))
+        .select(F.col(id_col), F.col("__s.shingle").alias("shingle"))
     )
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), "shingle")
