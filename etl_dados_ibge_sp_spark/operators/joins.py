@@ -258,8 +258,6 @@ def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
     rows.  Returns left ++ right columns plus ``distance``; left and
     right must not share column names.
     """
-    from pyspark.sql import Window
-
     from ..sources.parquet_source import ensure_parallelism
 
     kq = max_dist * q
