@@ -626,6 +626,59 @@ def q_stream_curate_pipeline(spark, sf_dir):
     return spark.table(qname)
 
 
+_RESAMPLE_STEP = 21_600_000_000  # 6 h in microseconds
+
+
+@register("events_resample_locf", sql=f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           value, event_id
+    FROM events
+), evu AS (
+    SELECT user_id, us, arg_max(value, event_id) AS value
+    FROM ev GROUP BY user_id, us
+), spans AS (
+    SELECT user_id,
+           (min(us) + {_RESAMPLE_STEP} - 1) // {_RESAMPLE_STEP} AS g0,
+           max(us) // {_RESAMPLE_STEP} AS g1
+    FROM ev GROUP BY user_id
+), grid AS (
+    SELECT user_id,
+           unnest(generate_series(g0, g1)) * {_RESAMPLE_STEP} AS grid_us
+    FROM spans WHERE g1 >= g0
+)
+SELECT g.user_id, g.grid_us, e.us AS matched_ts, e.value
+FROM grid g
+ASOF JOIN evu e ON g.user_id = e.user_id AND g.grid_us >= e.us
+""")
+def q_events_resample_locf(spark, sf_dir):
+    """Time-series resampling to a regular 6-hour grid with
+    last-observation-carried-forward fill — the gap-filling operator
+    behind dashboards and feature snapshots, composed from the
+    engine's own as-of join: per-key span aggregate -> in-row grid
+    explode (integer step arithmetic, aligned to step multiples) ->
+    non-strict asof against the (key, ts)-deduplicated feed.  One
+    shuffle for the span, one for the asof — grid points never touch
+    the raw feed except through the asof window.  DuckDB's native
+    ASOF JOIN is the oracle."""
+    from .operators.joins import asof_join
+    step = _RESAMPLE_STEP
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("user_id", F.unix_micros("ts").alias("us"),
+                  "value", "event_id")
+    evu = ev.groupBy("user_id", "us").agg(
+        F.max_by("value", "event_id").alias("value"))
+    spans = ev.groupBy("user_id").agg(
+        F.expr(f"(min(us) + {step} - 1) div {step}").alias("g0"),
+        F.expr(f"max(us) div {step}").alias("g1"))
+    grid = (spans.filter(F.col("g1") >= F.col("g0"))
+            .select("user_id",
+                    F.explode(F.sequence("g0", "g1")).alias("__g"))
+            .select("user_id", (F.col("__g") * step).alias("grid_us")))
+    return asof_join(grid, evu, ["user_id"], left_ts="grid_us",
+                     right_ts="us", right_vals=["value"], strict=False)
+
+
 _PR_NODES = "SELECT n_nationkey AS node FROM nation"
 _PR_EDGES = """
 SELECT c.c_nationkey AS u, s.s_nationkey AS v,
