@@ -80,6 +80,7 @@ HEADLINE = [
     "customer_distribution",
     "merge_upsert",
     "multimodal_ppm_roundtrip",
+    "events_resample_locf",
 ]
 
 
