@@ -1,0 +1,39 @@
+"""Partitioning-invariance law: every new round-3 operator must return
+the IDENTICAL result at any parallelism — the property that makes the
+DuckDB oracle meaningful and the 100-TB deployment reproducible."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_dados_ibge_sp_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+CHECKED = [
+    "corpus_mix",
+    "unigram_logprob",
+    "docs_shuffle_shard",
+    "pretrain_sequences",
+    "nation_pagerank",
+    "merge_upsert",
+    "events_resample_locf",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_result_invariant_under_parallelism(name, spark, sf_dir):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _canon(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = _canon(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name} result depends on partitioning"
