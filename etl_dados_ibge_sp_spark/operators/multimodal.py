@@ -198,11 +198,11 @@ def encode_ppm(df: DataFrame, id_col: str = "doc_id",
                 .astype(_np.uint8).tobytes()
                 for i in pdf[id_col]
             ]
-            yield _pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
-                                 "payload": payloads})
+            yield _pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                 out_col: payloads})
 
     return df.select(id_col).mapInPandas(
-        enc, schema="doc_id bigint, payload binary")
+        enc, schema=f"{id_col} bigint, {out_col} binary")
 
 
 def decode_ppm(df: DataFrame, id_col: str = "doc_id",

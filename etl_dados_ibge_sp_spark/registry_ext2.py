@@ -619,7 +619,10 @@ def q_stream_curate_pipeline(spark, sf_dir):
     query = (out.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(availableNow=True).start())
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()

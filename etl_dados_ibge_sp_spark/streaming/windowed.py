@@ -68,7 +68,10 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()
@@ -100,7 +103,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()
@@ -155,7 +161,10 @@ def stream_stream_interval_join(spark: SparkSession,
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()
@@ -209,7 +218,10 @@ def streaming_incremental_load(spark: SparkSession, source_dir: str,
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()
@@ -290,7 +302,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str,
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()
@@ -319,7 +334,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
     finally:
         if query.isActive:
             query.stop()
