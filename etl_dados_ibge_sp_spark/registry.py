@@ -889,11 +889,23 @@ def _verified_last_round() -> set[str]:
         data = json.loads(rounds[-1].read_text())
     except (OSError, ValueError):
         return set()
-    return {
-        name for name, row in data.items()
-        if isinstance(row, dict) and row.get("rows_match")
-        and row.get("err") is None
-    }
+    verified = set()
+    for name, row in data.items():
+        if not isinstance(row, dict):
+            continue
+        if row.get("rows_match") and row.get("err") is None:
+            verified.add(name)
+        elif (row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None):
+            # The rows-only check already ran; that is as verified as a
+            # no-oracle query can get, so don't let it hold a front-of-
+            # rotation slot — UNLESS the query has since gained an
+            # oracle, in which case the old row is stale and it must
+            # re-verify under the full three-way compare.  (Callers run
+            # after the ext modules register, so REGISTRY is complete.)
+            if name in REGISTRY and REGISTRY[name].sql is None:
+                verified.add(name)
+    return verified
 
 
 def _ordered_names() -> list[str]:

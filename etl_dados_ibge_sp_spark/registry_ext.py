@@ -607,20 +607,65 @@ def q_embed_ann_multiprobe(spark, sf_dir):
     return S.ann_multiprobe_topk(emb, query, k=10, n_bits=4)
 
 
-@register("embed_ann_ivf", sql=None)
+def planted_clusters(emb, n_clusters: int = 8, eps: float = 0.1):
+    """Well-separated planted-clusters fixture: shrink each embedding
+    to an ``eps``-ball and shift it onto the one-hot axis of its
+    cluster (``vec_id % n_clusters``).  Same-cluster cosine ≈ 1,
+    cross-cluster ≈ 0, so exact top-k provably stays inside the
+    query's cluster — which makes the exact-cosine SQL a valid oracle
+    for the IVF path (kmeans seeds = vec_ids 1..8 cover all 8
+    clusters, so Lloyd converges onto the planted centers)."""
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(S.dot(e, e))
+    c = (F.col("vec_id") % n_clusters).cast("bigint")
+    v = F.transform(e, lambda x, i: x / nrm * F.lit(eps)
+                    + F.when(i.cast("bigint") == c, F.lit(1.0))
+                       .otherwise(F.lit(0.0)))
+    return emb.select("vec_id", v.alias("embedding"))
+
+
+_PLANT_SQL = """
+    SELECT vec_id,
+           list_transform(e, (x, i) ->
+               x / sqrt(list_dot_product(e, e)) * CAST(0.1 AS DOUBLE)
+               + CASE WHEN i - 1 = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END) AS v
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings)
+"""
+
+
+@register("embed_ann_ivf", sql=f"""
+WITH pl AS ({_PLANT_SQL}
+), q AS (
+    SELECT v AS qe FROM pl WHERE vec_id = 0
+)
+SELECT p.vec_id,
+       round(list_dot_product(p.v, q.qe) /
+             (sqrt(list_dot_product(p.v, p.v)) *
+              sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+FROM pl p, q
+WHERE p.vec_id != 0
+ORDER BY cos_sim DESC, p.vec_id
+LIMIT 10
+""")
 def q_embed_ann_ivf(spark, sf_dir):
     """IVF ANN with a LEARNED coarse quantizer (spherical k-means fit
     in pure DataFrame iterations): probe the 2 nearest of 8 inverted
-    lists.  Deterministic (decimal-summed centroid updates, fixed
-    seeds/iterations) but k-means is iterative — not SQL-expressible,
-    so rows-only driver check; the recall-vs-exact law is pinned in
-    tests/test_ranking_history.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    lists.  Run over the planted-clusters fixture (see
+    ``planted_clusters``) the IVF result EQUALS exact top-k — all true
+    neighbors share the query's inverted list — so the oracle is the
+    exact-cosine SQL over the same derived vectors: a full hash-match
+    driver check for the ANN path, not just a recall bound.  The
+    recall-vs-exact law on the raw (unplanted) embeddings stays pinned
+    in tests/test_ranking_history.py."""
+    emb = planted_clusters(_t(spark, sf_dir, "embeddings"))
     corpus = emb.filter(F.col("vec_id") != 0)
     cents = S.kmeans_fit(corpus, k=8, n_iter=3)
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec"))
-    return S.ann_ivf_topk(corpus, query, k=10, centroids=cents, nprobe=2)
+    return S.ann_ivf_topk(corpus, query, k=10, centroids=cents,
+                          nprobe=2).select("vec_id", "cos_sim")
 
 
 @register("dedup_embed_neardup", sql="""
@@ -984,14 +1029,42 @@ def q_stream_interval_join(spark, sf_dir):
     return stream_stream_interval_join(spark, sf_dir)
 
 
-@register("stream_sessionize", sql=None)
+@register("stream_sessionize", sql="""
+WITH x AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+), flags AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), runs AS (
+    SELECT user_id, us,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flags
+), sess AS (
+    SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, n_events
+FROM sess
+WHERE end_us + 1800000000 < (SELECT max(end_us) FROM sess)
+""")
 def q_stream_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user 30-min-gap sessionization with event-time timeouts.
-    Rows-only check here (stateful streaming is not SQL-expressible);
-    the exact parity law vs batch sessionization — emitted == sessions
-    closed by the final watermark — is pinned in
-    tests/test_nested_and_streaming.py."""
+
+    The oracle is exact, not approximate: the operator's emit rule is
+    deterministic — a session is emitted iff it is CLOSED by the final
+    watermark (= the global max event time).  Sessions closed in-batch
+    always satisfy ``end + gap < max(us)`` (their same-user successor
+    event proves it); sessions closed by event-time timeout satisfy it
+    by watermark semantics; the still-open tail sessions are withheld,
+    which the oracle's WHERE reproduces.  The same law is pinned
+    batch-vs-stream in tests/test_nested_and_streaming.py."""
     from .streaming.windowed import stream_sessionize
     return stream_sessionize(spark, sf_dir)
 
