@@ -238,7 +238,8 @@ def banded_keys(signatures: DataFrame, id_col: str,
 def incremental_lsh_candidates(new_sigs: DataFrame,
                                warehouse_sigs: DataFrame,
                                id_col: str,
-                               rows_per_band: int = 2) -> DataFrame:
+                               rows_per_band: int = 2,
+                               max_bucket: int | None = None) -> DataFrame:
     """Incremental dedup's pair discovery: candidates between a NEW
     batch and the existing signature warehouse — the production
     arrival path, where the corpus is never re-shingled and never
@@ -254,10 +255,23 @@ def incremental_lsh_candidates(new_sigs: DataFrame,
     Returns distinct (new_id, old_id) candidate pairs; verify with an
     exact Jaccard recheck as usual.
     """
+    from pyspark.sql import Window
+
     nb = banded_keys(new_sigs, id_col, rows_per_band) \
         .withColumnRenamed(id_col, "new_id")
     wb = banded_keys(warehouse_sigs, id_col, rows_per_band) \
         .withColumnRenamed(id_col, "old_id")
+    if max_bucket is not None:
+        # Same hot-band guard as lsh_candidate_pairs, applied to the
+        # warehouse side: a stopband-like band_key shared by many
+        # warehouse signatures would otherwise re-introduce the
+        # quadratic fanout on exactly the arrival path this function
+        # exists to keep O(new x bucket).  The window count rides the
+        # join key's own partitioning — no extra shuffle.
+        w = Window.partitionBy("band", "band_key")
+        wb = (wb.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bucket_n") <= max_bucket)
+                .drop("__bucket_n"))
     return (
         nb.join(wb, ["band", "band_key"])
         .select("new_id", "old_id")

@@ -83,8 +83,12 @@ def source_mix(docs: DataFrame, id_col: str, text_col: str,
         ).alias("rate"))
     return (
         d.join(F.broadcast(rates), source_col)
+        # floor, not cast: CAST-to-int truncates in Spark but rounds in
+        # DuckDB, so a boundary bucket (frac(rate*N) >= 0.5) would admit
+        # one extra bucket on the oracle side.  Explicit floor on both
+        # sides makes the threshold engine-independent.
         .filter(hash_bucket([id_col], salt)
-                < (F.col("rate") * N_BUCKETS).cast("bigint"))
+                < F.floor(F.col("rate") * N_BUCKETS).cast("bigint"))
         .select(id_col, source_col, "n_tok")
     )
 
@@ -114,7 +118,7 @@ WITH d AS (
 SELECT d.{id_col}, d.{source_col}, d.n_tok
 FROM d JOIN rates USING ({source_col})
 WHERE {hash_bucket_sql([id_col], salt)}
-      < CAST(rate * {N_BUCKETS} AS BIGINT)
+      < CAST(floor(rate * {N_BUCKETS}) AS BIGINT)
 """
 
 

@@ -227,7 +227,8 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id",
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
                 m = hdr.match(b)
-                assert m, "not a P6 PPM"
+                if not m:  # explicit: assert strips under -O
+                    raise ValueError("not a P6 PPM")
                 w, h = int(m.group(1)), int(m.group(2))
                 px = _np.frombuffer(b, dtype=_np.uint8, offset=m.end(),
                                     count=w * h * 3).reshape(h, w, 3)
@@ -260,7 +261,8 @@ def resize_ppm(df: DataFrame, factor: int = 2, id_col: str = "doc_id",
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
                 m = hdr.match(b)
-                assert m, "not a P6 PPM"
+                if not m:  # explicit: assert strips under -O
+                    raise ValueError("not a P6 PPM")
                 w, h = int(m.group(1)), int(m.group(2))
                 px = _np.frombuffer(b, dtype=_np.uint8, offset=m.end(),
                                     count=w * h * 3).reshape(h, w, 3)

@@ -471,7 +471,10 @@ def q_value_trend_regression(spark, sf_dir):
     doubles and the magnitudes keep the noise far below the
     rounding."""
     e = _t(spark, sf_dir, "events")
-    d = F.expr("unix_micros(ts) div 86400000000").cast("double")
+    # floor-div, not `div`: Spark's div truncates toward zero while the
+    # oracle's // floors, and the two disagree for pre-1970 timestamps.
+    d = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)) \
+        .cast("double")
     x = e.select("event_type", "value", d.alias("d"))
     return x.groupBy("event_type").agg(
         F.round(F.regr_slope("value", "d"), 6).alias("slope"),

@@ -39,3 +39,34 @@ def test_incremental_candidates_find_planted_dups(spark, sf_dir):
     # Novel docs share no shingles with the corpus; their signatures
     # should not collide in any band.
     assert not any(new >= 200000 for new, _ in pairs)
+
+
+def test_incremental_candidates_max_bucket_caps_hot_bands(spark):
+    """A warehouse band bucket larger than max_bucket is dropped before
+    the join (no quadratic fanout on the arrival path); normal-size
+    buckets are unaffected."""
+    # 30 identical warehouse docs -> one hot band bucket of size 30;
+    # one distinct doc in its own (size-1) buckets.
+    rows = [(i, "the same stopband text repeated " * 5) for i in range(30)]
+    rows.append((999, "completely different singular content here"))
+    wh_docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    warehouse = minhash_signature(
+        word_shingles(wh_docs, "doc_id", "text", n=3), "doc_id")
+
+    batch = spark.createDataFrame(
+        [(100000, "the same stopband text repeated " * 5),
+         (100001, "completely different singular content here")],
+        "doc_id bigint, text string")
+    new_sigs = minhash_signature(
+        word_shingles(batch, "doc_id", "text", n=3), "doc_id")
+
+    uncapped = incremental_lsh_candidates(new_sigs, warehouse, "doc_id")
+    assert uncapped.filter(F.col("new_id") == 100000).count() == 30
+
+    capped = incremental_lsh_candidates(new_sigs, warehouse, "doc_id",
+                                        max_bucket=10)
+    got = {(r.new_id, r.old_id) for r in capped.collect()}
+    # Hot bucket suppressed...
+    assert not any(new == 100000 for new, _ in got)
+    # ...but the singleton bucket still matches.
+    assert (100001, 999) in got
