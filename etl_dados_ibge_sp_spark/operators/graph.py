@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
              src: str = "u", dst: str = "v", weight: str = "w",
-             iters: int = 5, damping: float = 0.85) -> DataFrame:
+             iters: int = 5, damping: float = 0.85,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """Weighted PageRank, ``iters`` fixed power iterations.
 
     ``nodes``: one column of node ids.  ``edges``: (src, dst, weight)
@@ -32,6 +33,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
     weight / out-weight(src).  Nodes without out-edges contribute
     nothing (their rank mass leaks — the simplified formulation; both
     this and the SQL oracle implement it identically).
+
+    ``checkpoint_dir``: when set, the reused transition matrix takes a
+    *reliable* checkpoint written to that directory (HDFS/S3 on a
+    cluster) — same contract as ``dedup.connected_components``.  The
+    default ``localCheckpoint`` stores executor-local blocks, which a
+    lost executor silently invalidates mid-iteration; long-running
+    cluster jobs should pass a dir.
 
     Returns (node_col, pagerank) with rank rounded to 9 decimals.
     """
@@ -44,7 +52,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
         (F.col(weight) / F.col("__ow")).alias("__p"))
     # The transition matrix is reused every round; cut its lineage so
     # round k's plan doesn't re-derive the edge pipeline k times.
-    trans = trans.localCheckpoint(eager=False)
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        trans = trans.checkpoint(eager=False)
+    else:
+        trans = trans.localCheckpoint(eager=False)
 
     ranks = nodes.select(F.col(node_col).alias("__n"),
                          F.lit(1.0 / n).alias("__r"))

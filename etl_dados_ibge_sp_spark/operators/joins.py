@@ -222,7 +222,8 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
 def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
                       left_col: str, right_col: str,
-                      max_dist: int = 2, q: int = 3) -> DataFrame:
+                      max_dist: int = 2, q: int = 3,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Edit-distance-<=k join by **q-gram prefix blocking** (the
     Ed-Join family) — the general-k fix for length-cell blocking's
     same-length worst case (``fuzzy_join``) that deletion-neighborhood
@@ -257,22 +258,36 @@ def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
     ids dedup on (row-id, row-id); one hash join per side rehydrates
     rows.  Returns left ++ right columns plus ``distance``; left and
     right must not share column names.
+
+    ``checkpoint_dir``: when set, the id-pinning checkpoints are
+    *reliable* (written to that directory; HDFS/S3 on a cluster) —
+    same contract as ``dedup.connected_components``.  The default
+    ``localCheckpoint`` is executor-local: a lost executor invalidates
+    the pinned row-id assignment, which here would silently drop
+    candidates, so cluster jobs should pass a dir.
     """
     from ..sources.parquet_source import ensure_parallelism
 
     kq = max_dist * q
     short_len = q * (max_dist + 1)
 
+    if checkpoint_dir is not None:
+        left.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+    else:
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
     # Gram explosion multiplies rows ~|string| times — fan a narrow
     # (possibly single-row-group) scan out to cluster width first, and
     # pin the row ids so every reuse of the tagged frames sees the
     # same assignment.
-    lt = ensure_parallelism(left, left.sparkSession) \
-        .withColumn("__lid", F.monotonically_increasing_id()) \
-        .localCheckpoint(eager=False)
-    rt = ensure_parallelism(right, right.sparkSession) \
-        .withColumn("__rid", F.monotonically_increasing_id()) \
-        .localCheckpoint(eager=False)
+    lt = _pin(ensure_parallelism(left, left.sparkSession)
+              .withColumn("__lid", F.monotonically_increasing_id()))
+    rt = _pin(ensure_parallelism(right, right.sparkSession)
+              .withColumn("__rid", F.monotonically_increasing_id()))
 
     def grams(df: DataFrame, col: str, idc: str) -> DataFrame:
         c = F.col(col)

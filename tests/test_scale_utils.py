@@ -458,3 +458,50 @@ def test_approx_percentiles_match_exact_within_rank_error(spark, sf_dir):
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "partial_percentile_approx" in plan.lower() \
         or "objhashaggregate" in plan.lower()
+
+
+def test_pagerank_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir puts the reused transition matrix on a reliable
+    checkpoint (cluster-safe) with a bit-identical rank vector."""
+    import os
+
+    from etl_dados_ibge_sp_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["node"])
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0), (2, 3, 1.0),
+         (3, 4, 0.5), (4, 5, 1.5), (5, 3, 1.0)], ["u", "v", "w"])
+    base = {(r["node"], r["pagerank"])
+            for r in pagerank(nodes, edges).collect()}
+    ckdir = str(tmp_path / "ck_pr")
+    ck = {(r["node"], r["pagerank"])
+          for r in pagerank(nodes, edges,
+                            checkpoint_dir=ckdir).collect()}
+    assert ck == base
+    assert any(files for _, _, files in os.walk(ckdir))
+
+
+def test_fuzzy_join_qgrams_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir pins the q-gram row ids on reliable checkpoints
+    with identical join output."""
+    import os
+
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_qgrams
+
+    left = spark.createDataFrame(
+        [("alexandria",), ("brasilia",), ("ourinhos",), ("sp",)],
+        ["lname"])
+    right = spark.createDataFrame(
+        [("alexandira",), ("brasylia",), ("ourinhoss",), ("sq",)],
+        ["rname"])
+    base = {(r["lname"], r["rname"], r["distance"])
+            for r in fuzzy_join_qgrams(left, right, "lname", "rname",
+                                       max_dist=2).collect()}
+    assert base  # sanity: the fixture must produce matches
+    ckdir = str(tmp_path / "ck_qg")
+    ck = {(r["lname"], r["rname"], r["distance"])
+          for r in fuzzy_join_qgrams(left, right, "lname", "rname",
+                                     max_dist=2,
+                                     checkpoint_dir=ckdir).collect()}
+    assert ck == base
+    assert any(files for _, _, files in os.walk(ckdir))
