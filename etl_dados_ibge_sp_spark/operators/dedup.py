@@ -360,13 +360,19 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=False)
     else:
         def ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=False)
 
-    # Materialize the edge set once: its lineage (the whole pair-
-    # discovery pipeline) would otherwise re-execute on every round.
+    # NON-eager checkpoints throughout: each round's convergence
+    # aggregate doubles as the materializing action, so a round costs
+    # ONE Spark job, not two (checkpoint job + sum job).  Driver-side
+    # job latency is the dominant cost of iteration at interactive
+    # scale and rounds are halved again by the 2-hop batching below.
+    # Cut the edge set's lineage once: the whole pair-discovery
+    # pipeline would otherwise re-execute on every round (it
+    # materializes during round 1's job and is read as blocks after).
     edges = ckpt(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"),

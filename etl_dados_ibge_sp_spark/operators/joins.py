@@ -222,8 +222,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
 def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
                       left_col: str, right_col: str,
-                      max_dist: int = 2, q: int = 3,
-                      checkpoint_dir: str | None = None) -> DataFrame:
+                      max_dist: int = 2, q: int = 3) -> DataFrame:
     """Edit-distance-<=k join by **q-gram prefix blocking** (the
     Ed-Join family) — the general-k fix for length-cell blocking's
     same-length worst case (``fuzzy_join``) that deletion-neighborhood
@@ -254,105 +253,100 @@ def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
     — measured here, q=2 on 15k hex-ish strings left only 276 gram
     values and a 30M-pair candidate set vs ~260k at q=4.
 
-    Shuffle budget: grams/prefixes are keys-only exchanges; candidate
-    ids dedup on (row-id, row-id); one hash join per side rehydrates
-    rows.  Returns left ++ right columns plus ``distance``; left and
-    right must not share column names.
-
-    ``checkpoint_dir``: when set, the id-pinning checkpoints are
-    *reliable* (written to that directory; HDFS/S3 on a cluster) —
-    same contract as ``dedup.connected_components``.  The default
-    ``localCheckpoint`` is executor-local: a lost executor invalidates
-    the pinned row-id assignment, which here would silently drop
-    candidates, so cluster jobs should pass a dir.
+    Shuffle budget: blocking runs over the DISTINCT (side, string)
+    union — grams, prefixes, and candidates are all keyed by string
+    VALUES, never row ids, so both sides share one gram pipeline and
+    one document-frequency aggregate, and nothing nondeterministic
+    needs pinning (no row-id checkpoint: a recomputed partition
+    reproduces the same candidates by construction — fault-tolerant at
+    cluster scale for free).  Candidate string pairs dedup once; one
+    equi-join per side rehydrates the full rows, so genuinely
+    duplicate input rows keep their multiplicity, matching the naive
+    cross-join semantics.  Returns left ++ right columns plus
+    ``distance``; left and right must not share column names.
     """
-    from ..sources.parquet_source import ensure_parallelism
-
     kq = max_dist * q
     short_len = q * (max_dist + 1)
 
-    if checkpoint_dir is not None:
-        left.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    from pyspark.storagelevel import StorageLevel
 
-        def _pin(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=False)
-    else:
-        def _pin(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+    s = F.col("__s")
+    # persist, not checkpoint: every frame here is a deterministic
+    # function of the inputs (string values, no generated ids), so a
+    # lost cached partition just recomputes — the cache only stops the
+    # five consumers of the union (gram pipeline x2, short fallback
+    # x2, rehydration) from re-running the distinct per branch.
+    u = (left.select(F.col(left_col).alias("__s"))
+         .withColumn("__side", F.lit(0))
+         .unionAll(right.select(F.col(right_col).alias("__s"))
+                   .withColumn("__side", F.lit(1)))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
 
-    # Gram explosion multiplies rows ~|string| times — fan a narrow
-    # (possibly single-row-group) scan out to cluster width first, and
-    # pin the row ids so every reuse of the tagged frames sees the
-    # same assignment.
-    lt = _pin(ensure_parallelism(left, left.sparkSession)
-              .withColumn("__lid", F.monotonically_increasing_id()))
-    rt = _pin(ensure_parallelism(right, right.sparkSession)
-              .withColumn("__rid", F.monotonically_increasing_id()))
+    gram_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(s) - q + 1),
+        lambda i: F.substring(s, i, F.lit(q))))
+    g = (u.filter(F.length(s) >= short_len)
+         .select("__side", "__s", F.length(s).alias("__len"),
+                 F.explode(gram_arr).alias("__g")))
+    dfreq = g.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
 
-    def grams(df: DataFrame, col: str, idc: str) -> DataFrame:
-        c = F.col(col)
-        g = F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length(c) - q + 1),
-            lambda i: F.substring(c, i, F.lit(q))))
-        return (df.filter(F.length(c) >= short_len)
-                .select(idc, F.length(c).alias("__len"),
-                        F.explode(g).alias("__g")))
+    # Per-string rarest-(kq+1) grams via an IN-ROW array sort instead
+    # of a row_number window: the gram table regroups on the string
+    # either way (one shuffle), but sorting happens inside each
+    # <=|string| element array, not across whole partitions — and the
+    # (df, gram) struct order gives a deterministic global tie-break
+    # shared by both sides (it is literally the same computation).
+    pref = (g.join(dfreq, "__g")
+            .groupBy("__side", "__s", "__len")
+            .agg(F.collect_list(F.struct("__df", "__g")).alias("__gs"))
+            .select("__side", "__s", "__len",
+                    F.explode(F.slice(F.array_sort("__gs"), 1, kq + 1))
+                    .alias("__t"))
+            .select("__side", "__s", "__len",
+                    F.col("__t.__g").alias("__g"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
-    lg = grams(lt, left_col, "__lid")
-    rg = grams(rt, right_col, "__rid")
-    dfreq = (lg.select("__g").unionAll(rg.select("__g"))
-             .groupBy("__g").agg(F.count(F.lit(1)).alias("__df")))
-
-    def prefix(g: DataFrame, idc: str) -> DataFrame:
-        # Per-string rarest-(kq+1) grams via an IN-ROW array sort
-        # instead of a row_number window: the gram table regroups on
-        # the id either way (one shuffle), but sorting happens inside
-        # each <=|string| element array, not across whole partitions —
-        # and the (df, gram) struct order gives the same global
-        # tie-break the window's ORDER BY did.
-        return (g.join(dfreq, "__g")
-                .groupBy(idc, "__len")
-                .agg(F.collect_list(F.struct("__df", "__g")).alias("__gs"))
-                .select(idc, "__len",
-                        F.explode(F.slice(F.array_sort("__gs"), 1, kq + 1))
-                        .alias("__s"))
-                .select(idc, "__len", F.col("__s.__g").alias("__g")))
-
-    lp = prefix(lg, "__lid").withColumnRenamed("__len", "__ll")
-    rp = prefix(rg, "__rid").withColumnRenamed("__len", "__rl")
+    lp = pref.filter(F.col("__side") == 0).select(
+        F.col("__s").alias("__ls"), F.col("__len").alias("__ll"), "__g")
+    rp = pref.filter(F.col("__side") == 1).select(
+        F.col("__s").alias("__rs"), F.col("__len").alias("__rl"), "__g")
     cand_pref = (
         lp.join(rp, "__g")
         .filter(F.abs(F.col("__ll") - F.col("__rl")) <= max_dist)
-        .select("__lid", "__rid")
+        .select("__ls", "__rs")
     )
 
-    # Short-string fallback: length-blocked candidates for rows the
+    # Short-string fallback: length-blocked candidates for strings the
     # count filter can't cover (either side shorter than q*(k+1)).
-    ls = lt.filter(F.length(left_col) < short_len)
-    rs = rt.filter(F.length(right_col) < short_len)
-    r_compat = rt.filter(F.length(right_col) < short_len + max_dist)
-    l_long = lt.filter((F.length(left_col) >= short_len) &
-                       (F.length(left_col) < short_len + max_dist))
+    lu = u.filter(F.col("__side") == 0).select(
+        F.col("__s").alias("__ls"), F.length("__s").alias("__llen"))
+    ru = u.filter(F.col("__side") == 1).select(
+        F.col("__s").alias("__rs"), F.length("__s").alias("__rlen"))
+    ls_short = lu.filter(F.col("__llen") < short_len)
+    rs_short = ru.filter(F.col("__rlen") < short_len)
+    r_compat = ru.filter(F.col("__rlen") < short_len + max_dist)
+    l_long = lu.filter((F.col("__llen") >= short_len) &
+                       (F.col("__llen") < short_len + max_dist))
     neighborhood = F.explode(F.sequence(
-        F.greatest(F.length(right_col) - max_dist, F.lit(0)),
-        F.length(right_col) + max_dist)).alias("__ll")
+        F.greatest(F.col("__rlen") - max_dist, F.lit(0)),
+        F.col("__rlen") + max_dist)).alias("__llen")
     cand_short = (
-        ls.select("__lid", F.length(left_col).alias("__ll"))
-        .join(r_compat.select("__rid", neighborhood), "__ll")
-        .select("__lid", "__rid")
+        ls_short.join(r_compat.select("__rs", neighborhood), "__llen")
+        .select("__ls", "__rs")
         .unionAll(
-            l_long.select("__lid", F.length(left_col).alias("__ll"))
-            .join(rs.select("__rid", neighborhood), "__ll")
-            .select("__lid", "__rid"))
+            l_long.join(rs_short.select("__rs", neighborhood), "__llen")
+            .select("__ls", "__rs"))
     )
 
     cand = cand_pref.unionAll(cand_short).distinct()
     return (
-        cand.join(lt, "__lid").join(rt, "__rid")
+        left.join(cand, left[left_col] == cand["__ls"])
+        .join(right, cand["__rs"] == right[right_col])
         .withColumn("distance",
                     F.levenshtein(left_col, right_col).cast("bigint"))
         .filter(F.col("distance") <= max_dist)
-        .drop("__lid", "__rid")
+        .drop("__ls", "__rs")
     )
 
 

@@ -467,7 +467,13 @@ def q_corpus_curate(spark, sf_dir):
     )
     exact_keep = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id")) \
         .select("doc_id")
-    surv = base.join(exact_keep, "doc_id", "left_semi")
+    # The survivor frame feeds four consumers (two pair-restriction
+    # semi-joins, the CC node set, and the final output join): persist
+    # it so the quality + fingerprint + exact-dedup pipeline runs once,
+    # not once per CC driver action.
+    from pyspark.storagelevel import StorageLevel
+    surv = base.join(exact_keep, "doc_id", "left_semi") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # Jaccard is pair-local: survivor pairs == the (shared, memoized)
     # full-corpus pair set restricted to survivor endpoints.
     surv_ids = surv.select("doc_id")

@@ -480,28 +480,3 @@ def test_pagerank_reliable_checkpoint(spark, tmp_path):
     assert ck == base
     assert any(files for _, _, files in os.walk(ckdir))
 
-
-def test_fuzzy_join_qgrams_reliable_checkpoint(spark, tmp_path):
-    """checkpoint_dir pins the q-gram row ids on reliable checkpoints
-    with identical join output."""
-    import os
-
-    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_qgrams
-
-    left = spark.createDataFrame(
-        [("alexandria",), ("brasilia",), ("ourinhos",), ("sp",)],
-        ["lname"])
-    right = spark.createDataFrame(
-        [("alexandira",), ("brasylia",), ("ourinhoss",), ("sq",)],
-        ["rname"])
-    base = {(r["lname"], r["rname"], r["distance"])
-            for r in fuzzy_join_qgrams(left, right, "lname", "rname",
-                                       max_dist=2).collect()}
-    assert base  # sanity: the fixture must produce matches
-    ckdir = str(tmp_path / "ck_qg")
-    ck = {(r["lname"], r["rname"], r["distance"])
-          for r in fuzzy_join_qgrams(left, right, "lname", "rname",
-                                     max_dist=2,
-                                     checkpoint_dir=ckdir).collect()}
-    assert ck == base
-    assert any(files for _, _, files in os.walk(ckdir))
