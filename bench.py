@@ -122,6 +122,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query gate against the pinned baseline (BENCH_baseline.json,
+    # a snapshot of the last judged round's timings): a >1.5x
+    # per-query slowdown is flagged as a regression, so machine-load
+    # noise on the suite total is distinguishable from a real
+    # per-query regression by construction.  Queries new since the
+    # snapshot have no delta.  `--strict` turns flags into a nonzero
+    # exit (CI); the default stays exit-0 so the driver always gets
+    # its JSON line.
+    baseline_path = os.path.join(HERE, "BENCH_baseline.json")
+    deltas: dict[str, float] = {}
+    regressions: list[str] = []
+    if os.path.exists(baseline_path) and sf_from_dir(sf_dir) == 0.1:
+        with open(baseline_path) as fh:
+            base = json.load(fh).get("queries", {})
+        for name, t in timings.items():
+            if name in base and base[name] > 0:
+                deltas[name] = round(t / base[name], 2)
+                if t > 1.5 * base[name]:
+                    regressions.append(name)
+
     print(json.dumps({
         "metric": "headline_suite_wall_sec",
         "value": total,
@@ -133,7 +154,15 @@ def main() -> None:
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 3),
         "sf": sf_from_dir(sf_dir),
+        "baseline_delta": deltas,
+        "regressions": regressions,
     }))
+    if regressions:
+        for name in regressions:
+            print(f"REGRESSION: {name} {timings[name]:.3f}s vs baseline "
+                  f"{deltas[name]:.2f}x", file=sys.stderr)
+        if "--strict" in sys.argv:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
