@@ -915,13 +915,20 @@ def _ordered_names() -> list[str]:
             + [n for n in names if n in verified])
 
 
+def _load_extensions() -> None:
+    # Import extension modules for their registration side effects,
+    # then admit any deferred queries the driver's 50-row verification
+    # budget has slack for (see registry_pending).
+    from . import registry_ext, registry_ext2, registry_pending  # noqa: F401
+    registry_pending.admit(REGISTRY, _verified_last_round(), register)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Import extension modules for their registration side effects.
-    from . import registry_ext, registry_ext2  # noqa: F401
+    _load_extensions()
     return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    from . import registry_ext, registry_ext2  # noqa: F401
+    _load_extensions()
     return {name: REGISTRY[name].sql for name in _ordered_names()
             if REGISTRY[name].sql is not None}
