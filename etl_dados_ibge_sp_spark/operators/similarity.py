@@ -157,6 +157,12 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 3,
 
     At 100 TB: each iteration is one corpus scan + a k·d-row shuffle;
     fit on a deterministic sample, assign the full corpus once.
+
+    Driver-barrier cost: each of the ``n_iter`` iterations collects
+    k·d aggregate rows to the driver (the centroid update is the model
+    state, like any trained model) — that is k·n_iter synchronous
+    driver round-trips, fine for IVF-scale k (10²–10⁴) but NOT for
+    k ~ 10⁵+; use a sampled fit or a tree-reduce trainer there.
     """
     from pyspark.sql.types import DecimalType
     acc = DecimalType(32, 12)
