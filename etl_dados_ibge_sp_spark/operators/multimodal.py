@@ -371,6 +371,56 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id",
         dec, schema=WAV_SCHEMA)
 
 
+def resample_wav(df: DataFrame, factor: int = 2,
+                 id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """REAL audio downsample: decode the RIFF/PCM payload (the same
+    chunk walk as :func:`decode_wav`), decimate by ``factor`` (every
+    factor-th sample — the nearest-neighbor convention of
+    :func:`resize_ppm`), and emit the resampled stats with the rate
+    divided accordingly.  Swapping decimation for a windowed-sinc
+    kernel generalizes the DSP without touching the Spark shape."""
+    def rsz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    (clen,) = _struct.unpack("<I", b[pos + 4:pos + 8])
+                    body = b[pos + 8:pos + 8 + clen]
+                    if cid == b"fmt ":
+                        fmt = _struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + clen + (clen & 1)
+                if fmt is None or data is None:
+                    raise ValueError("missing fmt or data chunk")
+                audio_fmt, n_ch, rate, _br, _bl, bits = fmt
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError("only 16-bit PCM supported")
+                amp = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+                amp = amp[::factor]
+                rows.append((int(i), len(amp) // n_ch, rate // factor,
+                             n_ch, int(amp.sum()),
+                             int((amp * amp).sum()),
+                             int(_np.abs(amp).max()) if len(amp) else 0))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_rate",
+                               "n_channels", "sum_amp", "sum_sq",
+                               "peak"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        rsz, schema=WAV_SCHEMA)
+
+
 def decode_real(df: DataFrame, **_kwargs) -> DataFrame:
     """General codec path — requires an image/audio library that is
     not installed in this environment.  For headerless raster formats

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .sources.parquet_source import load_table
 
@@ -126,6 +127,107 @@ def _q_correlated_exists_orders(spark: SparkSession,
                                          lineitem="__qex_lineitem"))
 
 
+def _q_multimodal_wav_resample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL audio downsample: encode → decimate-by-2 (every second
+    sample, rate halved) → exact integer stats of the 32-sample
+    result, matching the closed-form oracle over even sample indices —
+    the audio twin of multimodal_ppm_resize."""
+    from .operators.multimodal import encode_wav, resample_wav
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resample_wav(encode_wav(docs), factor=2)
+
+
+_WAV_RESAMPLE_SQL = """
+WITH t AS (
+    SELECT d.doc_id,
+           ((d.doc_id * 37 + s.t * 2 * 13) % 65536) - 32768 AS amp
+    FROM documents d, generate_series(0, 31) s(t)
+)
+SELECT doc_id, CAST(32 AS BIGINT) AS n_samples,
+       CAST(4000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(amp)) AS BIGINT) AS peak
+FROM t GROUP BY doc_id
+"""
+
+
+_Q11_SQL = """
+SELECT p.p_brand,
+       round(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(32,6)))
+                  AS DOUBLE), 2) AS brand_value,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM {part} p
+GROUP BY p.p_brand
+HAVING CAST(SUM(CAST(p.p_retailprice AS DECIMAL(32,6))) AS DOUBLE) >
+       CAST(0.04 AS DOUBLE) * (
+           SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(32,6)))
+                       AS DOUBLE)
+           FROM {part} p2)
+"""
+
+
+def _q_having_scalar_threshold(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: brands holding more than 4% of total retail
+    value — a HAVING clause against an uncorrelated scalar subquery.
+    The scalar computes once and broadcasts as a literal-like filter
+    on the aggregate, never per group; DECIMAL accumulation keeps the
+    4% boundary bit-identical across engines."""
+    load_table(spark, sf_dir, "part") \
+        .createOrReplaceTempView("__q11_part")
+    return spark.sql(_Q11_SQL.format(part="__q11_part"))
+
+
+def _q_event_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (day - row_number is constant within an island — the classic
+    formulation).  One shuffle on user_id serves both windows; islands
+    never materialize more than (user, day) rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000.0)) \
+        .cast("bigint")
+    d = e.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = (g.groupBy("user_id", "grp")
+         .agg(F.count(F.lit(1)).alias("streak_days"),
+              F.min("day").alias("start_day")))
+    pick = Window.partitionBy("user_id") \
+        .orderBy(F.desc("streak_days"), F.asc("start_day"))
+    return (s.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("streak_days").cast("bigint")
+                    .alias("streak_days"), "start_day"))
+
+
+_STREAKS_SQL = """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+                AS BIGINT) AS day
+    FROM events
+), g AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+    FROM d
+), s AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+           MIN(day) AS start_day
+    FROM g GROUP BY user_id, grp
+)
+SELECT user_id, streak_days, start_day
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY streak_days DESC, start_day) AS rn FROM s)
+WHERE rn = 1
+"""
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -136,6 +238,11 @@ PENDING: list[tuple[str, str,
     ("correlated_exists_orders",
      _QEXISTS_SQL.format(orders="orders", lineitem="lineitem"),
      _q_correlated_exists_orders),
+    ("multimodal_wav_resample", _WAV_RESAMPLE_SQL,
+     _q_multimodal_wav_resample),
+    ("having_scalar_threshold", _Q11_SQL.format(part="part"),
+     _q_having_scalar_threshold),
+    ("event_day_streaks", _STREAKS_SQL, _q_event_day_streaks),
 ]
 
 

@@ -94,10 +94,11 @@ def test_admission_budget_arithmetic():
     # now -> slack 0 -> nothing new, nothing duplicated.
     assert RP.admit(registry, verified, fake_register) == []
 
-    # Next "round": everything verified -> the last pending admits.
+    # Next "round": everything verified -> the remaining pending
+    # admit in list order.
     verified = set(registry)
     admitted = RP.admit(registry, verified, fake_register)
-    assert admitted == [RP.PENDING[2][0]]
+    assert admitted == [name for name, _, _ in RP.PENDING[2:]]
 
     # No slack at all -> no admission.
     registry2 = {f"q{i}": None for i in range(50)}
