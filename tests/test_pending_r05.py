@@ -103,3 +103,44 @@ def test_admission_budget_arithmetic():
     # No slack at all -> no admission.
     registry2 = {f"q{i}": None for i in range(50)}
     assert RP.admit(registry2, set(), fake_register) == []
+
+
+def test_wav_roundtrip_property(spark):
+    """Property law: for arbitrary int16 sample vectors, a hand-built
+    canonical WAV decodes to exactly numpy's stats (the codec is a
+    parser, not an approximation)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dados_ibge_sp_spark.operators.multimodal import (
+        decode_wav, resample_wav)
+
+    def wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+        data = samples.astype("<i2").tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                        rate * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    @given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                    min_size=1, max_size=64))
+    @settings(max_examples=12, deadline=None)
+    def law(vals):
+        a = np.array(vals, dtype=np.int64)
+        df = spark.createDataFrame([(1, bytearray(wav_bytes(a)))],
+                                   "doc_id bigint, payload binary")
+        r = decode_wav(df).collect()[0]
+        assert r["n_samples"] == len(a)
+        assert r["sum_amp"] == int(a.sum())
+        assert r["sum_sq"] == int((a * a).sum())
+        assert r["peak"] == int(np.abs(a).max())
+        r2 = resample_wav(df, factor=2).collect()[0]
+        b = a[::2]
+        assert r2["n_samples"] == len(b)
+        assert r2["sum_amp"] == int(b.sum())
+        assert r2["sample_rate"] == 4000
+
+    law()
