@@ -868,59 +868,118 @@ def q_stats_moments(spark, sf_dir):
 # Public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------------
 
-def _verified_last_round() -> set[str]:
-    """Query names with a fully green row in the newest CORRECTNESS_r*.json.
+def _green_history() -> tuple[dict[str, int], int]:
+    """(name -> newest round with a usable verification row, current round).
 
     The verification driver preserves our dict order and stops after a
-    fixed budget (round 1 recorded exactly the first 50 registered
-    queries), so any name past the budget never gets a correctness row.
-    We surface not-yet-verified queries first so the budget is always
-    spent on the queries that need a row most; verified ones rotate to
-    the back and re-verify as budget allows.
+    fixed budget (50 rows per round), so ordering decides which queries
+    spend the budget.  We scan EVERY ``CORRECTNESS_r*.json`` — not just
+    the newest — because with >50 registered queries a row verified two
+    rounds ago is still fresh under the rotation; treating it as
+    unverified (the pre-round-4 behavior) permanently locks the pending
+    queue's admission slack at zero once the registry crosses 100.
+
+    A ``no_oracle`` row with a recorded row count is as verified as a
+    no-oracle query can get, so it counts — UNLESS the query has since
+    gained an oracle, in which case the old row is stale and the query
+    must re-verify under the full three-way compare.  (Callers run
+    after the ext modules register, so REGISTRY is complete.)
     """
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    rounds = sorted(root.glob("CORRECTNESS_r*.json"))
-    if not rounds:
-        return set()
-    try:
-        data = json.loads(rounds[-1].read_text())
-    except (OSError, ValueError):
-        return set()
-    verified = set()
-    for name, row in data.items():
-        if not isinstance(row, dict):
+    last: dict[str, int] = {}
+    newest = 0
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
             continue
-        if row.get("rows_match") and row.get("err") is None:
-            verified.add(name)
-        elif (row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None):
-            # The rows-only check already ran; that is as verified as a
-            # no-oracle query can get, so don't let it hold a front-of-
-            # rotation slot — UNLESS the query has since gained an
-            # oracle, in which case the old row is stale and it must
-            # re-verify under the full three-way compare.  (Callers run
-            # after the ext modules register, so REGISTRY is complete.)
-            if name in REGISTRY and REGISTRY[name].sql is None:
-                verified.add(name)
-    return verified
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        newest = max(newest, rnd)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") and row.get("err") is None:
+                last[name] = rnd
+            elif (row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None):
+                if name in REGISTRY and REGISTRY[name].sql is None:
+                    last[name] = rnd
+    return last, newest + 1
+
+
+def _order(names: list[str], last_green: dict[str, int],
+           current_round: int) -> list[str]:
+    """Least-recently-verified-first rotation (pure; tested directly).
+
+    Four classes, front to back:
+      0. critically stale — last green row is ≥3 rounds old, i.e. the
+         documented 3-round staleness bound would break if the budget
+         missed it again (oldest round first);
+      1. never driver-verified — freshly admitted pending queries and
+         queries whose old no-oracle row was invalidated by gaining an
+         oracle.  These have no row ANYWHERE in the judge's coverage
+         union, so they outrank rows that are merely one rotation
+         period old — but never a row about to breach the bound;
+      2. ordinarily stale — green exactly 2 rounds ago, the normal
+         steady-state rotation position.  A class-1 query admitted
+         ahead of these pushes at most (N − 2·budget) of them to
+         3-round staleness for one round, after which class 0 catches
+         them — self-stabilizing as long as N ≤ 3·budget (pinned by
+         the drain simulation test);
+      3. fresh — green within the last round, re-verify as budget
+         allows.
+    Registration order breaks ties, so the ordering is deterministic.
+    """
+    idx = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        g = last_green.get(n)
+        if g is None:
+            return (1, 0, idx[n])
+        if g <= current_round - 3:
+            return (0, g, idx[n])
+        if g == current_round - 2:
+            return (2, g, idx[n])
+        return (3, g, idx[n])
+
+    return sorted(names, key=key)
 
 
 def _ordered_names() -> list[str]:
-    verified = _verified_last_round()
-    names = list(REGISTRY)
-    return ([n for n in names if n not in verified]
-            + [n for n in names if n in verified])
+    last_green, current_round = _green_history()
+    return _order(list(REGISTRY), last_green, current_round)
 
 
 def _load_extensions() -> None:
     # Import extension modules for their registration side effects,
-    # then admit any deferred queries the driver's 50-row verification
-    # budget has slack for (see registry_pending).
+    # then admit any deferred queries (see registry_pending).
     from . import registry_ext, registry_ext2, registry_pending  # noqa: F401
-    registry_pending.admit(REGISTRY, _verified_last_round(), register)
+    last_green, current_round = _green_history()
+    if current_round <= 4:
+        # The round-3 verdict pinned round 4's 50-row budget to exactly
+        # the 48 pre-r03-stale rows + the 2 newly-oracled queries
+        # ("Builder must respect that budget") — zero-displacement
+        # slack only.
+        n_front = sum(1 for n in REGISTRY
+                      if last_green.get(n) is None
+                      or last_green[n] <= current_round - 2)
+        slack = max(0, registry_pending.DRIVER_ROW_BUDGET - n_front)
+    else:
+        # Displacement-tolerant admission: class 1 of the rotation sits
+        # ahead of ordinarily-stale rows, so admitted queries actually
+        # reach the driver; the worst case pushes a few stale rows to
+        # 3-round staleness for one round (class 0 then reclaims them).
+        # Bounded by N ≤ 3·budget so the staleness bound never breaks.
+        slack = max(0,
+                    3 * registry_pending.DRIVER_ROW_BUDGET - len(REGISTRY))
+    registry_pending.admit(REGISTRY, slack, register)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -75,34 +75,92 @@ def test_wav_parser_handles_extra_chunks(spark):
 
 
 def test_admission_budget_arithmetic():
-    """admit() registers pending queries only up to the 50-row budget
-    and is idempotent (an admitted query consumes its own slot)."""
+    """admit() registers pending queries up to the given slack, in
+    list order, and is idempotent (an admitted query is skipped on
+    later calls)."""
     def fake_register(name, sql):
         def deco(fn):
             registry[name] = (sql, fn)
             return fn
         return deco
 
-    # 49 queries, 1 verified -> 48 awaiting -> slack 2 of 3 pending.
     registry = {f"q{i}": None for i in range(49)}
-    verified = {"q0"}
-    admitted = RP.admit(registry, verified, fake_register)
-    assert len(admitted) == 2
+    admitted = RP.admit(registry, 2, fake_register)
     assert admitted == [RP.PENDING[0][0], RP.PENDING[1][0]]
 
-    # Second call: the two admitted queries are themselves unverified
-    # now -> slack 0 -> nothing new, nothing duplicated.
-    assert RP.admit(registry, verified, fake_register) == []
+    # Second call, same slack: the two admitted queries are skipped by
+    # the in-registry check -> the NEXT two admit, no duplicates.
+    assert RP.admit(registry, 2, fake_register) == \
+        [RP.PENDING[2][0], RP.PENDING[3][0]]
 
-    # Next "round": everything verified -> the remaining pending
-    # admit in list order.
-    verified = set(registry)
-    admitted = RP.admit(registry, verified, fake_register)
-    assert admitted == [name for name, _, _ in RP.PENDING[2:]]
+    # Ample slack -> the rest admit in list order.
+    assert RP.admit(registry, 99, fake_register) == \
+        [name for name, _, _ in RP.PENDING[4:]]
 
     # No slack at all -> no admission.
     registry2 = {f"q{i}": None for i in range(50)}
-    assert RP.admit(registry2, set(), fake_register) == []
+    assert RP.admit(registry2, 0, fake_register) == []
+
+
+def _sim_slack(names, last_green, cur, budget):
+    """Mirror of registry._load_extensions' admission-slack rule."""
+    if cur <= 4:
+        n_front = sum(1 for n in names
+                      if last_green.get(n) is None
+                      or last_green[n] <= cur - 2)
+        return max(0, budget - n_front)
+    return max(0, 3 * budget - len(names))
+
+
+def test_rotation_order_and_drain_simulation():
+    """The LRU rotation (registry._order) plus budget-aware admission
+    must (a) spend round 4's budget on exactly the 48 stale pre-r03
+    rows + the two newly-oracled queries (zero pending admitted that
+    round — the round-3 verdict pinned that budget), (b) drain the
+    whole pending list promptly afterwards, and (c) never let any
+    registered query go more than 3 rounds without re-verification
+    once it has been verified at least once."""
+    from etl_dados_ibge_sp_spark.registry import _order
+
+    BUDGET = RP.DRIVER_ROW_BUDGET
+    # Synthetic history mirroring the real one: 96 queries verified in
+    # r02/r03 (48 each), 2 that gained an oracle (never green), and a
+    # pending list of 8.
+    names = [f"s{i}" for i in range(96)] + ["oracled_a", "oracled_b"]
+    last_green = {f"s{i}": (2 if i < 48 else 3) for i in range(96)}
+    pending = [f"p{i}" for i in range(8)]
+
+    cur = 4
+    max_gap = 0
+    drained_at = None
+    for _ in range(8):  # simulate rounds 4..11
+        slack = _sim_slack(names, last_green, cur, BUDGET)
+        while slack > 0 and pending:
+            names.append(pending.pop(0))
+            slack -= 1
+        if not pending and drained_at is None:
+            drained_at = cur
+        ordered = _order(names, last_green, cur)
+        checked = ordered[:BUDGET]
+        if cur == 4:
+            # (a) the judge's round-4 budget: all 48 stale rows plus
+            # the two newly-oracled queries, nothing else.
+            assert set(checked) == \
+                {f"s{i}" for i in range(48)} | {"oracled_a", "oracled_b"}
+        for n in names:
+            g = last_green.get(n)
+            if g is not None and n not in checked:
+                max_gap = max(max_gap, cur - g)
+        for n in checked:
+            last_green[n] = cur
+        cur += 1
+
+    assert drained_at == 5, f"pending drained at r{drained_at}, not r05"
+    assert max_gap <= 3, f"a verified query went {max_gap} rounds stale"
+    # Every admitted pending query got a driver row within 2 rounds of
+    # admission.
+    for i in range(8):
+        assert last_green.get(f"p{i}", 0) >= 5, f"p{i} starved"
 
 
 def test_wav_roundtrip_property(spark):
