@@ -104,3 +104,80 @@ r{k} AS (SELECT n.node,
     parts.append(f"""
 SELECT node, round(r, 9) AS pagerank FROM r{iters}""")
     return "".join(parts)
+
+
+def triangle_participation(edges: DataFrame, src: str = "u",
+                           dst: str = "v") -> DataFrame:
+    """Per-node triangle counts by degree-ordered edge orientation
+    (the MapReduce-era Cohen / Suri-Vassilvitskii scheme).
+
+    The input is treated as an undirected simple graph: edges are
+    canonicalized to (a < b) pairs, self-loops dropped, duplicates
+    collapsed.  Each edge is then oriented from its lower-(degree, id)
+    endpoint to the higher one, wedges (x→y, x→z) are enumerated from
+    the oriented lists, and a final equi-join against the oriented
+    edge set closes them.  Orientation is the scale trick: every
+    node's oriented out-degree is O(sqrt(E)) regardless of how skewed
+    the raw degree distribution is, so the wedge fan-out is bounded by
+    sum(out_deg^2) = O(E^1.5) — a celebrity node with 10^8 followers
+    never enumerates 10^16 wedges.  Three shuffles total (degree agg,
+    wedge self-join on x, closing join on (y, z)); no driver
+    iteration, no collect.
+
+    Returns (node, n_triangles) for every node on >= 1 triangle.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # x -> y oriented low-rank to high-rank; carry y's degree so the
+    # wedge join can order its two endpoints without another lookup.
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                 .alias("x"),
+                 F.when(a_first, F.col("b")).otherwise(F.col("a"))
+                 .alias("y"),
+                 F.when(a_first, F.col("db")).otherwise(F.col("da"))
+                 .alias("dy")))
+    w2 = o.select(F.col("x").alias("x2"), F.col("y").alias("z"),
+                  F.col("dy").alias("dz"))
+    y_first = (F.col("dy") < F.col("dz")) | \
+        ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    wedges = (o.join(w2, F.col("x") == F.col("x2"))
+              .filter(y_first)
+              .select("x", "y", "z"))
+    closing = o.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    return (tri.select(F.col("x").alias("node"))
+            .unionAll(tri.select(F.col("y").alias("node")))
+            .unionAll(tri.select(F.col("z").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def triangles_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`triangle_participation`, kept adjacent
+    so the two cannot drift.  ``edges_cte`` is a SQL body producing
+    (u, v) pairs (duplicates/self-loops allowed — canonicalization
+    mirrors the Spark side).  The oracle enumerates each triangle once
+    as x < y < z — a different orientation than the Spark side's
+    degree ordering, but the triangle SET is orientation-invariant, so
+    per-node counts agree exactly."""
+    return f"""
+WITH raw_e AS ({edges_cte}),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw_e WHERE u <> v),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+GROUP BY node"""

@@ -446,8 +446,12 @@ def _q_revenue_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    day = F.floor(F.unix_micros(F.col("o_orderdate"))
-                  / F.lit(86400000000.0)).cast("bigint")
+    # o_orderdate arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC =
+    # false): datediff on its wall-clock DATE is the tz-free epoch-day
+    # index — unix_micros would reject the type, and a cast to zoned
+    # TIMESTAMP would shift with the (unknown) driver session timezone.
+    day = F.datediff(F.to_date(F.col("o_orderdate")),
+                     F.to_date(F.lit("1970-01-01"))).cast("bigint")
     cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
     q = o.select("o_orderkey", "o_custkey", day.alias("day"),
                  cents.alias("cents"))
@@ -516,6 +520,19 @@ PENDING: list[tuple[str, str,
     ("having_scalar_threshold", _Q11_SQL.format(part="part"),
      _q_having_scalar_threshold),
     ("event_day_streaks", _STREAKS_SQL, _q_event_day_streaks),
+    ("min_acctbal_supplier",
+     _Q2_SQL.format(supplier="supplier", nation="nation"),
+     _q_min_acctbal_supplier),
+    ("inactive_premium_customers",
+     _Q22_SQL.format(customer="customer", nation="nation",
+                     orders="orders"),
+     _q_inactive_premium_customers),
+    ("nation_trade_triangles", _triangles_oracle(),
+     _q_nation_trade_triangles),
+    ("events_rolling_anomaly", _ANOMALY_SQL, _q_events_rolling_anomaly),
+    ("revenue_sliding_7d", _SLIDING_SQL, _q_revenue_sliding_7d),
+    ("pareto_front_brand", _PARETO_SQL.format(part="part"),
+     _q_pareto_front_brand),
 ]
 
 

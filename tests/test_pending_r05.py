@@ -29,7 +29,8 @@ def test_correlated_plans_are_decorrelated(spark, sf_dir):
     aggregate + join (no per-row subquery node survives in the
     physical plan)."""
     for name in ("correlated_small_qty_revenue",
-                 "correlated_exists_orders"):
+                 "correlated_exists_orders",
+                 "min_acctbal_supplier"):
         df = PENDING[name][1](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" in plan, f"{name}: no join in plan"
@@ -37,6 +38,13 @@ def test_correlated_plans_are_decorrelated(spark, sf_dir):
         # re-evaluation; decorrelation leaves none.
         assert "Subquery" not in plan, f"{name}: correlated subquery " \
             f"survived decorrelation:\n{plan[:2000]}"
+    # The Q22 analog keeps ONE legitimate Subquery node — the
+    # UNCORRELATED scalar average, computed once and broadcast — while
+    # its correlated NOT EXISTS must decorrelate to a left-anti join.
+    plan = PENDING["inactive_premium_customers"][1](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, \
+        f"NOT EXISTS not decorrelated to anti join:\n{plan[:2000]}"
 
 
 def test_wav_codec_rejects_garbage(spark):
@@ -200,5 +208,68 @@ def test_wav_roundtrip_property(spark):
         assert r2["n_samples"] == len(b)
         assert r2["sum_amp"] == int(b.sum())
         assert r2["sample_rate"] == 4000
+
+    law()
+
+
+def test_triangle_participation_matches_bruteforce(spark):
+    """Property law: on arbitrary small graphs (with duplicate and
+    self-loop noise), the degree-ordered distributed triangle count
+    equals brute-force enumeration."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dados_ibge_sp_spark.operators.graph import (
+        triangle_participation)
+
+    @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                    min_size=1, max_size=40))
+    @settings(max_examples=10, deadline=None)
+    def law(pairs):
+        df = spark.createDataFrame(pairs, "u bigint, v bigint")
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_participation(df).collect()}
+        edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        nodes = sorted({x for e in edges for x in e})
+        want = {}
+        for x, y, z in itertools.combinations(nodes, 3):
+            if {(x, y), (x, z), (y, z)} <= edges:
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+        assert got == want
+
+    law()
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    """Property law: the O(n log n) window sweep equals the quadratic
+    dominance definition on arbitrary (group, price, size) rows —
+    including duplicate price/size collisions, the tie cases the RANGE
+    frame must handle exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    @given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 8),
+                              st.integers(0, 8)),
+                    min_size=1, max_size=30))
+    @settings(max_examples=10, deadline=None)
+    def law(rows):
+        data = [(i, g, p, s) for i, (g, p, s) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "id bigint, grp bigint, price bigint, size bigint")
+        win = (Window.partitionBy("grp").orderBy("price")
+               .rangeBetween(Window.unboundedPreceding, -1))
+        got = {r["id"] for r in
+               df.withColumn("__m", F.max("size").over(win))
+               .filter(F.col("__m").isNull()
+                       | (F.col("__m") <= F.col("size"))).collect()}
+        want = {i for i, (g, p, s) in enumerate(rows)
+                if not any(g2 == g and p2 < p and s2 > s
+                           for (g2, p2, s2) in rows)}
+        assert got == want
 
     law()
