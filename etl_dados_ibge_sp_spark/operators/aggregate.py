@@ -114,3 +114,51 @@ def approx_percentiles(df: DataFrame, group_cols: Sequence[str],
         *group_cols,
         *[F.element_at("__ps", i + 1).alias(f"p{p * 100:g}")
           for i, p in enumerate(percentiles)])
+
+
+def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact phi = 1/k heavy hitters WITHOUT a full-vocabulary shuffle.
+
+    Two passes:
+
+    1. **Candidate generation** — per Arrow batch, keep the items whose
+       LOCAL count clears the local quota (``count_b * k > n_b``).  By
+       the averaging argument an item with global count > n/k must
+       clear the quota in at least one batch (if it missed every local
+       quota, summing gives global count <= n/k), so the union of
+       per-batch candidates is a PROVABLE superset of the true heavy
+       hitters — the same guarantee a Misra-Gries summary gives, but
+       fully vectorized (one pandas ``value_counts`` per batch, no
+       per-row Python).  Each batch emits < k rows, so the candidate
+       set is bounded by batches x k, independent of vocabulary size.
+    2. **Exact recount** — the tiny candidate set broadcasts; a
+       left-semi join prunes the stream to candidate items, a plain
+       groupBy counts them exactly (map-side combine leaves ~one row
+       per candidate per task on the wire), and the global threshold
+       ``count * k > n`` filters.
+
+    The 100-TB point: ``groupBy(col).count()`` shuffles the full
+    vocabulary — billions of distinct token keys for a web corpus —
+    while this shuffles only candidate keys and a scalar.  Integer
+    thresholds on both passes, so results are exact and engine-
+    independent (no phi * n float boundary).
+
+    Returns (``col``, cnt) for every item with count * k > n.
+    """
+    def _local_candidates(batches):
+        import pandas as pd
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            n_b = int(vc.sum())
+            yield pd.DataFrame({col: vc.index[vc * k > n_b]})
+
+    src = items.select(col)
+    cand = src.mapInPandas(
+        _local_candidates, schema=f"{col} {src.schema[col].dataType.simpleString()}"
+    ).distinct()
+    total = src.agg(F.count(col).alias("__n"))
+    return (src.join(F.broadcast(cand), col, "left_semi")
+            .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+            .join(F.broadcast(total))
+            .filter(F.col("cnt") * k > F.col("__n"))
+            .select(col, "cnt"))

@@ -505,6 +505,95 @@ def _q_pareto_front_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__m"))
 
 
+def _q_stream_rolling_anomaly(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming restatement of events_rolling_anomaly
+    (streaming/windowed.stream_rolling_anomaly): per-user trailing
+    z-score via applyInPandasWithState with O(frame) state, verified
+    against the SAME exact-integer SQL oracle as the batch form —
+    Python's arbitrary-precision ints reproduce the DECIMAL/HUGEINT
+    arithmetic bit-for-bit."""
+    from .streaming.windowed import stream_rolling_anomaly
+    return stream_rolling_anomaly(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters without a full-vocabulary shuffle
+# --------------------------------------------------------------------------
+
+_HH_K = 400
+_HH_SQL = f"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+               AS tok FROM documents),
+tot AS (SELECT count(*) AS n FROM t),
+c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+SELECT c.tok, CAST(c.cnt AS BIGINT) AS cnt
+FROM c, tot WHERE c.cnt * {_HH_K} > tot.n
+"""
+
+
+def _q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=1/400 heavy-hitter tokens over the corpus via
+    two-pass local-threshold candidate generation + exact recount
+    (operators/aggregate.heavy_hitters_exact) — the scale path that
+    never shuffles the full vocabulary.  The oracle is the naive
+    full GROUP BY with the same integer threshold; results are
+    identical by the candidate-superset guarantee."""
+    from .operators.aggregate import heavy_hitters_exact
+    from .operators.text import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters_exact(toks, "tok", _HH_K)
+
+
+# --------------------------------------------------------------------------
+# Window VALUE-function surface (first/last/nth, IGNORE NULLS)
+# --------------------------------------------------------------------------
+
+_WVF_SQL = """
+WITH q AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vm
+           FROM events),
+m AS (SELECT *, CASE WHEN vm % 3 <> 0 THEN vm END AS vm_sparse FROM q)
+SELECT event_id, user_id,
+       first_value(vm) OVER w AS first_v,
+       first_value(vm_sparse IGNORE NULLS) OVER w AS first_nn,
+       last_value(vm_sparse IGNORE NULLS) OVER w AS locf_v,
+       nth_value(vm, 2) OVER w AS second_v
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_window_value_functions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The value-window surface in one pass: first_value / last_value /
+    nth_value plus their IGNORE NULLS forms (last_value IGNORE NULLS
+    over a trailing frame IS last-observation-carried-forward) — the
+    complement of window_rank_functions' ranking surface.  One shared
+    window spec => one shuffle + sort; the null-sparse column derives
+    deterministically from the data (vm % 3) so both engines filter
+    identical nulls."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("bigint")
+    m = (e.select("event_id", "user_id", "ts", vm.alias("vm"))
+         .withColumn("vm_sparse",
+                     F.when(F.col("vm") % 3 != 0, F.col("vm"))))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return m.select(
+        "event_id", "user_id",
+        F.first_value("vm").over(w).alias("first_v"),
+        F.first_value("vm_sparse", ignoreNulls=True).over(w)
+         .alias("first_nn"),
+        F.last_value("vm_sparse", ignoreNulls=True).over(w)
+         .alias("locf_v"),
+        F.nth_value("vm", 2).over(w).alias("second_v"))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -533,6 +622,9 @@ PENDING: list[tuple[str, str,
     ("revenue_sliding_7d", _SLIDING_SQL, _q_revenue_sliding_7d),
     ("pareto_front_brand", _PARETO_SQL.format(part="part"),
      _q_pareto_front_brand),
+    ("heavy_hitter_tokens", _HH_SQL, _q_heavy_hitter_tokens),
+    ("window_value_functions", _WVF_SQL, _q_window_value_functions),
+    ("stream_rolling_anomaly", _ANOMALY_SQL, _q_stream_rolling_anomaly),
 ]
 
 

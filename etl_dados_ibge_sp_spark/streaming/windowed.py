@@ -342,3 +342,91 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
         if query.isActive:
             query.stop()
     return spark.table(qname)
+
+
+ANOMALY_FRAME = 20
+ANOMALY_MIN_N = 8
+ANOMALY_Z2 = 4  # z^2 for |z| > 2
+
+
+def stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-window z-score anomaly detection via
+    ``applyInPandasWithState`` — the streaming restatement of the
+    batch ``events_rolling_anomaly`` query, sharing its EXACT integer
+    decision rule: flag event x when (n*x - s)^2 * (n-1) >
+    4n * (n*ss - s^2) over the user's previous <=20 values (>=8
+    required).  Python ints are arbitrary-precision, so the arithmetic
+    is bit-identical to the batch DECIMAL(38)/HUGEINT formulation and
+    the SAME SQL oracle verifies both.
+
+    State per user is just the trailing value buffer — <=20 longs
+    (~160 bytes), so total state is O(active users), independent of
+    history length; no timeout is armed because a verdict depends only
+    on PRECEDING events (each event's flag is emittable immediately,
+    no watermark-closing semantics to wait for).  Exactness across
+    micro-batches requires per-user event-time order between batches
+    (rows are sorted within a batch); a file-source landing zone
+    ingested in arrival order satisfies this, and the availableNow
+    test path processes the table in one batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    frame, min_n, z2 = ANOMALY_FRAME, ANOMALY_MIN_N, ANOMALY_Z2
+    stream = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id",
+                F.unix_micros(F.col("ts")).alias("us"),
+                F.floor(F.col("value") * 1000000).cast("bigint")
+                 .alias("x")))
+
+    def detect(key, pdfs, state: "GroupState"):
+        # Self-contained (imports inside): cloudpickle ships it by
+        # value, workers never import this package.
+        import pandas as _pd
+
+        rows = []
+        for p in pdfs:
+            rows.extend(zip(p["us"].tolist(), p["event_id"].tolist(),
+                            p["x"].tolist()))
+        rows.sort()
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for _us, eid, x in rows:
+            window = buf[-frame:]
+            n = len(window)
+            if n >= min_n:
+                s = sum(window)
+                ss = sum(v * v for v in window)
+                dev = n * x - s
+                if dev * dev * (n - 1) > z2 * n * (n * ss - s * s):
+                    out.append((eid, key[0], x, n))
+            buf.append(x)
+        state.update((buf[-frame:],))
+        if out:
+            yield _pd.DataFrame(out, columns=["event_id", "user_id",
+                                              "value_micros", "n_window"])
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=("event_id bigint, user_id bigint, "
+                          "value_micros bigint, n_window bigint"),
+        stateStructType="xs array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    query = (
+        result.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)

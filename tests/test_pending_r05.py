@@ -273,3 +273,32 @@ def test_pareto_front_matches_bruteforce(spark):
         assert got == want
 
     law()
+
+
+def test_heavy_hitters_matches_bruteforce(spark):
+    """Property law: two-pass local-threshold heavy hitters equals the
+    naive global GROUP BY threshold on arbitrary skewed item lists,
+    for every partitioning (the candidate-superset guarantee is an
+    averaging argument over batches, so batching must not matter)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dados_ibge_sp_spark.operators.aggregate import (
+        heavy_hitters_exact)
+
+    @given(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                    max_size=60),
+           st.integers(2, 6), st.integers(1, 4))
+    @settings(max_examples=8, deadline=None)
+    def law(vals, k, parts):
+        df = spark.createDataFrame([(v,) for v in vals],
+                                   "item string").repartition(parts)
+        got = {(r["item"], r["cnt"])
+               for r in heavy_hitters_exact(df, "item", k).collect()}
+        n = len(vals)
+        want = {(v, c) for v, c in Counter(vals).items() if c * k > n}
+        assert got == want
+
+    law()
