@@ -81,6 +81,19 @@ HEADLINE = [
     "merge_upsert",
     "multimodal_ppm_roundtrip",
     "events_resample_locf",
+    # Round-4 additions.  Some of these are deferred-registration
+    # queries (registry_pending) not yet admitted to the driver's
+    # correctness rotation — benching resolves them via the pending
+    # list, so their perf evidence doesn't wait on the row budget.
+    "correlated_small_qty_revenue",
+    "nation_trade_triangles",
+    "events_rolling_anomaly",
+    "revenue_sliding_7d",
+    "pareto_front_brand",
+    "heavy_hitter_tokens",
+    "window_value_functions",
+    "event_day_streaks",
+    "multimodal_wav_stats",
 ]
 
 
@@ -100,7 +113,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="etl-ibge-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    queries = dict(all_queries())
+    # Deferred-registration queries bench before they are admitted.
+    from etl_dados_ibge_sp_spark.registry_pending import PENDING
+    for pname, _sql, pfn in PENDING:
+        queries.setdefault(pname, pfn)
 
     # Warm the JVM, parquet footers AND data pages once so query 1
     # isn't charged for session startup or a cold OS page cache

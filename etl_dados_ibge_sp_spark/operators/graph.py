@@ -126,9 +126,17 @@ def triangle_participation(edges: DataFrame, src: str = "u",
 
     Returns (node, n_triangles) for every node on >= 1 triangle.
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = (edges.select(F.least(src, dst).alias("a"),
                       F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
+    # e feeds the degree count, the orientation join, and the closing
+    # join; the oriented list feeds the wedge self-join twice and the
+    # closing join.  Persist both (deterministic — recomputation after
+    # executor loss reproduces identical sets) so an expensive
+    # caller-side edge derivation runs ONCE, not five times.
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (e.select(F.col("a").alias("n"))
            .unionAll(e.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -144,7 +152,8 @@ def triangle_participation(edges: DataFrame, src: str = "u",
                  F.when(a_first, F.col("b")).otherwise(F.col("a"))
                  .alias("y"),
                  F.when(a_first, F.col("db")).otherwise(F.col("da"))
-                 .alias("dy")))
+                 .alias("dy"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     w2 = o.select(F.col("x").alias("x2"), F.col("y").alias("z"),
                   F.col("dy").alias("dz"))
     y_first = (F.col("dy") < F.col("dz")) | \

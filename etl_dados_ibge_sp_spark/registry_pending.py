@@ -336,7 +336,12 @@ def _q_nation_trade_triangles(spark: SparkSession,
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.least("c_nationkey", "s_nationkey").alias("a"),
                 F.greatest("c_nationkey", "s_nationkey").alias("b")))
-    w = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
+    # w is the star join's output (the expensive part) and feeds both
+    # the mean-weight scalar and the thresholded edge list — persist so
+    # the join runs once.
+    from pyspark.storagelevel import StorageLevel
+    w = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     stats = w.agg((F.sum("wt").cast("double")
                    / F.count(F.lit(1))).alias("__mean_wt"))
     e = (w.join(F.broadcast(stats))
