@@ -94,6 +94,8 @@ HEADLINE = [
     "window_value_functions",
     "event_day_streaks",
     "multimodal_wav_stats",
+    "dq_report",
+    "market_share_yearly",
 ]
 
 

@@ -599,6 +599,114 @@ def _q_window_value_functions(spark: SparkSession,
         F.nth_value("vm", 2).over(w).alias("second_v"))
 
 
+# --------------------------------------------------------------------------
+# Data-quality assertion report (dbt-test style)
+# --------------------------------------------------------------------------
+
+_DQ_SQL = """
+SELECT 'dup_user_ts' AS check_name, CAST(count(*) AS BIGINT)
+       AS n_violations
+FROM (SELECT user_id, ts FROM events GROUP BY user_id, ts
+      HAVING count(*) > 1)
+UNION ALL
+SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'neg_acctbal', CAST(count(*) AS BIGINT) FROM customer
+WHERE c_acctbal < 0
+UNION ALL
+SELECT 'short_doc_text', CAST(count(*) AS BIGINT) FROM documents
+WHERE text IS NULL OR length(trim(text)) < 100
+UNION ALL
+SELECT 'value_out_of_range', CAST(count(*) AS BIGINT) FROM events
+WHERE value IS NULL OR value <= 0 OR value > 400
+"""
+
+
+def _q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over the warehouse (operators/dq): two
+    referential-integrity anti-joins, a composite-key uniqueness
+    check, and null/range filters — one (check_name, n_violations)
+    row each, passing checks included as explicit zeros.  Every check
+    collapses to a count before the union, so the report moves six
+    rows however many TBs the checks scanned."""
+    from .operators.dq import dq_counts, duplicate_keys, fk_violations
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    return dq_counts({
+        "dup_user_ts": duplicate_keys(events, "user_id", "ts"),
+        "fk_lineitem_orders": fk_violations(
+            li, "l_orderkey", orders, "o_orderkey"),
+        "fk_orders_customer": fk_violations(
+            orders.select("o_custkey"), "o_custkey", cust, "c_custkey"),
+        "neg_acctbal": cust.filter(F.col("c_acctbal") < 0),
+        "short_doc_text": docs.filter(
+            F.col("text").isNull()
+            | (F.length(F.trim("text")) < 100)),
+        "value_out_of_range": events.filter(
+            F.col("value").isNull() | (F.col("value") <= 0)
+            | (F.col("value") > 400)),
+    })
+
+
+# --------------------------------------------------------------------------
+# Market-share ratio (TPC-H Q8 shape)
+# --------------------------------------------------------------------------
+
+_MKTSHARE_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       round(CAST(SUM(CASE WHEN r.r_name = 'AMERICA'
+                           THEN CAST(o.o_totalprice AS DECIMAL(32,6))
+                           ELSE CAST(0 AS DECIMAL(32,6)) END)
+                  AS DOUBLE)
+             / CAST(SUM(CAST(o.o_totalprice AS DECIMAL(32,6)))
+                    AS DOUBLE), 6) AS america_share,
+       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(32,6)))
+                  AS DOUBLE), 2) AS total_rev
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1
+"""
+
+
+def _q_market_share_yearly(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one region's share of yearly revenue — a
+    conditional-aggregate ratio.  Both the numerator and denominator
+    accumulate in DECIMAL, divide once in double, and round, so the
+    ratio is bit-identical across engines.  nation/region broadcast;
+    orders-customer is the one genuinely large join (key-partitioned,
+    AQE picks broadcast when customer fits), then the year rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dec = F.col("o_totalprice").cast("decimal(32,6)")
+    amer = F.when(F.col("r_name") == "AMERICA", dec) \
+        .otherwise(F.lit(0).cast("decimal(32,6)"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.round(F.sum(amer).cast("double")
+                     / F.sum(dec).cast("double"), 6)
+             .alias("america_share"),
+             F.round(F.sum(dec).cast("double"), 2).alias("total_rev")))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -630,6 +738,8 @@ PENDING: list[tuple[str, str,
     ("heavy_hitter_tokens", _HH_SQL, _q_heavy_hitter_tokens),
     ("window_value_functions", _WVF_SQL, _q_window_value_functions),
     ("stream_rolling_anomaly", _ANOMALY_SQL, _q_stream_rolling_anomaly),
+    ("dq_report", _DQ_SQL, _q_dq_report),
+    ("market_share_yearly", _MKTSHARE_SQL, _q_market_share_yearly),
 ]
 
 
