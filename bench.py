@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_wav_stats",
     "dq_report",
     "market_share_yearly",
+    "zorder_key_orders",
 ]
 
 

@@ -707,6 +707,30 @@ def _q_market_share_yearly(spark: SparkSession,
              F.round(F.sum(dec).cast("double"), 2).alias("total_rev")))
 
 
+# --------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data skipping)
+# --------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_key_sql
+    return zorder_key_sql("orders", ["o_custkey", "o_totalprice"],
+                          id_col="o_orderkey")
+
+
+def _q_zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, o_totalprice)
+    — the sort key that makes every output file's min/max stats tight
+    on BOTH columns at once (operators/layout).  Pure JVM shift/or
+    arithmetic after one tiny min/max aggregate; the oracle renders
+    the identical affine-quantize + interleave in SQL, so the key is
+    bit-reproducible across engines."""
+    from .operators.layout import zorder_key
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    return zorder_key(o, ["o_custkey", "o_totalprice"]) \
+        .select("o_orderkey", "zkey")
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -740,6 +764,7 @@ PENDING: list[tuple[str, str,
     ("stream_rolling_anomaly", _ANOMALY_SQL, _q_stream_rolling_anomaly),
     ("dq_report", _DQ_SQL, _q_dq_report),
     ("market_share_yearly", _MKTSHARE_SQL, _q_market_share_yearly),
+    ("zorder_key_orders", _zorder_oracle(), _q_zorder_key_orders),
 ]
 
 

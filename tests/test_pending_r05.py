@@ -302,3 +302,89 @@ def test_heavy_hitters_matches_bruteforce(spark):
         assert got == want
 
     law()
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Property law: the JVM shift/or Morton key equals a direct
+    Python reference (quantize then interleave) on arbitrary numeric
+    pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dados_ibge_sp_spark.operators.layout import zorder_key
+
+    BITS = 8
+
+    def ref(vals, los, his):
+        out = []
+        for row in vals:
+            qs = []
+            for v, lo, hi in zip(row, los, his):
+                q = int((float(v) - lo) / (hi - lo) * (2 ** BITS))
+                qs.append(max(0, min(2 ** BITS - 1, q)))
+            key = 0
+            for b in range(BITS):
+                for i, q in enumerate(qs):
+                    key |= ((q >> b) & 1) << (b * len(qs) + i)
+            out.append(key)
+        return out
+
+    @given(st.lists(st.tuples(st.integers(-1000, 1000),
+                              st.integers(-1000, 1000)),
+                    min_size=2, max_size=25))
+    @settings(max_examples=10, deadline=None)
+    def law(rows):
+        los = [min(r[i] for r in rows) for i in range(2)]
+        his = [max(r[i] for r in rows) for i in range(2)]
+        if los[0] == his[0] or los[1] == his[1]:
+            return  # degenerate range: quantization divides by zero
+        data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id bigint, x bigint, y bigint")
+        got = {r["id"]: r["zkey"]
+               for r in zorder_key(df, ["x", "y"]).collect()}
+        # Python floor of the same double expression: mirror exactly.
+        import math
+        want = {}
+        for i, (a, b) in enumerate(rows):
+            qs = []
+            for v, lo, hi in ((a, los[0], his[0]), (b, los[1], his[1])):
+                q = math.floor((float(v) - lo) / (hi - lo) * 256.0)
+                qs.append(max(0, min(255, int(q))))
+            key = 0
+            for bb in range(8):
+                for j, q in enumerate(qs):
+                    key |= ((q >> bb) & 1) << (bb * 2 + j)
+            want[i] = key
+        assert got == want
+
+    law()
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_dir):
+    """The point of Z-ordering: after range-partitioning by zkey, each
+    partition's min/max span on EVERY participating column is a small
+    fraction of the global range (a random layout spans ~100% of both
+    columns in every file, so nothing can be skipped)."""
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.operators.layout import zorder_layout
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    laid = zorder_layout(o, ["o_custkey", "o_totalprice"], n_files=16)
+    spans = (laid.groupBy(F.spark_partition_id().alias("pid"))
+             .agg((F.max("o_custkey") - F.min("o_custkey"))
+                  .alias("span_c"),
+                  (F.max("o_totalprice") - F.min("o_totalprice"))
+                  .alias("span_p"))
+             .collect())
+    glob = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("p")
+    ).collect()[0]
+    avg_c = sum(r["span_c"] for r in spans) / len(spans) / glob["c"]
+    avg_p = sum(r["span_p"] for r in spans) / len(spans) / glob["p"]
+    # Each file covers a compact Morton range => well under the ~100%
+    # span an unsorted layout gives on both dimensions.
+    assert avg_c < 0.6, f"custkey span fraction {avg_c:.2f}"
+    assert avg_p < 0.6, f"totalprice span fraction {avg_p:.2f}"
