@@ -162,3 +162,51 @@ def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
             .join(F.broadcast(total))
             .filter(F.col("cnt") * k > F.col("__n"))
             .select(col, "cnt"))
+
+
+def cms_build(items: DataFrame, col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Count-min sketch as a DataFrame: (d, bucket, cnt) rows.
+
+    Each item increments one bucket per hash row (xxhash64 with the
+    row index as seed — JVM-side, no UDF); the build is one
+    posexplode + one map-side-combinable groupBy, so the exchange
+    carries at most depth x width rows per task regardless of input
+    size.  Sketches MERGE by union + re-aggregation (counts add) —
+    the property that lets a 1000-executor cluster sketch per
+    partition/day/source and combine summaries instead of raw keys
+    (same family as the HLL cardinality path).  Point estimates are
+    biased UP only: min over d of cnt[d, h_d(x)] >= true count, with
+    overshoot <= n/width per row in expectation.  Laws pytest-pinned.
+    """
+    hashes = F.array(*[
+        (F.abs(F.xxhash64(F.col(col), F.lit(d))) % width).cast("int")
+        for d in range(depth)])
+    return (items.select(F.posexplode(hashes).alias("d", "bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine sketches built with the same (depth, width): counts
+    add bucket-wise."""
+    from functools import reduce
+    u = reduce(lambda a, b: a.unionAll(b), sketches)
+    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Estimated count per distinct probe value: min over the depth
+    rows of the probed buckets.  A broadcast of the sketch (depth x
+    width rows — KBs) keeps the probe side shuffle-free except the
+    final per-item min."""
+    hashes = F.array(*[
+        (F.abs(F.xxhash64(F.col(col), F.lit(d))) % width).cast("int")
+        for d in range(depth)])
+    probed = (probes.select(col).distinct()
+              .select(col, F.posexplode(hashes).alias("d", "bucket")))
+    return (probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint")
+                 .alias("est")))

@@ -731,6 +731,44 @@ def _q_zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "zkey")
 
 
+# --------------------------------------------------------------------------
+# Schema-evolution scan (mergeSchema over heterogeneous fragments)
+# --------------------------------------------------------------------------
+
+_SCHEMA_EVO_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
+"""
+
+
+def _q_schema_evolution_scan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Schema evolution, the lake reality after any column addition:
+    an EARLY parquet fragment written before the ``source``/``n_chars``
+    columns existed and a LATER fragment with them, read back in one
+    ``mergeSchema`` scan.  Missing columns surface as nulls exactly
+    where the fragment lacked them; the oracle reproduces the same
+    union from the base table.  At 100 TB this is how every long-lived
+    table actually looks — per-file schemas differ and the reader owns
+    reconciliation; the footer merge is metadata-only (no data
+    rewrite)."""
+    import tempfile
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    docs.filter(F.col("doc_id") % 2 == 0) \
+        .select("doc_id", "lang") \
+        .write.mode("overwrite").parquet(f"{tmp}/old")
+    docs.filter(F.col("doc_id") % 2 == 1) \
+        .select("doc_id", "lang", "source", "n_chars") \
+        .write.mode("overwrite").parquet(f"{tmp}/new")
+    back = spark.read.option("mergeSchema", "true") \
+        .parquet(f"{tmp}/old", f"{tmp}/new")
+    return back.select("doc_id", "lang", "source",
+                       F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -765,6 +803,7 @@ PENDING: list[tuple[str, str,
     ("dq_report", _DQ_SQL, _q_dq_report),
     ("market_share_yearly", _MKTSHARE_SQL, _q_market_share_yearly),
     ("zorder_key_orders", _zorder_oracle(), _q_zorder_key_orders),
+    ("schema_evolution_scan", _SCHEMA_EVO_SQL, _q_schema_evolution_scan),
 ]
 
 

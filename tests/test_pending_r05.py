@@ -388,3 +388,43 @@ def test_zorder_layout_tightens_file_stats(spark, sf_dir):
     # span an unsorted layout gives on both dimensions.
     assert avg_c < 0.6, f"custkey span fraction {avg_c:.2f}"
     assert avg_p < 0.6, f"totalprice span fraction {avg_p:.2f}"
+
+
+def test_count_min_sketch_laws(spark):
+    """Three CMS laws on a skewed corpus: (1) estimates never
+    undercount; (2) sketches merge losslessly (per-half sketches
+    combined == whole-corpus sketch, bucket for bucket); (3) with
+    width >> distinct items the overshoot is bounded by the collision
+    budget (here: exact for the heavy item)."""
+    from collections import Counter
+
+    from etl_dados_ibge_sp_spark.operators.aggregate import (
+        cms_build, cms_estimate, cms_merge)
+
+    vals = (["the"] * 200 + ["of"] * 90 + ["and"] * 40
+            + [f"rare{i}" for i in range(120)])
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "item string") \
+        .repartition(4)
+
+    sk = cms_build(df, "item", depth=4, width=1024)
+    est = {r["item"]: r["est"]
+           for r in cms_estimate(sk, df, "item",
+                                 depth=4, width=1024).collect()}
+    assert set(est) == set(truth)
+    overshoot = 0
+    for v, c in truth.items():
+        assert est[v] >= c, f"{v}: CMS undercounted {est[v]} < {c}"
+        overshoot = max(overshoot, est[v] - c)
+    # 453 rows into 4x1024 buckets: expected collisions under one row
+    # per bucket; allow a small constant.
+    assert overshoot <= 3, f"overshoot {overshoot} beyond budget"
+    assert est["the"] == 200  # the heavy hitter is exact here
+
+    # Mergeability: half-sketches combined equal the whole sketch.
+    h1 = spark.createDataFrame([(v,) for v in vals[:225]], "item string")
+    h2 = spark.createDataFrame([(v,) for v in vals[225:]], "item string")
+    merged = cms_merge(cms_build(h1, "item"), cms_build(h2, "item"))
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    b = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b
