@@ -45,3 +45,53 @@ def duplicate_keys(df: DataFrame, *keys: str) -> DataFrame:
     tuple, counted after map-side combine — never the raw rows)."""
     return (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1))
+
+
+def profile_columns(df: DataFrame, table_name: str,
+                    cols: list[str] | None = None) -> DataFrame:
+    """Per-column profiling report: (table_name, column_name, n_rows,
+    n_nulls, n_distinct) — the first thing anyone asks of an unknown
+    table.
+
+    One aggregate pass over the table computes every column's stats
+    (count/count(col)/count(distinct col) fused into a single agg —
+    Catalyst expands multi-distinct into one Expand + two partial
+    aggregates, still map-side combinable), then one narrow unpivot to
+    the long report shape.  At 100 TB swap the exact distincts for
+    ``approx_count_distinct`` (the HLL path, see sketch_cardinality) —
+    the report schema stays identical, which is why the operator keeps
+    the long shape rather than a wide one."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [F.count(F.col(c)).alias(f"__nn_{c}"),
+                 F.countDistinct(F.col(c)).alias(f"__nd_{c}")]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("__n").alias("n_rows"),
+                 (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                 F.col(f"__nd_{c}").alias("n_distinct"))
+        for c in cols
+    ]
+    return (wide.select(F.explode(F.array(*rows)).alias("p"))
+            .select(F.lit(table_name).alias("table_name"),
+                    F.col("p.column_name"),
+                    F.col("p.n_rows").cast("bigint").alias("n_rows"),
+                    F.col("p.n_nulls").cast("bigint").alias("n_nulls"),
+                    F.col("p.n_distinct").cast("bigint")
+                    .alias("n_distinct")))
+
+
+def profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB oracle for :func:`profile_columns` (adjacent, no
+    drift): one UNION ALL leg per column."""
+    legs = [
+        f"SELECT '{table}' AS table_name, '{c}' AS column_name, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+        f"FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(legs)

@@ -769,6 +769,41 @@ def _q_schema_evolution_scan(spark: SparkSession,
                        F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+# --------------------------------------------------------------------------
+# Table profiling report
+# --------------------------------------------------------------------------
+
+_PROFILE_TABLES = {
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderpriority"],
+    "documents": ["doc_id", "lang", "source", "n_chars"],
+}
+
+
+def _profile_oracle() -> str:
+    from .operators.dq import profile_sql
+    return "\nUNION ALL\n".join(
+        profile_sql(t, cs) for t, cs in _PROFILE_TABLES.items())
+
+
+def _q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (operators/dq.profile_columns): per-column
+    n_rows / n_nulls / n_distinct for three tables in one long report
+    — one fused aggregate pass per table (multi-distinct via one
+    Expand), unions of 5-row frames.  The oracle is the naive
+    one-leg-per-column UNION ALL."""
+    from functools import reduce
+
+    from .operators.dq import profile_columns
+    frames = [
+        profile_columns(load_table(spark, sf_dir, t).select(*cs), t, cs)
+        for t, cs in _PROFILE_TABLES.items()
+    ]
+    return reduce(lambda a, b: a.unionAll(b), frames)
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -804,6 +839,7 @@ PENDING: list[tuple[str, str,
     ("market_share_yearly", _MKTSHARE_SQL, _q_market_share_yearly),
     ("zorder_key_orders", _zorder_oracle(), _q_zorder_key_orders),
     ("schema_evolution_scan", _SCHEMA_EVO_SQL, _q_schema_evolution_scan),
+    ("profile_tables", _profile_oracle(), _q_profile_tables),
 ]
 
 

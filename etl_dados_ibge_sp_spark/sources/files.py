@@ -33,3 +33,33 @@ def prune_old_files(directory: str, pattern: str = "*.csv",
     for path in doomed:
         os.remove(path)
     return doomed
+
+
+def compact_parquet(spark, src_dir: str, dst_dir: str,
+                    target_bytes: int = 128 << 20) -> int:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ~``target_bytes`` files.  Returns the output file count.
+
+    The small-files problem is the classic lake failure mode —
+    streaming/incremental writers leave thousands of KB-sized files
+    whose per-file open/footer overhead dominates scan time and whose
+    listing crushes the driver.  Compaction sizes the output from the
+    actual on-disk bytes and uses ``coalesce`` (narrow — merges
+    partitions WITHOUT a shuffle; compaction only ever reduces file
+    count, so the no-split limitation of coalesce is irrelevant and a
+    full repartition shuffle would be pure waste).
+
+    Driver-side ``os.walk`` sizing is the local-FS stand-in for the
+    Hadoop FileSystem listing a cluster deployment would use; both are
+    metadata-only."""
+    import math
+
+    total = 0
+    for root, _dirs, names in os.walk(src_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+    n_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).coalesce(n_files) \
+        .write.mode("overwrite").parquet(dst_dir)
+    return n_files

@@ -428,3 +428,35 @@ def test_count_min_sketch_laws(spark):
     a = {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
     b = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert a == b
+
+
+def test_compact_parquet_reduces_files_losslessly(spark, sf_dir, tmp_path):
+    """Compaction law: a 64-fragment table compacts to the byte-sized
+    file count with identical content (order-insensitive checksum)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.sources.files import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 32  # genuinely fragmented
+
+    frag_bytes = sum(
+        __import__("os").path.getsize(p)
+        for p in glob.glob(f"{src}/*.parquet"))
+    n_out = compact_parquet(spark, src, dst,
+                            target_bytes=frag_bytes // 4 + 1)
+    assert n_out <= 4
+    assert len(glob.glob(f"{dst}/*.parquet")) == n_out
+
+    def checksum(df):
+        return df.agg(F.sum(F.xxhash64(*sorted(df.columns)))).collect()[0][0]
+
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert checksum(back) == checksum(docs)
