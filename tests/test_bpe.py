@@ -1,0 +1,70 @@
+"""BPE trainer exactness law: the DataFrame-native merge table equals
+a pure-Python reference BPE (same tie-break) on real corpus text and
+on adversarial synthetic words (overlapping runs)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_dados_ibge_sp_spark.operators.bpe import (
+    bpe_train, word_symbol_table)
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            c = word_counts[w]
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += c
+        if not pairs:
+            break
+        # max count, lexicographic tie-break — mirror of the operator
+        (a, b), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, c))
+        for w, syms in words.items():
+            out, carry = [], None
+            for s in syms:
+                if carry is None:
+                    carry = s
+                elif carry == a and s == b:
+                    out.append(a + b)
+                    carry = None
+                else:
+                    out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            words[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    words = word_symbol_table(docs)
+    got = bpe_train(words, n_merges=10)
+
+    wc = {r["w"]: r["c"] for r in
+          docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                      .alias("w"))
+          .filter(F.length("w") > 0)
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()}
+    want = _ref_bpe(wc, 10)
+    assert got == want
+
+
+def test_bpe_matches_reference_on_overlaps(spark):
+    """Adversarial: repeated symbols ('aaaa') where greedy
+    left-to-right merging and pair counting interact."""
+    data = {"aaaa": 3, "aaab": 2, "abab": 5, "bbaa": 1}
+    df = spark.createDataFrame(
+        [(list(w), c) for w, c in data.items()],
+        "symbols array<string>, cnt bigint")
+    got = bpe_train(df, n_merges=6)
+    want = _ref_bpe(data, 6)
+    assert got == want
