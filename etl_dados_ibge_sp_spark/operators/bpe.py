@@ -103,3 +103,34 @@ def bpe_train(words: DataFrame, n_merges: int,
             # the dictionary is small, the plan otherwise nests k folds.
             words = words.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode_counts(docs: DataFrame, merges: list[tuple[str, str, int]],
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table and return per-document BPE token
+    counts: (id_col, n_bpe_tokens).
+
+    Encoding is ENTIRELY in-row — words from one ``split``, each word's
+    symbol array folded through the merges in training order (the same
+    carry/emit automaton as training, nested inside a ``transform``
+    over the word array), then one in-row sum of sizes.  No shuffle,
+    no Python, no join: the merge table is baked into the expression
+    tree as literals (it IS the model — k entries).  Expression depth
+    grows linearly with k; for production-sized vocabularies (k ~ 30k)
+    encoding moves to a broadcast trie + mapInPandas, but the
+    law-pinned semantics stay these."""
+    from .text import tokens
+
+    def encode(word: Column) -> Column:
+        syms = F.split(word, "")
+        for a, b, _cnt in merges:
+            syms = _merge_pair(syms, a, b)
+        return F.size(syms)
+
+    per_word = F.transform(tokens(F.col(text_col)),
+                           lambda w: F.when(F.length(w) > 0, encode(w))
+                           .otherwise(F.lit(0)))
+    total = F.aggregate(per_word, F.lit(0),
+                        lambda acc, n: acc + n).cast("bigint")
+    return docs.select(id_col, total.alias("n_bpe_tokens"))

@@ -68,3 +68,39 @@ def test_bpe_matches_reference_on_overlaps(spark):
     got = bpe_train(df, n_merges=6)
     want = _ref_bpe(data, 6)
     assert got == want
+
+
+def test_bpe_encode_counts_match_reference(spark, sf_dir):
+    """Encoding law: per-doc BPE token counts after k learned merges
+    equal the Python reference encoder applied to the same merges."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    words = word_symbol_table(docs)
+    merges = bpe_train(words, n_merges=8)
+
+    from etl_dados_ibge_sp_spark.operators.bpe import bpe_encode_counts
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode_counts(docs, merges).collect()}
+
+    def encode_word(w):
+        syms = list(w)
+        for a, b, _ in merges:
+            out, carry = [], None
+            for s in syms:
+                if carry is None:
+                    carry = s
+                elif carry == a and s == b:
+                    out.append(a + b)
+                    carry = None
+                else:
+                    out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            syms = out
+        return len(syms)
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        ws = [w for w in r["text"].strip().split() if w]
+        want[r["doc_id"]] = sum(encode_word(w) for w in ws)
+    assert got == want
