@@ -27,7 +27,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 if HERE not in sys.path:
     sys.path.insert(0, HERE)
 
-from etl_dados_ibge_sp_spark.registry import all_queries  # noqa: E402
+from etl_dados_ibge_sp_spark.registry import (  # noqa: E402
+    all_queries_with_pending)
 from etl_dados_ibge_sp_spark.session import get_spark  # noqa: E402
 
 # Headline suite: the scale-critical operators (big agg, star join,
@@ -97,6 +98,7 @@ HEADLINE = [
     "dq_report",
     "market_share_yearly",
     "zorder_key_orders",
+    "nation_trade_bfs",
 ]
 
 
@@ -116,11 +118,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="etl-ibge-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = dict(all_queries())
-    # Deferred-registration queries bench before they are admitted.
-    from etl_dados_ibge_sp_spark.registry_pending import PENDING
-    for pname, _sql, pfn in PENDING:
-        queries.setdefault(pname, pfn)
+    queries = all_queries_with_pending()
 
     # Warm the JVM, parquet footers AND data pages once so query 1
     # isn't charged for session startup or a cold OS page cache

@@ -34,10 +34,13 @@ def dq_counts(checks: dict[str, DataFrame]) -> DataFrame:
 
 def fk_violations(child: DataFrame, child_key: str,
                   parent: DataFrame, parent_key: str) -> DataFrame:
-    """Child rows whose key has no parent (left-anti join)."""
-    return child.join(
-        parent.select(F.col(parent_key).alias(child_key)).distinct(),
-        child_key, "left_anti")
+    """Child rows whose key has no parent — a renamed view of the J2
+    anti-join (operators/joins.anti_join_dedup owns the distinct-keys-
+    before-exchange shape; one implementation, no drift)."""
+    from .joins import anti_join_dedup
+    return anti_join_dedup(
+        child, parent.select(F.col(parent_key).alias(child_key)),
+        [child_key])
 
 
 def duplicate_keys(df: DataFrame, *keys: str) -> DataFrame:

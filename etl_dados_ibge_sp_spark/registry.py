@@ -906,11 +906,11 @@ def _green_history() -> tuple[dict[str, int], int]:
             if not isinstance(row, dict):
                 continue
             if row.get("rows_match") and row.get("err") is None:
-                last[name] = rnd
+                last[name] = max(last.get(name, 0), rnd)
             elif (row.get("err") == "no_oracle"
                     and row.get("spark_rows") is not None):
                 if name in REGISTRY and REGISTRY[name].sql is None:
-                    last[name] = rnd
+                    last[name] = max(last.get(name, 0), rnd)
     return last, newest + 1
 
 
@@ -985,6 +985,19 @@ def _load_extensions() -> None:
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {name: REGISTRY[name].fn for name in _ordered_names()}
+
+
+def all_queries_with_pending() -> dict[
+        str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered queries plus not-yet-admitted deferred ones — the
+    resolution bench.py and tools/plan_audit.py share, so perf and
+    plan evidence never waits on the driver's verification budget.
+    (NOT the driver surface: __spark_entry__ uses all_queries.)"""
+    from . import registry_pending
+    out = dict(all_queries())
+    for name, _sql, fn in registry_pending.PENDING:
+        out.setdefault(name, fn)
+    return out
 
 
 def all_oracle_sql() -> dict[str, str]:

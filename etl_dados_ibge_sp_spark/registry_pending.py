@@ -294,13 +294,17 @@ def _q_inactive_premium_customers(spark: SparkSession,
 # --------------------------------------------------------------------------
 
 _TRADE_EDGES_CTE = """
-WITH tr AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
-            FROM lineitem l
-            JOIN orders o ON o.o_orderkey = l.l_orderkey
-            JOIN customer c ON c.c_custkey = o.o_custkey
-            JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            WHERE c.c_nationkey <> s.s_nationkey),
-w AS (SELECT least(cn, sn) AS a, greatest(cn, sn) AS b,
+WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+ord AS (SELECT o_orderkey, o_custkey FROM orders),
+cst AS (SELECT c_custkey, c_nationkey FROM customer),
+sup AS (SELECT s_suppkey, s_nationkey FROM supplier),
+tr AS (SELECT cst.c_nationkey AS cn, sup.s_nationkey AS sn
+            FROM li
+            JOIN ord ON ord.o_orderkey = li.l_orderkey
+            JOIN cst ON cst.c_custkey = ord.o_custkey
+            JOIN sup ON sup.s_suppkey = li.l_suppkey
+            WHERE cst.c_nationkey <> sup.s_nationkey),
+w AS MATERIALIZED (SELECT least(cn, sn) AS a, greatest(cn, sn) AS b,
              count(*) AS wt
       FROM tr GROUP BY 1, 2)
 SELECT a AS u, b AS v FROM w
@@ -308,18 +312,13 @@ WHERE wt > 1.2 * (SELECT CAST(SUM(wt) AS DOUBLE) / count(*) FROM w)
 """
 
 
-def _q_nation_trade_triangles(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    """Triangle participation per nation on the trade graph (customer
-    nation <-> supplier nation), keeping only edges whose trade volume
-    exceeds 1.2x the mean edge weight — a RELATIVE threshold, so the
-    graph stays sparse (and the triangle structure discriminative) at
-    every scale factor instead of saturating to the complete graph.
-    The triangle core is operators/graph.triangle_participation:
-    degree-ordered orientation, O(E^1.5) wedge bound, 3 shuffles, no
-    driver iteration.  Oracle: graph.triangles_sql's x<y<z
-    enumeration — a different orientation, same triangle set."""
-    from .operators.graph import triangle_participation
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded nation trade graph (u, v): undirected customer-
+    nation <-> supplier-nation pairs whose trade volume exceeds 1.2x
+    the mean edge weight — a RELATIVE threshold, so the graph stays
+    sparse (and its structure discriminative) at every scale factor
+    instead of saturating to the complete graph.  Shared by the
+    triangle and BFS queries; mirrors _TRADE_EDGES_CTE exactly."""
     li = load_table(spark, sf_dir, "lineitem") \
         .select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders") \
@@ -328,7 +327,6 @@ def _q_nation_trade_triangles(spark: SparkSession,
         .select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier") \
         .select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
@@ -344,10 +342,22 @@ def _q_nation_trade_triangles(spark: SparkSession,
          .persist(StorageLevel.MEMORY_AND_DISK))
     stats = w.agg((F.sum("wt").cast("double")
                    / F.count(F.lit(1))).alias("__mean_wt"))
-    e = (w.join(F.broadcast(stats))
-         .filter(F.col("wt") > 1.2 * F.col("__mean_wt"))
-         .select(F.col("a").alias("u"), F.col("b").alias("v")))
-    tp = triangle_participation(e)
+    return (w.join(F.broadcast(stats))
+            .filter(F.col("wt") > 1.2 * F.col("__mean_wt"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v")))
+
+
+def _q_nation_trade_triangles(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Triangle participation per nation on the thresholded trade
+    graph (_trade_edges).  The triangle core is
+    operators/graph.triangle_participation: degree-ordered
+    orientation, O(E^1.5) wedge bound, 3 shuffles, no driver
+    iteration.  Oracle: graph.triangles_sql's x<y<z enumeration — a
+    different orientation, same triangle set."""
+    from .operators.graph import triangle_participation
+    nation = load_table(spark, sf_dir, "nation")
+    tp = triangle_participation(_trade_edges(spark, sf_dir))
     return (tp.join(F.broadcast(nation), tp.node == nation.n_nationkey)
             .select("n_name", "n_triangles"))
 
@@ -754,9 +764,18 @@ def _q_schema_evolution_scan(spark: SparkSession,
     table actually looks — per-file schemas differ and the reader owns
     reconciliation; the footer merge is metadata-only (no data
     rewrite)."""
+    import hashlib
+    import os
     import tempfile
+
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    # Deterministic per-sf staging dir + overwrite mode: repeated
+    # invocations (bench warm+timed, driver rounds) rewrite ONE copy
+    # instead of leaking a fresh mkdtemp each call.  The dir can't be
+    # deleted before the driver consumes the lazy result, so bounding
+    # it is the honest fix.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tmp = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
     docs.filter(F.col("doc_id") % 2 == 0) \
         .select("doc_id", "lang") \
         .write.mode("overwrite").parquet(f"{tmp}/old")
@@ -804,6 +823,39 @@ def _q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), frames)
 
 
+def _bfs_oracle() -> str:
+    from .operators.graph import hop_distances_sql
+    sym = f"""
+WITH base AS ({_TRADE_EDGES_CTE})
+SELECT u, v FROM base UNION ALL SELECT v AS u, u AS v FROM base"""
+    srcs = "SELECT n_nationkey AS node FROM nation WHERE n_nationkey = 0"
+    return f"""
+WITH pn AS ({hop_distances_sql(sym, srcs, k=4)})
+SELECT n.n_name, pn.dist
+FROM pn JOIN nation n ON n.n_nationkey = pn.node
+"""
+
+
+def _q_nation_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (operators/graph.hop_distances): shortest hop
+    distance from nation 0 over the symmetrized thresholded trade
+    graph, <= 4 hops — k unrolled relaxation rounds, each one
+    (node, dist) join + min-agg, the same small-payload iterative
+    shape as pagerank.  Oracle: the identical rounds as unrolled
+    CTEs."""
+    from .operators.graph import hop_distances
+    e = _trade_edges(spark, sf_dir)
+    sym = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    nation = load_table(spark, sf_dir, "nation")
+    srcs = nation.filter(F.col("n_nationkey") == 0) \
+        .select(F.col("n_nationkey").alias("node"))
+    d = hop_distances(sym, srcs, k=4)
+    return (d.join(F.broadcast(nation),
+                   d.node == nation.n_nationkey)
+            .select("n_name", "dist"))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -840,6 +892,7 @@ PENDING: list[tuple[str, str,
     ("zorder_key_orders", _zorder_oracle(), _q_zorder_key_orders),
     ("schema_evolution_scan", _SCHEMA_EVO_SQL, _q_schema_evolution_scan),
     ("profile_tables", _profile_oracle(), _q_profile_tables),
+    ("nation_trade_bfs", _bfs_oracle(), _q_nation_trade_bfs),
 ]
 
 

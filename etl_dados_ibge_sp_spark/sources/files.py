@@ -51,7 +51,14 @@ def compact_parquet(spark, src_dir: str, dst_dir: str,
 
     Driver-side ``os.walk`` sizing is the local-FS stand-in for the
     Hadoop FileSystem listing a cluster deployment would use; both are
-    metadata-only."""
+    metadata-only.
+
+    Returns the ACTUAL output file count (counted after the write):
+    ``coalesce`` can only reduce partitions, so when the scan packs the
+    input into fewer partitions than the byte-derived target (e.g.
+    ``maxPartitionBytes`` >> target_bytes) the output has fewer, larger
+    files than asked — the return value reports what happened, not
+    what was requested."""
     import math
 
     total = 0
@@ -62,4 +69,5 @@ def compact_parquet(spark, src_dir: str, dst_dir: str,
     n_files = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src_dir).coalesce(n_files) \
         .write.mode("overwrite").parquet(dst_dir)
-    return n_files
+    return sum(1 for _r, _d, names in os.walk(dst_dir)
+               for n in names if n.endswith(".parquet"))

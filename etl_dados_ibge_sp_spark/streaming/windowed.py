@@ -386,17 +386,26 @@ def stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows = []
         for p in pdfs:
-            rows.extend(zip(p["us"].tolist(), p["event_id"].tolist(),
-                            p["x"].tolist()))
-        rows.sort()
+            # NULL values arrive as NaN (pandas upcasts the bigint
+            # column to float64); restore them to None so the buffer
+            # mirrors the SQL semantics — COUNT(*) includes the row,
+            # SUM skips it — instead of poisoning every later window
+            # with NaN.  Non-null values round-trip exactly (micros
+            # <= ~5e8 << 2^53).
+            rows.extend(
+                (us, eid, None if _pd.isna(x) else int(x))
+                for us, eid, x in zip(p["us"].tolist(),
+                                      p["event_id"].tolist(),
+                                      p["x"].tolist()))
+        rows.sort(key=lambda r: (r[0], r[1]))
         buf = list(state.get[0]) if state.exists else []
         out = []
         for _us, eid, x in rows:
             window = buf[-frame:]
-            n = len(window)
-            if n >= min_n:
-                s = sum(window)
-                ss = sum(v * v for v in window)
+            n = len(window)  # count(*): null rows occupy frame slots
+            if n >= min_n and x is not None:
+                s = sum(v for v in window if v is not None)
+                ss = sum(v * v for v in window if v is not None)
                 dev = n * x - s
                 if dev * dev * (n - 1) > z2 * n * (n * ss - s * s):
                     out.append((eid, key[0], x, n))

@@ -460,3 +460,79 @@ def test_compact_parquet_reduces_files_losslessly(spark, sf_dir, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == docs.count()
     assert checksum(back) == checksum(docs)
+
+
+def test_stream_anomaly_null_parity(spark, tmp_path):
+    """NULL-value parity law: with NULL values planted in the event
+    stream, the streaming detector must agree with the batch query
+    exactly — the SQL frame semantics count a null row in n_window but
+    exclude it from the sums, and a null current value is never
+    flagged."""
+    import datetime as dt
+
+    from etl_dados_ibge_sp_spark.registry_pending import (
+        _q_events_rolling_anomaly, _q_stream_rolling_anomaly)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(30):
+            # a null every 7th event; a spike at i == 25
+            v = None if i % 7 == 3 else (500.0 if i == 25 else 10.0 + i * 0.5)
+            rows.append((eid, base + dt.timedelta(minutes=i), u,
+                         "view", v, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "evdir")
+    df.coalesce(1).write.parquet(d)
+    import glob
+    import shutil
+    frag = glob.glob(f"{d}/*.parquet")[0]
+    shutil.move(frag, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    batch = {tuple(r) for r in
+             _q_events_rolling_anomaly(spark, sf).collect()}
+    stream = {tuple(r) for r in
+              _q_stream_rolling_anomaly(spark, sf).collect()}
+    assert batch, "no anomalies flagged — fixture too tame to test"
+    assert stream == batch
+
+
+def test_hop_distances_matches_bruteforce(spark):
+    """Property law: bounded BFS equals a Python BFS on arbitrary
+    directed graphs (k caps the distance; unreachable nodes absent)."""
+    from collections import deque
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dados_ibge_sp_spark.operators.graph import hop_distances
+
+    @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                    min_size=1, max_size=25),
+           st.integers(1, 4))
+    @settings(max_examples=8, deadline=None)
+    def law(pairs, k):
+        edges = spark.createDataFrame(pairs, "u bigint, v bigint")
+        srcs = spark.createDataFrame([(0,)], "node bigint")
+        got = {r["node"]: r["dist"]
+               for r in hop_distances(edges, srcs, k).collect()}
+        adj = {}
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+        want, q = {0: 0}, deque([0])
+        while q:
+            u = q.popleft()
+            if want[u] >= k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    q.append(v)
+        assert got == want
+
+    law()
