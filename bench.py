@@ -99,6 +99,7 @@ HEADLINE = [
     "market_share_yearly",
     "zorder_key_orders",
     "nation_trade_bfs",
+    "incremental_agg_maintenance",
 ]
 
 

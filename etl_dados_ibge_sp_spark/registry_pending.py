@@ -635,16 +635,24 @@ WHERE text IS NULL OR length(trim(text)) < 100
 UNION ALL
 SELECT 'value_out_of_range', CAST(count(*) AS BIGINT) FROM events
 WHERE value IS NULL OR value <= 0 OR value > 400
+UNION ALL
+SELECT 'bad_event_type', CAST(count(*) AS BIGINT) FROM events
+WHERE event_type IS NULL OR event_type NOT IN
+      ('click', 'signup', 'error', 'view', 'purchase')
+UNION ALL
+SELECT 'future_ts', CAST(count(*) AS BIGINT) FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2030-01-01'
 """
 
 
 def _q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over the warehouse (operators/dq): two
     referential-integrity anti-joins, a composite-key uniqueness
-    check, and null/range filters — one (check_name, n_violations)
-    row each, passing checks included as explicit zeros.  Every check
-    collapses to a count before the union, so the report moves six
-    rows however many TBs the checks scanned."""
+    check, null/range filters, an accepted-values domain check, and a
+    future-timestamp bound — one (check_name, n_violations) row each,
+    passing checks included as explicit zeros.  Every check collapses
+    to a count before the union, so the report moves eight rows
+    however many TBs the checks scanned."""
     from .operators.dq import dq_counts, duplicate_keys, fk_violations
 
     cust = load_table(spark, sf_dir, "customer")
@@ -665,6 +673,15 @@ def _q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_out_of_range": events.filter(
             F.col("value").isNull() | (F.col("value") <= 0)
             | (F.col("value") > 400)),
+        # accepted-values (dbt-style domain check) + a bound against
+        # obviously-corrupt future timestamps; the reference instant
+        # is a fixed literal, not now(), so the check is deterministic.
+        "bad_event_type": events.filter(
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin("click", "signup", "error",
+                                        "view", "purchase")),
+        "future_ts": events.filter(
+            F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
     })
 
 
@@ -856,6 +873,46 @@ def _q_nation_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name", "dist"))
 
 
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-state merge)
+# --------------------------------------------------------------------------
+
+_INCR_AGG_SQL = """
+WITH c AS (SELECT o_custkey,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total,
+       CAST(MIN(cents) AS BIGINT) AS v_min,
+       CAST(MAX(cents) AS BIGINT) AS v_max,
+       round(CAST(SUM(cents) AS DOUBLE) / count(*), 6) AS v_avg
+FROM c GROUP BY o_custkey
+"""
+
+
+def _q_incremental_agg_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental): the
+    per-customer order aggregate is built as TWO partial states — the
+    'historical' snapshot (orders before 1998) and the 'delta' (1998
+    onward) — then merged and finalized WITHOUT rescanning history.
+    The oracle is the full GROUP BY over all orders: merge(partial(A),
+    partial(B)) must equal recompute(A ∪ B) exactly, which is the
+    entire contract of incremental ETL."""
+    from .operators.incremental import (finalize, merge_states,
+                                        partial_aggregate)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+         .alias("cents"))
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    hist = partial_aggregate(o.filter(F.col("o_orderdate") < cut),
+                             ["o_custkey"], "cents")
+    delta = partial_aggregate(o.filter(F.col("o_orderdate") >= cut),
+                              ["o_custkey"], "cents")
+    return finalize(merge_states(hist, delta))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -893,6 +950,8 @@ PENDING: list[tuple[str, str,
     ("schema_evolution_scan", _SCHEMA_EVO_SQL, _q_schema_evolution_scan),
     ("profile_tables", _profile_oracle(), _q_profile_tables),
     ("nation_trade_bfs", _bfs_oracle(), _q_nation_trade_bfs),
+    ("incremental_agg_maintenance", _INCR_AGG_SQL,
+     _q_incremental_agg_maintenance),
 ]
 
 

@@ -536,3 +536,40 @@ def test_hop_distances_matches_bruteforce(spark):
         assert got == want
 
     law()
+
+
+def test_incremental_merge_equals_recompute_any_split(spark):
+    """Incremental-maintenance law: merging the partial states of ANY
+    split of the data finalizes identically to a full aggregate —
+    including 3-way splits and splits with empty/disjoint key sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.operators.incremental import (
+        finalize, merge_states, partial_aggregate)
+
+    @given(st.lists(st.tuples(st.integers(0, 4),
+                              st.integers(-100, 100)),
+                    min_size=1, max_size=40),
+           st.integers(0, 40), st.integers(0, 40))
+    @settings(max_examples=8, deadline=None)
+    def law(rows, cut1, cut2):
+        a, b = sorted((min(cut1, len(rows)), min(cut2, len(rows))))
+        parts = [rows[:a], rows[a:b], rows[b:]]
+        frames = [
+            spark.createDataFrame(p or [(99999, 0)],
+                                  "k bigint, v bigint")
+            .filter(F.col("k") != 99999) if not p else
+            spark.createDataFrame(p, "k bigint, v bigint")
+            for p in parts
+        ]
+        states = [partial_aggregate(f, ["k"], "v") for f in frames]
+        got = {tuple(r) for r in
+               finalize(merge_states(*states)).collect()}
+        full = spark.createDataFrame(rows, "k bigint, v bigint")
+        want = {tuple(r) for r in
+                finalize(partial_aggregate(full, ["k"], "v")).collect()}
+        assert got == want
+
+    law()
