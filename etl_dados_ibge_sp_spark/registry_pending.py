@@ -913,6 +913,69 @@ def _q_incremental_agg_maintenance(spark: SparkSession,
     return finalize(merge_states(hist, delta))
 
 
+# --------------------------------------------------------------------------
+# Sliding-window DISTINCT (7-day active users) + day-of-week profile
+# --------------------------------------------------------------------------
+
+_ACTIVE7_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))
+                             / 86400000000.0) AS BIGINT) AS day
+           FROM events),
+g AS (SELECT DISTINCT day FROM d)
+SELECT g.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_7d
+FROM g JOIN d ON d.day BETWEEN g.day - 6 AND g.day
+GROUP BY g.day
+"""
+
+
+def _q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the sliding
+    DISTINCT no window frame can express (COUNT(DISTINCT) OVER RANGE
+    is unsupported in every engine).  The scale shape: dedupe to
+    (user, day) once, explode each row to the <=7 window-days it
+    contributes to (in-row sequence — x7 fan-out of the already-tiny
+    distinct set, NOT of the raw events), keep real days via a
+    broadcast semi-join, and one distinct-count per window-day.  The
+    oracle is the quadratic-ish range self-join definition."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000.0)) \
+        .cast("bigint")
+    d = e.select("user_id", day.alias("day")).distinct()
+    days = d.select("day").distinct()
+    expanded = d.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"),
+                             F.col("day") + F.lit(6))).alias("day"))
+    return (expanded.join(F.broadcast(days), "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("active_7d")))
+
+
+_DOW_SQL = """
+SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE), 2)
+           AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type.  ISO weekday
+    (Mon=1..Sun=7) on both engines — Spark's ``weekday`` (Mon=0) + 1
+    vs DuckDB's ``isodow`` — because the engines' default ``dayofweek``
+    numberings disagree; DECIMAL-accumulated totals as everywhere."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy((F.weekday("ts") + F.lit(1)).cast("bigint")
+                      .alias("dow"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(32,6)"))
+                         .cast("double"), 2).alias("total_value")))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -952,6 +1015,8 @@ PENDING: list[tuple[str, str,
     ("nation_trade_bfs", _bfs_oracle(), _q_nation_trade_bfs),
     ("incremental_agg_maintenance", _INCR_AGG_SQL,
      _q_incremental_agg_maintenance),
+    ("active_users_7d", _ACTIVE7_SQL, _q_active_users_7d),
+    ("events_dow_profile", _DOW_SQL, _q_events_dow_profile),
 ]
 
 
