@@ -100,6 +100,9 @@ HEADLINE = [
     "zorder_key_orders",
     "nation_trade_bfs",
     "incremental_agg_maintenance",
+    "active_users_7d",
+    "events_dow_profile",
+    "corpus_mix_temperature",
 ]
 
 

@@ -173,3 +173,75 @@ def unigram_nll(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ((F.col("nll_micro").cast("double") / F.col("n_tok"))
              / F.lit(1e6)).alias("avg_nll"))
     )
+
+
+def source_mix_temperature(docs: DataFrame, id_col: str, text_col: str,
+                           source_col: str, budget_frac: float = 0.5,
+                           salt: str = "mixT") -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): weights derive
+    from the DATA as sqrt(source token count) instead of a config —
+    the standard multilingual-pretraining rebalance that upsamples
+    small sources relative to their size (w_s ∝ n_s^alpha flattens the
+    distribution; alpha=0.5 is the common temperature tau=2 setting).
+
+    Cross-engine float discipline: sqrt is IEEE-correctly-rounded on
+    both JVMs and libm, the weight is rounded to 6 decimals and cast
+    to DECIMAL(38,8) — exactly representable, so the weight SUM is
+    order-insensitive — and the rate arithmetic divides doubles in the
+    same association on both sides.  Same deterministic content-hash
+    sampling as :func:`source_mix`.
+    """
+    d = docs.select(F.col(id_col), F.col(source_col),
+                    token_count(F.col(text_col)).alias("n_tok"))
+    per_src = (
+        d.groupBy(source_col).agg(F.sum("n_tok").alias("src_tok"))
+        .withColumn("w", F.round(F.sqrt(F.col("src_tok").cast("double")),
+                                 6).cast("decimal(38,8)")))
+    wall = Window.partitionBy()
+    rates = per_src.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(budget_frac) * F.sum("src_tok").over(wall))
+            * (F.col("w").cast("double")
+               / F.sum("w").over(wall).cast("double"))
+            / F.col("src_tok"),
+        ).alias("rate"))
+    return (
+        d.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket([id_col], salt)
+                < F.floor(F.col("rate") * N_BUCKETS).cast("bigint"))
+        .select(id_col, source_col, "n_tok")
+    )
+
+
+def source_mix_temperature_sql(table: str, id_col: str, text_col: str,
+                               source_col: str,
+                               budget_frac: float = 0.5,
+                               salt: str = "mixT") -> str:
+    """DuckDB rendering of :func:`source_mix_temperature` (adjacent,
+    no drift): identical association, DECIMAL weight sum."""
+    toks = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
+    return f"""
+WITH d AS (
+    SELECT {id_col}, {source_col},
+           CAST({toks} AS BIGINT) AS n_tok
+    FROM {table}
+), per_src AS (
+    SELECT {source_col}, SUM(n_tok) AS src_tok,
+           CAST(round(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 6)
+                AS DECIMAL(38,8)) AS w
+    FROM d GROUP BY {source_col}
+), rates AS (
+    SELECT {source_col},
+           least(1.0, ({budget_frac} * SUM(src_tok) OVER ())
+                      * (CAST(w AS DOUBLE)
+                         / CAST(SUM(w) OVER () AS DOUBLE))
+                      / src_tok) AS rate
+    FROM per_src
+)
+SELECT d.{id_col}, d.{source_col}, d.n_tok
+FROM d JOIN rates USING ({source_col})
+WHERE {hash_bucket_sql([id_col], salt)}
+      < CAST(floor(rate * {N_BUCKETS}) AS BIGINT)
+"""

@@ -976,6 +976,24 @@ def _q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double"), 2).alias("total_value")))
 
 
+def _mix_temp_oracle() -> str:
+    from .operators.mixing import source_mix_temperature_sql
+    return source_mix_temperature_sql("documents", "doc_id", "text",
+                                      "source")
+
+
+def _q_corpus_mix_temperature(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (alpha=0.5): per-source rates
+    derive from the data as sqrt(token count) — the multilingual
+    upsample-the-tail rebalance — with the same deterministic
+    content-hash sampling as corpus_mix
+    (operators/mixing.source_mix_temperature)."""
+    from .operators.mixing import source_mix_temperature
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mix_temperature(docs, "doc_id", "text", "source")
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1017,6 +1035,8 @@ PENDING: list[tuple[str, str,
      _q_incremental_agg_maintenance),
     ("active_users_7d", _ACTIVE7_SQL, _q_active_users_7d),
     ("events_dow_profile", _DOW_SQL, _q_events_dow_profile),
+    ("corpus_mix_temperature", _mix_temp_oracle(),
+     _q_corpus_mix_temperature),
 ]
 
 

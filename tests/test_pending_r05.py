@@ -573,3 +573,46 @@ def test_incremental_merge_equals_recompute_any_split(spark):
         assert got == want
 
     law()
+
+
+def test_rotation_invariants_random_histories():
+    """Rotation robustness on ARBITRARY histories: for random registry
+    sizes (up to the 3x-budget cap) and random past green rounds, the
+    steady-state rotation must (a) re-verify every query within
+    ceil(N/50)+1 rounds, (b) never leave a never-verified query
+    unchecked once any budget reaches it, and (c) order critically
+    stale rows first."""
+    import random
+
+    from etl_dados_ibge_sp_spark.registry import _order
+
+    BUDGET = 50
+    rng = random.Random(7)
+    for _trial in range(25):
+        n = rng.randint(10, 150)
+        cur = rng.randint(5, 12)
+        names = [f"q{i}" for i in range(n)]
+        last_green = {f"q{i}": rng.randint(1, cur - 1)
+                      for i in range(n) if rng.random() < 0.9}
+        period = -(-n // BUDGET) + 1  # ceil + 1 slack round
+        last_checked: dict[str, int] = {}
+        for r in range(cur, cur + 3 * period + 3):
+            ordered = _order(names, last_green, r)
+            # (c) every class-0 row precedes every class-2/3 row
+            keys = []
+            for q in ordered:
+                g = last_green.get(q)
+                keys.append(0 if (g is not None and g <= r - 3)
+                            else (1 if g is None else 2))
+            assert keys == sorted(keys, key=lambda k: {0: 0, 1: 1,
+                                                       2: 2}[k])
+            for q in ordered[:BUDGET]:
+                last_green[q] = r
+                last_checked[q] = r
+        # (a)+(b): after burn-in, everything was checked recently
+        horizon = cur + 3 * period + 2
+        for q in names:
+            assert q in last_checked, f"{q} never checked"
+            assert horizon - last_checked[q] < period, \
+                f"{q} stale for {horizon - last_checked[q]} rounds " \
+                f"(N={n}, period={period})"
