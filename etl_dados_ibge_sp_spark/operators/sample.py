@@ -89,3 +89,46 @@ def stratified_balance(df: DataFrame, group_col: str,
         return ranked.join(k_col).filter(F.col("rn") <= F.col("__k")) \
             .drop("__k")
     return ranked.filter(F.col("rn") <= k)
+
+
+def weighted_sample(df: DataFrame, key_cols: Sequence[str],
+                    weight_col: str, k: int,
+                    salt: str = "wsmp") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows
+    (Efraimidis-Spirakis A-ES): each row gets an exponential key
+    ``-ln(u) / w`` with u drawn from its content-hash bucket, and the
+    k SMALLEST keys win — inclusion probability proportional to
+    weight, no sequential reservoir, so the "reservoir" is a plain
+    distributed top-k (TakeOrdered: per-partition heads, tiny driver
+    merge).  Same key + salt -> same sample on any cluster, retry, or
+    engine.
+
+    Cross-engine float discipline: u = (bucket+1)/1e6 is exact, ln may
+    differ by an ulp between libm and the JVM, so the key is rounded
+    to 9 decimals before ranking (an ulp at ln-scale is ~1e-15 — far
+    inside the rounding) and ties break on the key columns.
+
+    Returns the sampled rows with their ``skey``.
+    """
+    u = (hash_bucket(key_cols, salt) + F.lit(1)) / F.lit(float(N_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    skey = F.round(-F.log(u) / w, 9)
+    return (df.withColumn("skey", skey)
+            .orderBy(F.asc("skey"),
+                     *[F.asc(c) for c in key_cols])
+            .limit(k))
+
+
+def weighted_sample_sql(table: str, key_cols: Sequence[str],
+                        weight_col: str, k: int, cols: str,
+                        salt: str = "wsmp") -> str:
+    """DuckDB rendering of :func:`weighted_sample` (adjacent, no
+    drift)."""
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT {cols}, skey FROM (
+    SELECT *, round(-ln(({hash_bucket_sql(key_cols, salt)} + 1)
+                        / {float(N_BUCKETS)!r})
+                    / CAST({weight_col} AS DOUBLE), 9) AS skey
+    FROM {table})
+ORDER BY skey, {keys} LIMIT {k}"""

@@ -994,6 +994,25 @@ def _q_corpus_mix_temperature(spark: SparkSession,
     return source_mix_temperature(docs, "doc_id", "text", "source")
 
 
+def _wsample_oracle() -> str:
+    from .operators.sample import weighted_sample_sql
+    return weighted_sample_sql("documents", ["doc_id"], "n_chars",
+                               k=100, cols="doc_id, source, n_chars")
+
+
+def _q_weighted_sample_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sample.weighted_sample, Efraimidis-Spirakis): 100 docs
+    with inclusion probability proportional to length — the
+    quality/length-weighted subsample step of a curation pipeline,
+    reproducible across clusters and engines."""
+    from .operators.sample import weighted_sample
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, ["doc_id"], "n_chars", k=100)
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1037,6 +1056,7 @@ PENDING: list[tuple[str, str,
     ("events_dow_profile", _DOW_SQL, _q_events_dow_profile),
     ("corpus_mix_temperature", _mix_temp_oracle(),
      _q_corpus_mix_temperature),
+    ("weighted_sample_docs", _wsample_oracle(), _q_weighted_sample_docs),
 ]
 
 
