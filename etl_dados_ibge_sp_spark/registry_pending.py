@@ -994,6 +994,19 @@ def _q_corpus_mix_temperature(spark: SparkSession,
     return source_mix_temperature(docs, "doc_id", "text", "source")
 
 
+def _q_stream_incremental_agg(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental_agg_maintenance
+    (streaming/windowed.stream_incremental_agg): four genuine
+    micro-batches (maxFilesPerTrigger=1 over four staged fragments),
+    each foreachBatch merging its partial state with the previous
+    version — history never rescanned.  Shares the batch query's
+    full-GROUP-BY oracle because partial-state merge is associative
+    over any split."""
+    from .streaming.windowed import stream_incremental_agg
+    return stream_incremental_agg(spark, sf_dir)
+
+
 def _wsample_oracle() -> str:
     from .operators.sample import weighted_sample_sql
     return weighted_sample_sql("documents", ["doc_id"], "n_chars",
@@ -1057,6 +1070,7 @@ PENDING: list[tuple[str, str,
     ("corpus_mix_temperature", _mix_temp_oracle(),
      _q_corpus_mix_temperature),
     ("weighted_sample_docs", _wsample_oracle(), _q_weighted_sample_docs),
+    ("stream_incremental_agg", _INCR_AGG_SQL, _q_stream_incremental_agg),
 ]
 
 
