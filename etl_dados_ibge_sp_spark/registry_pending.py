@@ -1026,6 +1026,47 @@ def _q_weighted_sample_docs(spark: SparkSession,
     return weighted_sample(docs, ["doc_id"], "n_chars", k=100)
 
 
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+_NULLSAFE_SQL = """
+WITH a AS (SELECT DISTINCT CASE WHEN CAST(floor(value) AS BIGINT) % 5 = 0
+                                THEN NULL
+                                ELSE CAST(floor(value) AS BIGINT) % 50
+                           END AS k
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT CASE WHEN CAST(floor(value) AS BIGINT) % 5 = 0
+                           THEN NULL
+                           ELSE CAST(floor(value) AS BIGINT) % 50
+                      END AS k
+      FROM events WHERE event_type = 'view')
+SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+"""
+
+
+def _q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` vs SQL IS NOT DISTINCT
+    FROM): NULL keys match each other instead of silently dropping —
+    the semantics every "join on an optional attribute" pipeline needs
+    and a plain equi-join gets wrong.  Still hash-partitionable (null
+    is just one more key value), so the plan is an ordinary shuffled
+    hash join, not a cartesian fallback."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.floor("value").cast("bigint") % 5 == 0,
+               F.lit(None).cast("bigint")) \
+        .otherwise(F.floor("value").cast("bigint") % 50)
+    a = e.filter(F.col("event_type") == "click") \
+        .select(k.alias("k")).distinct()
+    b = e.filter(F.col("event_type") == "view") \
+        .select(k.alias("ka")).distinct()
+    return (a.join(b, a["k"].eqNullSafe(b["ka"]))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1071,6 +1112,7 @@ PENDING: list[tuple[str, str,
      _q_corpus_mix_temperature),
     ("weighted_sample_docs", _wsample_oracle(), _q_weighted_sample_docs),
     ("stream_incremental_agg", _INCR_AGG_SQL, _q_stream_incremental_agg),
+    ("null_safe_join", _NULLSAFE_SQL, _q_null_safe_join),
 ]
 
 
