@@ -1067,6 +1067,59 @@ def _q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
 
 
+# --------------------------------------------------------------------------
+# Python UDTF surface (lateral table function)
+# --------------------------------------------------------------------------
+
+_UDTF_SQL = """
+WITH f AS (
+    SELECT doc_id,
+           list_filter(list_transform(
+               regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS parts
+    FROM documents
+), z AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(parts) + 1),
+                  i -> {'idx': i - 1, 's': parts[i]})) AS u
+    FROM f
+)
+SELECT doc_id, CAST(u.idx AS BIGINT) AS sentence_idx,
+       u.s AS sentence
+FROM z
+"""
+
+
+def _q_udtf_sentence_split(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined TABLE function) via a
+    SQL LATERAL join: one input row fans out to one row per sentence.
+    This is deliberately the API demo — the production path for a
+    pure-string split is the in-row JVM split + posexplode the other
+    text queries use (the oracle proves the semantics are
+    SQL-expressible); a UDTF earns its per-row Python cost only when
+    the expansion needs real Python (a parser, a tokenizer library, a
+    model).  Registered per-call; the oracle replicates the
+    filter-then-index semantics with list_filter + generate_series."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx bigint, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF contract
+            import re
+            parts = [s.strip() for s in re.split(r"[.!?]+", text or "")
+                     if s.strip()]
+            for i, s in enumerate(parts):
+                yield i, s
+
+    spark.udtf.register("__split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("__udtf_docs")
+    return spark.sql("""
+        SELECT doc_id, s.sentence_idx, s.sentence
+        FROM __udtf_docs, LATERAL __split_sentences(text) s""")
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1113,6 +1166,7 @@ PENDING: list[tuple[str, str,
     ("weighted_sample_docs", _wsample_oracle(), _q_weighted_sample_docs),
     ("stream_incremental_agg", _INCR_AGG_SQL, _q_stream_incremental_agg),
     ("null_safe_join", _NULLSAFE_SQL, _q_null_safe_join),
+    ("udtf_sentence_split", _UDTF_SQL, _q_udtf_sentence_split),
 ]
 
 

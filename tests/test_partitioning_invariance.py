@@ -6,9 +6,9 @@ from __future__ import annotations
 
 import pytest
 
-from etl_dados_ibge_sp_spark.registry import all_queries
+from etl_dados_ibge_sp_spark.registry import all_queries_with_pending
 
-QUERIES = all_queries()
+QUERIES = all_queries_with_pending()
 
 CHECKED = [
     "corpus_mix",
@@ -18,6 +18,16 @@ CHECKED = [
     "nation_pagerank",
     "merge_upsert",
     "events_resample_locf",
+    # round-4 deferred operators whose determinism is non-obvious:
+    # sampling/top-k ties, iterative graph ops, partial-state merges,
+    # batch-dependent heavy-hitter candidates.
+    "weighted_sample_docs",
+    "nation_trade_triangles",
+    "nation_trade_bfs",
+    "heavy_hitter_tokens",
+    "incremental_agg_maintenance",
+    "corpus_mix_temperature",
+    "zorder_key_orders",
 ]
 
 
