@@ -103,6 +103,8 @@ HEADLINE = [
     "active_users_7d",
     "events_dow_profile",
     "corpus_mix_temperature",
+    "weighted_sample_docs",
+    "null_safe_join",
 ]
 
 
