@@ -24,14 +24,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: The canonical state schema; key columns are everything else, so a
+#: caller's key must not collide with these names (asserted below).
+STATE_COLS = ("cnt", "sum_v", "min_v", "max_v")
+
+
+def _state_keys(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in STATE_COLS]
+
+
 def partial_aggregate(df: DataFrame, keys: Sequence[str],
                       value_col: str) -> DataFrame:
     """Canonical per-key partial state over an integer value column:
     (keys..., cnt, sum_v, min_v, max_v).  DECIMAL(38,0) sum so merges
-    never overflow or reorder-drift."""
+    never overflow or reorder-drift.  ``cnt`` is count(*) — NULL
+    values occupy a row but contribute nothing to sum/min/max, the
+    standard SQL aggregate semantics (and what the oracle's
+    count(*) computes)."""
+    bad = set(keys) & set(STATE_COLS)
+    if bad:
+        raise ValueError(f"key columns collide with state schema: {bad}")
     v = F.col(value_col)
     return df.groupBy(*keys).agg(
-        F.count(v).alias("cnt"),
+        F.count(F.lit(1)).alias("cnt"),
         F.sum(v.cast("decimal(38,0)")).alias("sum_v"),
         F.min(v).alias("min_v"),
         F.max(v).alias("max_v"))
@@ -43,9 +58,7 @@ def merge_states(*states: DataFrame) -> DataFrame:
     one map-side-combinable groupBy, never a fact-table scan."""
     from functools import reduce
     u = reduce(lambda a, b: a.unionAll(b), states)
-    keys = [c for c in u.columns
-            if c not in ("cnt", "sum_v", "min_v", "max_v")]
-    return u.groupBy(*keys).agg(
+    return u.groupBy(*_state_keys(u)).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
@@ -56,8 +69,7 @@ def finalize(state: DataFrame) -> DataFrame:
     """Render a state as user-facing aggregates; avg derives from
     (sum, cnt) at the end — the decomposition that makes averages
     mergeable."""
-    keys = [c for c in state.columns
-            if c not in ("cnt", "sum_v", "min_v", "max_v")]
+    keys = _state_keys(state)
     return state.select(
         *keys,
         F.col("cnt").cast("bigint").alias("n_rows"),

@@ -51,7 +51,7 @@ def source_weight_sql(source_col: str = "source") -> str:
 
 def source_mix(docs: DataFrame, id_col: str, text_col: str,
                source_col: str, budget_frac: float = 0.5,
-               salt: str = "mix") -> DataFrame:
+               salt: str = "mix", weight=None) -> DataFrame:
     """Weighted source mixing under a token budget.
 
     Given per-source weights w_s, allocate a global token budget
@@ -62,12 +62,20 @@ def source_mix(docs: DataFrame, id_col: str, text_col: str,
     retry, and engine.  Documents are sampled whole (never split);
     the realized token count concentrates tightly around the budget.
 
+    ``weight``: a Column over the per-source aggregate (may reference
+    ``source_col`` or the ``src_tok`` token total); defaults to the
+    config-style :func:`source_weight`.  Weights are cast to
+    DECIMAL(38,8) — exact for both the integer config weights and
+    6-dp-rounded data-derived weights — so the weight SUM is
+    order-insensitive and the rate is engine-exact.
+
     Returns the sampled (id, source, n_tok) rows.
     """
     d = docs.select(F.col(id_col), F.col(source_col),
                     token_count(F.col(text_col)).alias("n_tok"))
+    w = weight if weight is not None else source_weight(source_col)
     per_src = (d.groupBy(source_col).agg(F.sum("n_tok").alias("src_tok"))
-               .withColumn("w", source_weight(source_col)))
+               .withColumn("w", w.cast("decimal(38,8)")))
     # Global totals as window-over-aggregate (not a crossJoin of a
     # second aggregate): the rate table derives from ONE pass over the
     # per-source aggregate, so the corpus scan isn't repeated for the
@@ -79,7 +87,9 @@ def source_mix(docs: DataFrame, id_col: str, text_col: str,
         F.least(
             F.lit(1.0),
             (F.lit(budget_frac) * F.sum("src_tok").over(wall))
-            * (F.col("w") / F.sum("w").over(wall)) / F.col("src_tok"),
+            * (F.col("w").cast("double")
+               / F.sum("w").over(wall).cast("double"))
+            / F.col("src_tok"),
         ).alias("rate"))
     return (
         d.join(F.broadcast(rates), source_col)
@@ -95,24 +105,30 @@ def source_mix(docs: DataFrame, id_col: str, text_col: str,
 
 def source_mix_sql(table: str, id_col: str, text_col: str,
                    source_col: str, budget_frac: float = 0.5,
-                   salt: str = "mix") -> str:
+                   salt: str = "mix", weight_sql: str | None = None) -> str:
     """DuckDB rendering of :func:`source_mix`, kept adjacent so the two
     cannot drift.  Arithmetic association matches the Spark side
-    exactly so the double-precision rates are bit-identical."""
+    exactly so the double-precision rates are bit-identical.
+    ``weight_sql``: expression over (source_col, src_tok), defaulting
+    to the config-style weight."""
     toks = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
+    wsql = weight_sql or source_weight_sql(source_col)
     return f"""
 WITH d AS (
     SELECT {id_col}, {source_col},
            CAST({toks} AS BIGINT) AS n_tok
     FROM {table}
-), per_src AS (
-    SELECT {source_col}, SUM(n_tok) AS src_tok,
-           {source_weight_sql(source_col)} AS w
+), per_src0 AS (
+    SELECT {source_col}, SUM(n_tok) AS src_tok
     FROM d GROUP BY {source_col}
+), per_src AS (
+    SELECT *, CAST({wsql} AS DECIMAL(38,8)) AS w FROM per_src0
 ), rates AS (
     SELECT {source_col},
            least(1.0, ({budget_frac} * SUM(src_tok) OVER ())
-                      * (w / SUM(w) OVER ()) / src_tok) AS rate
+                      * (CAST(w AS DOUBLE)
+                         / CAST(SUM(w) OVER () AS DOUBLE))
+                      / src_tok) AS rate
     FROM per_src
 )
 SELECT d.{id_col}, d.{source_col}, d.n_tok
@@ -183,65 +199,22 @@ def source_mix_temperature(docs: DataFrame, id_col: str, text_col: str,
     the standard multilingual-pretraining rebalance that upsamples
     small sources relative to their size (w_s ∝ n_s^alpha flattens the
     distribution; alpha=0.5 is the common temperature tau=2 setting).
-
-    Cross-engine float discipline: sqrt is IEEE-correctly-rounded on
-    both JVMs and libm, the weight is rounded to 6 decimals and cast
-    to DECIMAL(38,8) — exactly representable, so the weight SUM is
-    order-insensitive — and the rate arithmetic divides doubles in the
-    same association on both sides.  Same deterministic content-hash
-    sampling as :func:`source_mix`.
-    """
-    d = docs.select(F.col(id_col), F.col(source_col),
-                    token_count(F.col(text_col)).alias("n_tok"))
-    per_src = (
-        d.groupBy(source_col).agg(F.sum("n_tok").alias("src_tok"))
-        .withColumn("w", F.round(F.sqrt(F.col("src_tok").cast("double")),
-                                 6).cast("decimal(38,8)")))
-    wall = Window.partitionBy()
-    rates = per_src.select(
-        source_col,
-        F.least(
-            F.lit(1.0),
-            (F.lit(budget_frac) * F.sum("src_tok").over(wall))
-            * (F.col("w").cast("double")
-               / F.sum("w").over(wall).cast("double"))
-            / F.col("src_tok"),
-        ).alias("rate"))
-    return (
-        d.join(F.broadcast(rates), source_col)
-        .filter(hash_bucket([id_col], salt)
-                < F.floor(F.col("rate") * N_BUCKETS).cast("bigint"))
-        .select(id_col, source_col, "n_tok")
-    )
+    A thin wrapper over :func:`source_mix` — same rate formula, same
+    deterministic content-hash sampling; sqrt is IEEE-correctly-
+    rounded on both engines and the 6-dp rounding makes the weight
+    exactly DECIMAL-representable."""
+    w = F.round(F.sqrt(F.col("src_tok").cast("double")), 6)
+    return source_mix(docs, id_col, text_col, source_col,
+                      budget_frac=budget_frac, salt=salt, weight=w)
 
 
 def source_mix_temperature_sql(table: str, id_col: str, text_col: str,
                                source_col: str,
                                budget_frac: float = 0.5,
                                salt: str = "mixT") -> str:
-    """DuckDB rendering of :func:`source_mix_temperature` (adjacent,
-    no drift): identical association, DECIMAL weight sum."""
-    toks = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
-    return f"""
-WITH d AS (
-    SELECT {id_col}, {source_col},
-           CAST({toks} AS BIGINT) AS n_tok
-    FROM {table}
-), per_src AS (
-    SELECT {source_col}, SUM(n_tok) AS src_tok,
-           CAST(round(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 6)
-                AS DECIMAL(38,8)) AS w
-    FROM d GROUP BY {source_col}
-), rates AS (
-    SELECT {source_col},
-           least(1.0, ({budget_frac} * SUM(src_tok) OVER ())
-                      * (CAST(w AS DOUBLE)
-                         / CAST(SUM(w) OVER () AS DOUBLE))
-                      / src_tok) AS rate
-    FROM per_src
-)
-SELECT d.{id_col}, d.{source_col}, d.n_tok
-FROM d JOIN rates USING ({source_col})
-WHERE {hash_bucket_sql([id_col], salt)}
-      < CAST(floor(rate * {N_BUCKETS}) AS BIGINT)
-"""
+    """DuckDB rendering of :func:`source_mix_temperature` — the shared
+    :func:`source_mix_sql` body with the sqrt weight expression."""
+    return source_mix_sql(
+        table, id_col, text_col, source_col,
+        budget_frac=budget_frac, salt=salt,
+        weight_sql="round(sqrt(CAST(src_tok AS DOUBLE)), 6)")

@@ -108,13 +108,21 @@ def weighted_sample(df: DataFrame, key_cols: Sequence[str],
     to 9 decimals before ranking (an ulp at ln-scale is ~1e-15 — far
     inside the rounding) and ties break on the key columns.
 
+    Zero- and NULL-weight rows are EXCLUDED before ranking: their key
+    would be NULL (division by zero / null), and Spark sorts NULLs
+    first while DuckDB sorts them last — so without the filter the
+    engines disagree AND zero-probability rows would win the sample.
+    The filter is the semantics (inclusion probability 0), not a
+    workaround.
+
     Returns the sampled rows with their ``skey``.
     """
     u = (hash_bucket(key_cols, salt) + F.lit(1)) / F.lit(float(N_BUCKETS))
     w = F.col(weight_col).cast("double")
     skey = F.round(-F.log(u) / w, 9)
-    return (df.withColumn("skey", skey)
-            .orderBy(F.asc("skey"),
+    return (df.filter(w > 0)
+            .withColumn("skey", skey)
+            .orderBy(F.asc_nulls_last("skey"),
                      *[F.asc(c) for c in key_cols])
             .limit(k))
 
@@ -130,5 +138,6 @@ SELECT {cols}, skey FROM (
     SELECT *, round(-ln(({hash_bucket_sql(key_cols, salt)} + 1)
                         / {float(N_BUCKETS)!r})
                     / CAST({weight_col} AS DOUBLE), 9) AS skey
-    FROM {table})
+    FROM {table}
+    WHERE CAST({weight_col} AS DOUBLE) > 0)
 ORDER BY skey, {keys} LIMIT {k}"""

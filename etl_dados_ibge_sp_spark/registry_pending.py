@@ -906,8 +906,13 @@ def _q_incremental_agg_maintenance(spark: SparkSession,
         F.floor(F.col("o_totalprice") * 100).cast("bigint")
          .alias("cents"))
     cut = F.lit("1998-01-01").cast("timestamp_ntz")
-    hist = partial_aggregate(o.filter(F.col("o_orderdate") < cut),
-                             ["o_custkey"], "cents")
+    # NULL order dates route into the historical side: both < and >=
+    # evaluate to NULL for them, so without the isNull() arm the two
+    # partials would NOT partition the table and merge != recompute.
+    hist = partial_aggregate(
+        o.filter(F.col("o_orderdate").isNull()
+                 | (F.col("o_orderdate") < cut)),
+        ["o_custkey"], "cents")
     delta = partial_aggregate(o.filter(F.col("o_orderdate") >= cut),
                               ["o_custkey"], "cents")
     return finalize(merge_states(hist, delta))
@@ -1075,7 +1080,9 @@ _UDTF_SQL = """
 WITH f AS (
     SELECT doc_id,
            list_filter(list_transform(
-               regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+               regexp_split_to_array(text, '[.!?]+'),
+               x -> trim(x, ' ' || chr(9) || chr(10) || chr(11)
+                            || chr(12) || chr(13))),
                x -> x <> '') AS parts
     FROM documents
 ), z AS (

@@ -465,45 +465,49 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          partial_aggregate)
 
     stage = tempfile.mkdtemp(prefix="incr_stream_")
-    in_dir = os.path.join(stage, "in")
-    orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select("o_custkey",
-                F.floor(F.col("o_totalprice") * 100).cast("bigint")
-                 .alias("cents")))
-    orders.repartition(4).write.parquet(in_dir)
-    # spread the part files into separate trigger units
-    schema = spark.read.parquet(in_dir).schema
-    versions: list[str] = []
-
-    def upsert(batch_df, batch_id: int) -> None:
-        new = partial_aggregate(batch_df, ["o_custkey"], "cents")
-        if versions:
-            prev = spark.read.parquet(versions[-1])
-            new = merge_states(prev, new)
-        path = os.path.join(stage, f"state_v{batch_id}")
-        new.write.mode("overwrite").parquet(path)
-        versions.append(path)
-
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1).parquet(in_dir))
-    query = (stream.writeStream.foreachBatch(upsert)
-             .option("checkpointLocation", os.path.join(stage, "ckpt"))
-             .trigger(availableNow=True).start())
     try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated state")
+        in_dir = os.path.join(stage, "in")
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_custkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                     .alias("cents")))
+        orders.repartition(4).write.parquet(in_dir)
+        # spread the part files into separate trigger units
+        schema = spark.read.parquet(in_dir).schema
+        versions: list[str] = []
+
+        def upsert(batch_df, batch_id: int) -> None:
+            new = partial_aggregate(batch_df, ["o_custkey"], "cents")
+            if versions:
+                prev = spark.read.parquet(versions[-1])
+                new = merge_states(prev, new)
+            path = os.path.join(stage, f"state_v{batch_id}")
+            new.write.mode("overwrite").parquet(path)
+            versions.append(path)
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        query = (stream.writeStream.foreachBatch(upsert)
+                 .option("checkpointLocation",
+                         os.path.join(stage, "ckpt"))
+                 .trigger(availableNow=True).start())
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "availableNow stream did not finish within 300 s — "
+                    "refusing to return a partially-populated state")
+        finally:
+            if query.isActive:
+                query.stop()
+        if not versions:
+            raise RuntimeError("stream produced no batches")
+        final = finalize(spark.read.parquet(versions[-1]))
+        # Materialize the small finalized aggregate before the staging
+        # dir is reaped (the lazy plan would otherwise read deleted
+        # files).
+        return spark.createDataFrame(final.collect(), final.schema)
     finally:
-        if query.isActive:
-            query.stop()
-    if not versions:
-        raise RuntimeError("stream produced no batches")
-    final = finalize(spark.read.parquet(versions[-1]))
-    # Materialize the small finalized aggregate before the staging dir
-    # is reaped (the lazy plan would otherwise read deleted files);
-    # then drop the scratch space entirely — no temp leak.
-    out = spark.createDataFrame(final.collect(), final.schema)
-    shutil.rmtree(stage, ignore_errors=True)
-    return out
+        # Scratch space (input copy, checkpoints, every state version)
+        # is removed on success AND on every failure path — no leak.
+        shutil.rmtree(stage, ignore_errors=True)

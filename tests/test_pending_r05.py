@@ -604,8 +604,7 @@ def test_rotation_invariants_random_histories():
                 g = last_green.get(q)
                 keys.append(0 if (g is not None and g <= r - 3)
                             else (1 if g is None else 2))
-            assert keys == sorted(keys, key=lambda k: {0: 0, 1: 1,
-                                                       2: 2}[k])
+            assert keys == sorted(keys)
             for q in ordered[:BUDGET]:
                 last_green[q] = r
                 last_checked[q] = r
@@ -616,3 +615,17 @@ def test_rotation_invariants_random_histories():
             assert horizon - last_checked[q] < period, \
                 f"{q} stale for {horizon - last_checked[q]} rounds " \
                 f"(N={n}, period={period})"
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Zero/NULL-weight rows have inclusion probability 0 BY
+    DEFINITION and must never appear — in Spark their key would be
+    NULL and sort FIRST (DuckDB sorts NULLs last), so without the
+    filter the engines disagree and zero-probability rows win."""
+    from etl_dados_ibge_sp_spark.operators.sample import weighted_sample
+
+    rows = [(1, 0), (2, None), (3, 10), (4, 5), (5, 1)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = {r["id"] for r in
+           weighted_sample(df, ["id"], "w", k=5).collect()}
+    assert got == {3, 4, 5}
