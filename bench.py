@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_mix_temperature",
     "weighted_sample_docs",
     "null_safe_join",
+    "customer_rfm_segments",
 ]
 
 

@@ -1127,6 +1127,97 @@ def _q_udtf_sentence_split(spark: SparkSession,
         FROM __udtf_docs, LATERAL __split_sentences(text) s""")
 
 
+# --------------------------------------------------------------------------
+# RFM customer segmentation (percentile-threshold bucketing)
+# --------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH base AS (
+    SELECT o_custkey,
+           CAST(max(CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                      / 86400000000.0) AS BIGINT)) AS BIGINT) AS last_day,
+           CAST(count(*) AS BIGINT) AS f_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS m_cents
+    FROM orders GROUP BY o_custkey
+), ref AS (SELECT max(last_day) AS ref_day FROM base),
+r AS (
+    SELECT b.o_custkey, ref.ref_day - b.last_day AS r_days,
+           b.f_orders, b.m_cents
+    FROM base b, ref
+), th AS (
+    SELECT quantile_cont(r_days, 0.25) AS r25,
+           quantile_cont(r_days, 0.5) AS r50,
+           quantile_cont(r_days, 0.75) AS r75,
+           quantile_cont(f_orders, 0.25) AS f25,
+           quantile_cont(f_orders, 0.5) AS f50,
+           quantile_cont(f_orders, 0.75) AS f75,
+           quantile_cont(m_cents, 0.25) AS m25,
+           quantile_cont(m_cents, 0.5) AS m50,
+           quantile_cont(m_cents, 0.75) AS m75
+    FROM r
+)
+SELECT r.o_custkey, r.r_days, r.f_orders, r.m_cents,
+       CAST(1 + CAST(r_days > r25 AS INT) + CAST(r_days > r50 AS INT)
+              + CAST(r_days > r75 AS INT) AS BIGINT) AS r_bucket,
+       CAST(1 + CAST(f_orders > f25 AS INT) + CAST(f_orders > f50 AS INT)
+              + CAST(f_orders > f75 AS INT) AS BIGINT) AS f_bucket,
+       CAST(1 + CAST(m_cents > m25 AS INT) + CAST(m_cents > m50 AS INT)
+              + CAST(m_cents > m75 AS INT) AS BIGINT) AS m_bucket
+FROM r, th
+"""
+
+
+def _q_customer_rfm_segments(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency (days since last order, vs the
+    dataset's max day so it is deterministic, never now()), frequency,
+    monetary — each bucketed 1-4 by EXACT quartile thresholds.  The
+    scale shape: thresholds come from one tiny aggregate over the
+    per-customer rollup and broadcast back as a 1-row join — never an
+    ntile window over an unpartitioned table (the global-sort
+    scale-killer the naive formulation hides).  Integer metrics and
+    interpolated quantile_cont ≡ Spark percentile keep every bucket
+    boundary engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    # tz-free epoch day on the NTZ wall date (the revenue_sliding_7d
+    # pattern); r_days is a DIFFERENCE of days so any constant offset
+    # would cancel anyway.
+    day = F.datediff(F.to_date(F.col("o_orderdate")),
+                     F.to_date(F.lit("1970-01-01"))).cast("bigint")
+    base = (o.select("o_custkey", day.alias("day"),
+                     F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                      .alias("cents"))
+            .groupBy("o_custkey")
+            .agg(F.max("day").alias("last_day"),
+                 F.count(F.lit(1)).alias("f_orders"),
+                 F.sum("cents").cast("bigint").alias("m_cents")))
+    from pyspark.sql import Window
+    wall = Window.partitionBy()
+    r = base.select(
+        "o_custkey",
+        (F.max("last_day").over(wall) - F.col("last_day"))
+        .alias("r_days"),
+        "f_orders", "m_cents")
+    th = r.agg(*[
+        F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{int(q * 100)}")
+        for c in ("r_days", "f_orders", "m_cents")
+        for q in (0.25, 0.5, 0.75)])
+
+    def bucket(col: str, p: str) -> F.Column:
+        return (F.lit(1)
+                + (F.col(col) > F.col(f"{p}25")).cast("int")
+                + (F.col(col) > F.col(f"{p}50")).cast("int")
+                + (F.col(col) > F.col(f"{p}75")).cast("int")
+                ).cast("bigint")
+
+    return (r.join(F.broadcast(th))
+            .select("o_custkey", "r_days", "f_orders", "m_cents",
+                    bucket("r_days", "r").alias("r_bucket"),
+                    bucket("f_orders", "f").alias("f_bucket"),
+                    bucket("m_cents", "m").alias("m_bucket")))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1174,6 +1265,7 @@ PENDING: list[tuple[str, str,
     ("stream_incremental_agg", _INCR_AGG_SQL, _q_stream_incremental_agg),
     ("null_safe_join", _NULLSAFE_SQL, _q_null_safe_join),
     ("udtf_sentence_split", _UDTF_SQL, _q_udtf_sentence_split),
+    ("customer_rfm_segments", _RFM_SQL, _q_customer_rfm_segments),
 ]
 
 
