@@ -106,6 +106,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "null_safe_join",
     "customer_rfm_segments",
+    "suppliers_serving_all_nations",
 ]
 
 

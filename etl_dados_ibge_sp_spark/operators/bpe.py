@@ -79,13 +79,25 @@ def _merge_pair(symbols: Column, a: str, b: str) -> Column:
 
 
 def bpe_train(words: DataFrame, n_merges: int,
-              checkpoint_every: int = 4) -> list[tuple[str, str, int]]:
+              checkpoint_every: int = 4,
+              checkpoint_dir: str | None = None
+              ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (symbols, cnt) dictionary.
 
     Returns [(left, right, pair_count), ...] in merge order.  Ties on
     pair count break lexicographically on (left, right) — pinned so
     the result is engine- and partitioning-independent.
+
+    ``checkpoint_dir``: when set, the periodic lineage cut takes a
+    *reliable* checkpoint written to that directory (HDFS/S3 on a
+    cluster) — the same contract as ``dedup.connected_components`` and
+    ``graph.pagerank``.  The default ``localCheckpoint`` stores
+    executor-local blocks, which a lost executor invalidates
+    mid-training; long multi-thousand-merge cluster runs should pass
+    a dir.
     """
+    if checkpoint_dir is not None:
+        words.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
         top = (_pair_counts(words)
@@ -101,7 +113,10 @@ def bpe_train(words: DataFrame, n_merges: int,
         if (i + 1) % checkpoint_every == 0:
             # Cut the per-iteration lineage like connected_components;
             # the dictionary is small, the plan otherwise nests k folds.
-            words = words.localCheckpoint(eager=True)
+            if checkpoint_dir is not None:
+                words = words.checkpoint(eager=True)
+            else:
+                words = words.localCheckpoint(eager=True)
     return merges
 
 

@@ -1218,6 +1218,46 @@ def _q_customer_rfm_segments(spark: SparkSession,
                     bucket("m_cents", "m").alias("m_bucket")))
 
 
+# --------------------------------------------------------------------------
+# Relational division (the FOR ALL shape)
+# --------------------------------------------------------------------------
+
+_DIVISION_SQL = """
+WITH target AS (
+    SELECT n_nationkey FROM {nation} n JOIN {region} r
+        ON r.r_regionkey = n.n_regionkey WHERE r.r_name = 'AMERICA'
+), served AS (
+    SELECT DISTINCT l.l_suppkey, c.c_nationkey
+    FROM {lineitem} l
+    JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+    JOIN {customer} c ON c.c_custkey = o.o_custkey
+    WHERE c.c_nationkey IN (SELECT n_nationkey FROM target)
+      AND l.l_shipdate >= TIMESTAMP '2001-04-01'
+)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_nations
+FROM served GROUP BY l_suppkey
+HAVING count(*) = (SELECT count(*) FROM target)
+"""
+
+
+def _q_suppliers_serving_all_nations(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Relational division — the FOR ALL query shape (Codd's ÷, TPC-H
+    has no analog): suppliers whose recent shipments reached customers
+    in EVERY nation of a region.  The scale formulation is
+    count-distinct equality, never the double-NOT-EXISTS textbook
+    form: dedupe (supplier, nation) pairs once, one groupBy, compare
+    to the divisor's count (an uncorrelated scalar, computed once) —
+    all shuffles are keys-only.  Same SQL text on both engines."""
+    for t in ("nation", "region", "customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t) \
+            .createOrReplaceTempView(f"__div_{t}")
+    return spark.sql(_DIVISION_SQL.format(
+        nation="__div_nation", region="__div_region",
+        customer="__div_customer", orders="__div_orders",
+        lineitem="__div_lineitem"))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1266,6 +1306,11 @@ PENDING: list[tuple[str, str,
     ("null_safe_join", _NULLSAFE_SQL, _q_null_safe_join),
     ("udtf_sentence_split", _UDTF_SQL, _q_udtf_sentence_split),
     ("customer_rfm_segments", _RFM_SQL, _q_customer_rfm_segments),
+    ("suppliers_serving_all_nations",
+     _DIVISION_SQL.format(nation="nation", region="region",
+                          customer="customer", orders="orders",
+                          lineitem="lineitem"),
+     _q_suppliers_serving_all_nations),
 ]
 
 

@@ -104,3 +104,16 @@ def test_bpe_encode_counts_match_reference(spark, sf_dir):
         ws = [w for w in r["text"].strip().split() if w]
         want[r["doc_id"]] = sum(encode_word(w) for w in ws)
     assert got == want
+
+
+def test_bpe_reliable_checkpoint_identical(spark, tmp_path):
+    """The reliable-checkpoint option must not change results — same
+    contract as connected_components/pagerank's checkpoint_dir."""
+    data = {"abab": 5, "aabb": 3, "bbbb": 2}
+    df = spark.createDataFrame(
+        [(list(w), c) for w, c in data.items()],
+        "symbols array<string>, cnt bigint")
+    plain = bpe_train(df, n_merges=5, checkpoint_every=2)
+    reliable = bpe_train(df, n_merges=5, checkpoint_every=2,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    assert plain == reliable
