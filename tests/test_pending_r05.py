@@ -629,3 +629,17 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     got = {r["id"] for r in
            weighted_sample(df, ["id"], "w", k=5).collect()}
     assert got == {3, 4, 5}
+
+
+def test_bench_headline_names_resolve():
+    """Every bench HEADLINE entry must resolve (registered or pending)
+    — a typo here would crash the driver's per-round bench run."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE
+
+    from etl_dados_ibge_sp_spark.registry import all_queries_with_pending
+    qs = all_queries_with_pending()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"bench names missing from registry: {missing}"
