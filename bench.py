@@ -107,6 +107,17 @@ HEADLINE = [
     "null_safe_join",
     "customer_rfm_segments",
     "suppliers_serving_all_nations",
+    # Second pending tranche (registry_pending2).
+    "regional_revenue",
+    "returned_item_customers",
+    "disjunctive_filter_revenue",
+    "embed_quantize_int8",
+    "embed_label_centroids",
+    "text_tfidf_topk",
+    "text_dup_ngram_spans",
+    "events_decay_sum",
+    "value_mad_outliers",
+    "pivot_event_counts",
 ]
 
 

@@ -1314,6 +1314,14 @@ PENDING: list[tuple[str, str,
 ]
 
 
+# Second tranche (TPC-H shapes Q4/Q5/Q7/Q10/Q14/Q15/Q16/Q18/Q19,
+# embedding quantization/centroids, substring-dup spans, analytics
+# surface) — appended AFTER the first so admission order is stable.
+from .registry_pending2 import PENDING2  # noqa: E402
+
+PENDING.extend(PENDING2)
+
+
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable]) -> list[str]:
     """Register up to ``slack`` pending queries, in list order.

@@ -28,6 +28,14 @@ CHECKED = [
     "incremental_agg_maintenance",
     "corpus_mix_temperature",
     "zorder_key_orders",
+    # tranche-2 operators whose determinism is non-obvious: the
+    # frame-ordered collect_list fold, rank ties in top-k, the
+    # distinct-doc dup-gram count, and argmax-with-ties (Q15).
+    "events_decay_sum",
+    "text_tfidf_topk",
+    "text_dup_ngram_spans",
+    "top_revenue_supplier",
+    "mode_event_per_user",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Plan-shape and semantics laws for the second pending tranche
+(registry_pending2).  Oracle parity itself runs through the
+parametrized test in test_pending_r05.py — these tests pin the
+100-TB-relevant PLAN properties the oracle cannot see: decorrelation
+to semi/anti joins, CNF pushdown of disjunctive predicates, column
+pruning through set ops, and the single-shuffle window fold."""
+
+from __future__ import annotations
+
+from etl_dados_ibge_sp_spark import registry_pending2 as P2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    plan = _plan(P2._q_order_priority_exists(spark, sf_dir))
+    assert "LeftSemi" in plan, f"EXISTS not decorrelated:\n{plan[:1500]}"
+    assert "Subquery" not in plan
+
+
+def test_q16_not_in_plans_anti_join(spark, sf_dir):
+    plan = _plan(P2._q_brand_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in plan, f"NOT IN not an anti join:\n{plan[:1500]}"
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs must CNF-factor into per-table disjunctions that
+    reach the parquet readers: the part scan gets the (brand AND size)
+    OR (brand AND size) factor, the lineitem scan the quantity-range
+    disjunction.  Without this, a 100-TB lineitem scan reads every
+    row and the filter runs post-join."""
+    fp = _formatted(P2._q_disjunctive_filter_revenue(spark, sf_dir))
+    pushed = [ln for ln in fp.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln and "Or(And(" in ln for ln in pushed), \
+        f"no disjunctive part filter pushed:\n{pushed}"
+    assert any("l_quantity" in ln and "Or(And(" in ln for ln in pushed), \
+        f"no disjunctive lineitem filter pushed:\n{pushed}"
+
+
+def test_except_prunes_to_key_columns(spark, sf_dir):
+    """EXCEPT must not block column pruning: both orders scans read
+    exactly (o_custkey, o_orderdate) — an unpruned set-op scan is a
+    5x read amplification at scale."""
+    fp = _formatted(P2._q_set_except_churned(spark, sf_dir))
+    schemas = [ln for ln in fp.splitlines() if "ReadSchema" in ln]
+    assert schemas, "no parquet scans found"
+    for ln in schemas:
+        assert "o_custkey" in ln and "o_totalprice" not in ln, ln
+    plan = _plan(P2._q_set_except_churned(spark, sf_dir))
+    assert "LeftAnti" in plan, "EXCEPT should plan as anti join"
+
+
+def test_decay_sum_single_hash_exchange(spark, sf_dir):
+    """The Horner window fold costs exactly ONE hash shuffle (on
+    user_id); the only other exchange is the documented fan-out
+    round-robin from load_table.  The oracle's self-join formulation
+    would cost two joins plus an aggregate — the fold IS the scale
+    advantage, so pin it."""
+    plan = _plan(P2._q_events_decay_sum(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_pivot_schema_is_stable(spark, sf_dir):
+    """Explicit pivot values => stable, ordered output schema with no
+    inference job over the data."""
+    df = P2._q_pivot_event_counts(spark, sf_dir)
+    assert df.columns == ["day", "view", "click", "signup",
+                          "purchase", "error"]
+
+
+def test_quantize_int8_saturates_exactly(spark, sf_dir):
+    """Symmetric int8 law: every quantized vector uses the full range
+    — the max-|x| element maps to exactly ±127, and no element
+    escapes [-127, 127]."""
+    rows = P2._q_embed_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] and r["q_max"] <= 127
+        assert max(r["q_max"], -r["q_min"]) == 127, r
+
+
+def test_tfidf_topk_at_most_three_per_doc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = P2._q_text_tfidf_topk(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rnk").alias("max_rnk"))
+    bad = per_doc.filter((F.col("n") > 3)
+                         | (F.col("max_rnk") > 3)).count()
+    assert bad == 0
