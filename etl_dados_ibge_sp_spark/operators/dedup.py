@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .text import normalized_text
 
@@ -380,44 +379,38 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     )
     labels = ckpt(nodes.select(F.col(node_col).alias("n"),
                                F.col(node_col).alias("l")))
-    numeric_ids = isinstance(labels.schema["l"].dataType, T.NumericType)
 
-    def label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("l").cast("decimal(38,0)")).alias("s")).first()["s"]
-
-    prev_sum = label_sum(labels) if numeric_ids else None
-
-    def hop(lbl: DataFrame) -> DataFrame:
+    def hop(lbl: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+        lv = lbl.select("n", "l")
         neigh = (
-            edges.join(lbl, edges.v == lbl.n)
+            edges.join(lv, edges.v == lv.n)
             .groupBy("u").agg(F.min("l").alias("nl"))
         )
         return (
             lbl.join(neigh, lbl.n == neigh.u, "left")
-            .select(F.col("n"),
+            .select("n", *extra,
                     F.least(F.col("l"), F.coalesce("nl", "l")).alias("l"))
         )
 
     for _ in range(max_iter):
         # TWO propagation hops per materialization: min-label
         # propagation is confluent (extra hops never overshoot the
-        # fixed point), so batching halves the round count — and with
-        # it the checkpoint jobs and convergence actions, the
-        # dominant cost of driver-side iteration.  Near-clique dedup
-        # clusters (diameter <= 2) now converge in ONE round.
-        new_labels = ckpt(hop(hop(labels)))
-        if numeric_ids:
-            new_sum = label_sum(new_labels)
-            changed = new_sum != prev_sum
-            prev_sum = new_sum
-        else:
-            changed = (
-                new_labels.alias("a").join(labels.alias("b"), "n")
-                .filter(F.col("a.l") != F.col("b.l")).count()
-            ) > 0
-        labels = new_labels
-        if not changed:
+        # fixed point), so batching halves the round count.  The
+        # second hop carries the first hop's label, and convergence is
+        # read off the SAME aggregate that materializes the round's
+        # checkpoint: hop is idempotent exactly at the fixed point, so
+        # l1 == l2 everywhere <=> converged (labels only decrease, no
+        # oscillation).  One Spark action per round, and a near-clique
+        # cluster set (diameter <= 2) finishes in ONE round with no
+        # separate confirm pass — this detection works for any
+        # orderable id type, numeric or not.
+        one = hop(labels)
+        new_labels = ckpt(hop(one.withColumn("l1", F.col("l")), ("l1",)))
+        n_changed = new_labels.agg(
+            F.sum((F.col("l") != F.col("l1")).cast("long")).alias("c")
+        ).first()["c"]
+        labels = new_labels.select("n", "l")
+        if not n_changed:
             break
     return labels.select(F.col("n").alias(node_col),
                          F.col("l").alias("component_id"))

