@@ -1,0 +1,86 @@
+"""Laws for the fixed-width Python DataSource (sources/fwf_source):
+typed slicing, PERMISSIVE nulls, per-file partitioning, and driver-side
+fail-fast on bad layouts."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_dados_ibge_sp_spark.sources.fwf_source import (_parse_colspec,
+                                                        register_fwf)
+
+SPEC = "cod:0:7:int,nome:7:17:string,pop:17:26:bigint,area:26:36:double"
+
+
+def _line(cod: str, nome: str, pop: str, area: str) -> str:
+    return f"{cod:<7.7}{nome:<10.10}{pop:<9.9}{area:<10.10}\n"
+
+
+@pytest.fixture()
+def fwf_dir(tmp_path):
+    # Two files -> two partitions.  Lines exercise padding, short
+    # lines, and malformed numerics.
+    (tmp_path / "uf_35.txt").write_text(
+        _line("3550308", "São Paulo", "12396372", "1521.11")
+        + _line("3509502", "Campinas", "1213792", "794.43"))
+    (tmp_path / "uf_33.txt").write_text(
+        _line("3304557", "Rio", "6775561", "1200.33")
+        + "33ABCDEBadCode   notanum\n"          # malformed + short line
+    )
+    return str(tmp_path)
+
+
+def test_fwf_reads_typed_rows(spark, fwf_dir):
+    register_fwf(spark)
+    df = (spark.read.format("fwf").option("colspec", SPEC)
+          .load(fwf_dir))
+    assert [f.name for f in df.schema.fields] == \
+        ["cod", "nome", "pop", "area"]
+    assert [str(f.dataType) for f in df.schema.fields] == \
+        ["IntegerType()", "StringType()", "LongType()", "DoubleType()"]
+    rows = {r["cod"]: r for r in df.collect() if r["cod"] is not None}
+    assert rows[3550308]["nome"] == "São Paulo"
+    assert rows[3550308]["pop"] == 12396372
+    assert rows[3509502]["area"] == pytest.approx(794.43)
+
+
+def test_fwf_is_permissive_not_fatal(spark, fwf_dir):
+    register_fwf(spark)
+    df = (spark.read.format("fwf").option("colspec", SPEC)
+          .load(fwf_dir))
+    bad = [r for r in df.collect() if r["cod"] is None]
+    # The malformed line survives as a row of NULLs where casts
+    # failed / slices ran past the end — never a task failure.
+    assert len(bad) == 1
+    assert bad[0]["pop"] is None and bad[0]["area"] is None
+    assert bad[0]["nome"] == "BadCode"
+
+
+def test_fwf_partitions_per_file(spark, fwf_dir):
+    register_fwf(spark)
+    df = (spark.read.format("fwf").option("colspec", SPEC)
+          .load(fwf_dir))
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_fwf_projection_composes(spark, fwf_dir):
+    """The source composes with ordinary Catalyst projections and
+    filters (Python sources don't push filters by default; pruning
+    happens post-scan, which the row volume of fwf dumps tolerates)."""
+    from pyspark.sql import functions as F
+
+    register_fwf(spark)
+    df = (spark.read.format("fwf").option("colspec", SPEC)
+          .load(fwf_dir))
+    out = (df.filter(F.col("pop") > 2_000_000)
+           .select(F.lower("nome").alias("n")).collect())
+    assert sorted(r["n"] for r in out) == ["rio", "são paulo"]
+
+
+def test_fwf_bad_layout_fails_on_driver():
+    with pytest.raises(ValueError, match="unknown type"):
+        _parse_colspec("a:0:3:decimal")
+    with pytest.raises(ValueError, match="start < end"):
+        _parse_colspec("a:5:3:int")
+    with pytest.raises(ValueError, match="name:start:end"):
+        _parse_colspec("a:1")
