@@ -150,13 +150,22 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet") \
             .write.mode("overwrite").format("noop").save()
 
+    # Min-of-3 per query: the host's CPU share fluctuates (observed
+    # single-shot runs flagging 7x "regressions" on untouched queries
+    # while an immediate rerun matched baseline), and the MIN of
+    # repeated runs is the standard noise-robust steady-state
+    # estimator — external stalls only ever ADD time, so the minimum
+    # converges on the query's true cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         run_once(fn(spark, sf_dir))  # warm: codegen, py workers, footers
-        t0 = time.perf_counter()
-        run_once(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
 
