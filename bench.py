@@ -9,11 +9,14 @@ Each query is forced end-to-end with a noop-format write (full
 computation, no driver collect), timed individually; `value` is the
 total wall time across the suite.
 
-Methodology: steady-state.  Each query runs twice and the second run
-is reported — the first run pays one-time JVM costs (whole-stage
-codegen compilation, Python daemon fork, parquet footer cache) that a
-long-lived cluster amortizes to zero; steady-state is the number that
-extrapolates to the 100-TB deployment.
+Methodology: steady-state, min-of-3.  Each query runs once to warm
+(one-time JVM costs — whole-stage codegen compilation, Python daemon
+fork, parquet footer cache — that a long-lived cluster amortizes to
+zero) and then three timed runs, reporting the MINIMUM: external CPU
+stalls only ever add time, so the minimum converges on the query's
+true steady-state cost, the number that extrapolates to the 100-TB
+deployment.  BENCH_baseline.json is pinned under this same
+methodology so the >1.5x regression gate compares like with like.
 """
 
 from __future__ import annotations

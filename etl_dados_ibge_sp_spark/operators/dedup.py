@@ -340,11 +340,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     lineage each round so the plan doesn't grow with iterations — the
     standard Spark iterative-algorithm pattern.
 
-    Convergence: labels only ever decrease per node, so for numeric
-    ids the multiset changed iff ``sum(l)`` decreased — one join-free
-    aggregate over the already-checkpointed labels per round (decimal
-    accumulator, overflow-safe at any id range).  Non-numeric ids fall
-    back to the join-based changed-count.
+    Convergence: each round batches two hops and carries the first
+    hop's label through the second; the round's single materializing
+    aggregate counts ``l1 != l2`` rows.  Propagation is idempotent
+    exactly at the fixed point and labels only ever decrease, so a
+    zero count IS convergence — detected inside the same round, for
+    any orderable id type, with no extra confirm pass.
 
     ``checkpoint_dir``: when set, rounds use *reliable* checkpoints
     written to that directory (HDFS/S3 on a cluster).  Default is

@@ -228,8 +228,10 @@ def hop_distances(edges: DataFrame, sources: DataFrame, k: int,
     TWICE per round, so the logical plan doubles every hop — at k=4
     that is 16 copies of the edge-derivation subtree and the driver
     spends seconds in Catalyst before any task runs.  This frontier
-    formulation references each round's frame exactly once (frontier
-    chain + a union chain), keeping the plan LINEAR in k; the
+    formulation references each round's frame once in the chain and
+    once in the final union: O(k²/2) join nodes total (layer i embeds
+    its i predecessors), down from 2^k, and at runtime the repeated
+    layer prefixes collapse into ReusedExchange under AQE.  The
     per-round ``distinct`` bounds the frontier by |V| instead of
     |paths|, and one final min-aggregate replaces k of them.
     """

@@ -328,9 +328,14 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is deterministic, so every graph query over the same
     corpus shares ONE materialization — exactly how a production
     pipeline stages a derived graph table."""
+    # The memo value keeps a STRONG reference to the owning session:
+    # id() of a live object is unique, and holding the session alive
+    # for the memo's lifetime is what makes the id a safe key (a
+    # stopped-and-collected session could otherwise recycle its id
+    # and serve a frame bound to a dead session).
     key = (id(spark), sf_dir)
     if key in _TRADE_MEMO:
-        return _TRADE_MEMO[key]
+        return _TRADE_MEMO[key][1]
     li = load_table(spark, sf_dir, "lineitem") \
         .select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders") \
@@ -364,9 +369,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Without this, iterative consumers (BFS layers, triangle wedge
     # joins) embed the full star-join subtree at every edge reference
     # and Catalyst planning time dwarfs execution.
-    local = spark.createDataFrame(edges.collect(), schema=edges.schema)
-    _TRADE_MEMO[key] = local
-    w.unpersist()
+    try:
+        local = spark.createDataFrame(edges.collect(),
+                                      schema=edges.schema)
+    finally:
+        w.unpersist()
+    _TRADE_MEMO[key] = (spark, local)
     return local
 
 

@@ -45,16 +45,6 @@ from pyspark.sql import functions as F
 from .sources.parquet_source import load_table
 
 
-def _dsum(col: str | F.Column) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(32,6)"))
-
-
-def _rev() -> F.Column:
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(32,6)")
-
-
 def _view(spark: SparkSession, sf_dir: str, table: str,
           prefix: str) -> str:
     name = f"__{prefix}_{table}"
@@ -652,18 +642,21 @@ def _q_mode_event_per_user(spark: SparkSession,
 # --------------------------------------------------------------------------
 
 _MAD_SQL = """
-WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type),
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS s
+  FROM events),
+med AS (
+  SELECT event_type, quantile_cont(s, 0.5) AS med
+  FROM v GROUP BY event_type),
 dev AS (
-  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
-  FROM events e JOIN med m ON m.event_type = e.event_type),
+  SELECT v.event_type, v.s, m.med, abs(v.s - m.med) AS adev
+  FROM v JOIN med m ON m.event_type = v.event_type),
 mad AS (
   SELECT event_type, quantile_cont(adev, 0.5) AS mad
   FROM dev GROUP BY event_type)
 SELECT d.event_type,
-       CAST(floor(d.med * 1000000) AS BIGINT) AS med_micro,
-       CAST(floor(m.mad * 1000000) AS BIGINT) AS mad_micro,
+       CAST(floor(d.med) AS BIGINT) AS med_micro,
+       CAST(floor(m.mad) AS BIGINT) AS mad_micro,
        CAST(count(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
          AS n_outliers,
        CAST(count(*) AS BIGINT) AS n_events
@@ -676,16 +669,29 @@ def _q_value_mad_outliers(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robust outlier counts per event type: median + median absolute
     deviation, |x - med| > 3*MAD.  Unlike z-scores, MAD doesn't let
-    the outliers inflate their own threshold.  Two exact-percentile
-    passes (Spark `percentile` ≡ quantile_cont); the tiny per-type
-    median/MAD tables broadcast back onto the scan, so the fact rows
-    never shuffle — at 100 TB swap `percentile` for approx_percentile
-    and the structure is unchanged."""
+    the outliers inflate their own threshold.
+
+    Exactness: values floor-scale to integer micro-units BEFORE the
+    percentiles, so every interpolated median is (l+h)/2 of integers
+    (an exact x.0/x.5 double), every |s - med| an exact multiple of
+    0.5, every MAD an exact multiple of 0.25 — the engines' different
+    interpolation formulas (l*(1-f)+h*f vs l+(h-l)*f) agree bitwise
+    because no intermediate op rounds.  Interpolating the raw doubles
+    instead would sit 1 ulp from a floor/threshold boundary on
+    adversarial data.
+
+    Two exact-percentile passes (Spark `percentile` ≡ quantile_cont);
+    the tiny per-type median/MAD tables broadcast back onto the scan,
+    so the fact rows never shuffle — at 100 TB swap `percentile` for
+    approx_percentile and the structure is unchanged."""
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("med"))
-    dev = (e.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    v = e.select("event_type",
+                 F.floor(F.col("value") * 1000000).cast("long")
+                  .alias("s"))
+    med = v.groupBy("event_type").agg(
+        F.percentile("s", 0.5).alias("med"))
+    dev = (v.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("s") - F.col("med"))))
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad"))
     return (dev.join(F.broadcast(mad), "event_type")
@@ -694,10 +700,8 @@ def _q_value_mad_outliers(spark: SparkSession,
                  .alias("n_outliers"),
                  F.count(F.lit(1)).alias("n_events"))
             .select("event_type",
-                    F.floor(F.col("med") * 1000000).cast("long")
-                     .alias("med_micro"),
-                    F.floor(F.col("mad") * 1000000).cast("long")
-                     .alias("mad_micro"),
+                    F.floor("med").cast("long").alias("med_micro"),
+                    F.floor("mad").cast("long").alias("mad_micro"),
                     "n_outliers", "n_events"))
 
 
@@ -721,6 +725,28 @@ GROUP BY a.user_id, a.event_id
 """
 
 
+DECAY_FRAME = 8
+
+
+def decay_sum_frame(e: DataFrame) -> DataFrame:
+    """Core of events_decay_sum over any (user_id, ts, event_id,
+    value) frame — shared by the batch query, the streaming twin
+    (streaming/windowed.stream_decay_sum) and the brute-force
+    property test."""
+    # NULL values contribute 0, exactly like the oracle: its SUM skips
+    # the NULL term while the row still occupies its rn position.
+    # Without the coalesce, collect_list would DROP the null (shifting
+    # every weight in the frame) and the fold would go NULL-absorbing.
+    s = F.coalesce(F.floor(F.col("value") * 10000).cast("long"),
+                   F.lit(0).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(-(DECAY_FRAME - 1), 0)
+    lst = F.collect_list(s).over(w)
+    decay = F.aggregate(F.reverse(lst), F.lit(0).cast("long"),
+                        lambda acc, x: acc * 2 + x)
+    return e.select("user_id", "event_id", decay.alias("decay_sum"))
+
+
 def _q_events_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted activity (EWMA, alpha=1/2) over each user's
     trailing 8 events, EXACTLY: values floor-scale to integers and the
@@ -730,14 +756,7 @@ def _q_events_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id, newest-first: acc*2 + x); the oracle has to
     say the same thing with a quadratic-ish self-join — the window
     fold is the scale path, the join is the spec."""
-    e = load_table(spark, sf_dir, "events")
-    s = F.floor(F.col("value") * 10000).cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
-        .rowsBetween(-7, 0)
-    lst = F.collect_list(s).over(w)
-    decay = F.aggregate(F.reverse(lst), F.lit(0).cast("long"),
-                        lambda acc, x: acc * 2 + x)
-    return e.select("user_id", "event_id", decay.alias("decay_sum"))
+    return decay_sum_frame(load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------

@@ -24,7 +24,10 @@ Design for scale:
   columns past the end.
 
 Layout option (``colspec``): comma-separated ``name:start:end[:type]``
-with 0-based, end-exclusive byte offsets, e.g.::
+with 0-based, end-exclusive offsets — CHARACTER offsets on the decoded
+line by default; pass ``offsets=byte`` for layouts specified in byte
+positions (each field's bytes are then decoded independently, the
+faithful mode for legacy single-byte-encoding dumps).  E.g.::
 
     spark.read.format("fwf")
          .option("colspec", "cod:0:7:int,nome:7:37:string,pop:37:46:int")
@@ -77,10 +80,17 @@ def _parse_colspec(spec: str) -> list[tuple[str, int, int, str]]:
     return cols
 
 
+_INT_MIN, _INT_MAX = -(2 ** 31), 2 ** 31 - 1
+_LONG_MIN, _LONG_MAX = -(2 ** 63), 2 ** 63 - 1
+
+
 def _convert(raw: str, typ: str):
-    """PERMISSIVE slice -> value: strip padding; NULL on cast failure
-    or empty slice (mirrors the reference's tolerant numeric repair —
-    a malformed record must not kill a 100-TB job)."""
+    """PERMISSIVE slice -> value: strip padding; NULL on cast failure,
+    empty slice, OR a numeric that overflows its declared type —
+    Python ints are unbounded but Arrow enforces the schema, so an
+    out-of-range value must become NULL here, never a task failure
+    (mirrors the reference's tolerant numeric repair; a malformed
+    record must not kill a 100-TB job)."""
     v = raw.strip()
     if not v:
         return None
@@ -89,9 +99,12 @@ def _convert(raw: str, typ: str):
     try:
         if typ == "double":
             return float(v)
-        return int(v)
+        n = int(v)
     except ValueError:
         return None
+    lo, hi = (_INT_MIN, _INT_MAX) if typ == "int" else \
+        (_LONG_MIN, _LONG_MAX)
+    return n if lo <= n <= hi else None
 
 
 class FwfReader(DataSourceReader):
@@ -102,15 +115,22 @@ class FwfReader(DataSourceReader):
         self.path = path
         self.cols = _parse_colspec(options.get("colspec", ""))
         self.encoding = options.get("encoding", "utf-8")
+        offsets = options.get("offsets", "char")
+        if offsets not in ("char", "byte"):
+            raise ValueError(
+                f"fwf: offsets={offsets!r} (want 'char' or 'byte')")
+        self.byte_offsets = offsets == "byte"
 
     def partitions(self):
         # One partition per file: directory dumps read in parallel,
         # and a lost task re-reads exactly one deterministic file.
+        # Plain files only — nested directories are skipped, not
+        # handed to open() to die with IsADirectoryError per task.
         if os.path.isdir(self.path):
             files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if not f.startswith((".", "_")))
+                p for f in os.listdir(self.path)
+                if not f.startswith((".", "_"))
+                and os.path.isfile(p := os.path.join(self.path, f)))
         else:
             files = [self.path]
         if not files:
@@ -119,6 +139,19 @@ class FwfReader(DataSourceReader):
 
     def read(self, partition):
         cols = self.cols
+        if self.byte_offsets:
+            # Slice raw bytes, decode each field independently — the
+            # faithful mode for layouts specified in byte positions
+            # over legacy single-byte encodings (latin-1 IBGE dumps)
+            # that may still contain stray multibyte content.
+            with open(partition.value, "rb") as fh:
+                for bline in fh:
+                    bline = bline.rstrip(b"\r\n")
+                    yield tuple(
+                        _convert(bline[s:e].decode(self.encoding,
+                                                   errors="replace"), t)
+                        for _, s, e, t in cols)
+            return
         with open(partition.value, encoding=self.encoding,
                   errors="replace") as fh:
             for line in fh:

@@ -511,3 +511,83 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Scratch space (input copy, checkpoints, every state version)
         # is removed on success AND on every failure path — no leak.
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def stream_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming restatement of the batch ``events_decay_sum`` query
+    (registry_pending2.decay_sum_frame): per-user EWMA (alpha=1/2)
+    over the trailing 8 events as an ``applyInPandasWithState``
+    fold — state is the trailing <=8 scaled longs (~64 bytes/user,
+    O(active users) total, independent of history length), and every
+    event emits immediately (no watermark semantics to wait for,
+    a verdict depends only on preceding events).
+
+    Integer arithmetic end-to-end: the buffer holds
+    coalesce(floor(value*10000), 0) longs and the fold is Horner
+    newest-first (acc*2 + x) over the frame — Python ints reproduce
+    the batch JVM fold bit-for-bit, so batch-parity is an exact frame
+    equality (law: tests/test_pending2.py).  Same cross-batch
+    ordering caveat as stream_rolling_anomaly: exactness requires
+    per-user event-time order between micro-batches; the availableNow
+    path processes the table in one batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    frame = 8  # registry_pending2.DECAY_FRAME (kept literal: this
+    #            module must stay importable without the registry)
+    stream = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id",
+                F.unix_micros(F.col("ts")).alias("us"),
+                F.floor(F.col("value") * 10000).cast("bigint")
+                 .alias("x")))
+
+    def fold(key, pdfs, state: "GroupState"):
+        import pandas as _pd
+
+        rows = []
+        for p in pdfs:
+            # NULLs arrive as NaN (pandas float upcast); the batch
+            # semantics give them weight-slot occupancy with value 0.
+            rows.extend(
+                (us, eid, 0 if _pd.isna(x) else int(x))
+                for us, eid, x in zip(p["us"].tolist(),
+                                      p["event_id"].tolist(),
+                                      p["x"].tolist()))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for _us, eid, x in rows:
+            buf.append(x)
+            acc = 0
+            for v in reversed(buf[-frame:]):
+                acc = acc * 2 + v
+            out.append((eid, key[0], acc))
+        state.update((buf[-frame:],))
+        if out:
+            yield _pd.DataFrame(
+                out, columns=["event_id", "user_id", "decay_sum"])
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=("event_id bigint, user_id bigint, "
+                          "decay_sum bigint"),
+        stateStructType="xs array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"stream_decay_{uuid.uuid4().hex[:8]}"
+    query = (
+        result.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)

@@ -77,6 +77,39 @@ def test_fwf_projection_composes(spark, fwf_dir):
     assert sorted(r["n"] for r in out) == ["rio", "são paulo"]
 
 
+def test_fwf_overflow_yields_null_not_task_failure(spark, tmp_path):
+    """An 11-digit value in an int column must become NULL (Python
+    ints are unbounded; Arrow enforces the schema) — the PERMISSIVE
+    contract says no task failure, ever."""
+    (tmp_path / "x.txt").write_text("99999999999 ok\n123         ok\n")
+    register_fwf(spark)
+    df = (spark.read.format("fwf")
+          .option("colspec", "n:0:12:int,tag:12:14:string")
+          .load(str(tmp_path)))
+    rows = sorted(df.collect(), key=lambda r: (r["n"] is None, r["n"]))
+    assert rows[0]["n"] == 123
+    assert rows[1]["n"] is None and rows[1]["tag"] == "ok"
+
+
+def test_fwf_byte_offsets_mode(spark, tmp_path):
+    """offsets=byte slices raw bytes before decoding — the faithful
+    mode for layouts specified in byte positions: 'São' is 3 chars
+    but 4 UTF-8 bytes, so char- and byte-mode disagree on where the
+    next column starts."""
+    (tmp_path / "b.txt").write_bytes("São42\n".encode("utf-8"))
+    register_fwf(spark)
+    byte_df = (spark.read.format("fwf")
+               .option("colspec", "name:0:4:string,n:4:6:int")
+               .option("offsets", "byte").load(str(tmp_path)))
+    r = byte_df.collect()[0]
+    assert r["name"] == "São" and r["n"] == 42
+    char_df = (spark.read.format("fwf")
+               .option("colspec", "name:0:3:string,n:3:5:int")
+               .load(str(tmp_path)))
+    r = char_df.collect()[0]
+    assert r["name"] == "São" and r["n"] == 42
+
+
 def test_fwf_bad_layout_fails_on_driver():
     with pytest.raises(ValueError, match="unknown type"):
         _parse_colspec("a:0:3:decimal")

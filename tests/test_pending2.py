@@ -88,6 +88,54 @@ def test_quantize_int8_saturates_exactly(spark, sf_dir):
         assert max(r["q_max"], -r["q_min"]) == 127, r
 
 
+def test_stream_decay_matches_batch_exactly(spark, sf_dir):
+    """The stateful streaming EWMA (applyInPandasWithState, Python-int
+    Horner fold) must equal the batch window fold row-for-row — the
+    exact-integer arithmetic makes this a strict equality, not a
+    tolerance check."""
+    from etl_dados_ibge_sp_spark.streaming.windowed import \
+        stream_decay_sum
+
+    batch = {(r["user_id"], r["event_id"]): r["decay_sum"]
+             for r in P2._q_events_decay_sum(spark, sf_dir).collect()}
+    stream = {(r["user_id"], r["event_id"]): r["decay_sum"]
+              for r in stream_decay_sum(spark, sf_dir).collect()}
+    assert batch == stream
+    assert len(batch) > 0
+
+
+def test_decay_fold_matches_bruteforce_with_nulls(spark):
+    """Brute-force law on synthetic data INCLUDING NULL values: a
+    NULL occupies its frame slot with contribution 0 (the oracle's
+    SUM-skips-NULL semantics), and the Horner fold must agree with a
+    direct python weighted sum for ragged user histories."""
+    import math
+
+    rows, expect = [], {}
+    histories = {
+        1: [1.5, None, 2.25, -3.0, 0.0, 7.125, None, 4.0, 5.5, -0.125],
+        2: [10.0],
+        3: [None, None, 3.5],
+    }
+    eid = 0
+    for uid, vals in histories.items():
+        buf = []
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append((uid, eid, i * 1000, v))
+            buf.append(0 if v is None else math.floor(v * 10000))
+            win = buf[-P2.DECAY_FRAME:]
+            expect[(uid, eid)] = sum(
+                x * 2 ** j for j, x in enumerate(win))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, us bigint, value double"
+    ).selectExpr("user_id", "event_id",
+                 "timestamp_micros(us) AS ts", "value")
+    got = {(r["user_id"], r["event_id"]): r["decay_sum"]
+           for r in P2.decay_sum_frame(df).collect()}
+    assert got == expect
+
+
 def test_tfidf_topk_at_most_three_per_doc(spark, sf_dir):
     from pyspark.sql import functions as F
 
