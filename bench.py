@@ -121,6 +121,8 @@ HEADLINE = [
     "events_decay_sum",
     "value_mad_outliers",
     "pivot_event_counts",
+    "events_ohlc_bars",
+    "nation_top_customer_csv",
 ]
 
 

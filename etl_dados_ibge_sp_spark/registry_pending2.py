@@ -47,8 +47,14 @@ from .sources.parquet_source import load_table
 
 def _view(spark: SparkSession, sf_dir: str, table: str,
           prefix: str) -> str:
+    """Temp view WITHOUT the scan fan-out: every SQL query here is
+    join/aggregate-first, so its first exchange provides the
+    parallelism and the fan-out repartition would only get transposed
+    above the join as a blind reshuffle of join output
+    (tests/test_plan_hygiene.py pins this)."""
     name = f"__{prefix}_{table}"
-    load_table(spark, sf_dir, table).createOrReplaceTempView(name)
+    load_table(spark, sf_dir, table, fan_out=False) \
+        .createOrReplaceTempView(name)
     return name
 
 
@@ -783,6 +789,113 @@ def _q_set_except_churned(spark: SparkSession,
     return spark.sql(_EXCEPT_SQL.format(orders=o))
 
 
+# --------------------------------------------------------------------------
+# OHLC time bars (min_by / max_by selection aggregates)
+# --------------------------------------------------------------------------
+
+_OHLC_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+              AS BIGINT) AS bar,
+         value, ts, event_id FROM events),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bar
+                       ORDER BY ts, event_id) AS rna,
+    row_number() OVER (PARTITION BY event_type, bar
+                       ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM t)
+SELECT event_type, bar,
+  CAST(floor(MAX(CASE WHEN rna=1 THEN value END)*10000) AS BIGINT)
+    AS open_e4,
+  CAST(floor(MAX(value)*10000) AS BIGINT) AS high_e4,
+  CAST(floor(MIN(value)*10000) AS BIGINT) AS low_e4,
+  CAST(floor(MAX(CASE WHEN rnd=1 THEN value END)*10000) AS BIGINT)
+    AS close_e4,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY event_type, bar
+"""
+
+
+def _q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical time-series
+    downsample.  Spark uses `min_by`/`max_by` keyed on the unique
+    (ts, event_id) struct: ONE map-combinable aggregation (selection
+    partials merge like any min/max), no window sort anywhere — at
+    100 TB that is a single keys+4-doubles shuffle.  The oracle needs
+    two row_number windows to say the same thing; (ts, event_id)
+    uniqueness makes both formulations pick identical rows, and
+    open/high/low/close are pure SELECTION (no arithmetic), so the
+    floor-scaled outputs are bit-exact."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ordk = F.struct(us.alias("us"), F.col("event_id"))
+    t = e.select(
+        "event_type",
+        F.floor(us / F.lit(3600000000.0)).cast("long").alias("bar"),
+        "value", ordk.alias("k"))
+    g = (t.groupBy("event_type", "bar")
+         .agg(F.min_by("value", F.col("k")).alias("o"),
+              F.max("value").alias("h"),
+              F.min("value").alias("lo"),
+              F.max_by("value", F.col("k")).alias("c"),
+              F.count(F.lit(1)).alias("n_events")))
+    e4 = (lambda c, n: F.floor(F.col(c) * 10000).cast("long").alias(n))
+    return g.select("event_type", "bar", e4("o", "open_e4"),
+                    e4("h", "high_e4"), e4("lo", "low_e4"),
+                    e4("c", "close_e4"), "n_events")
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG parity)
+# --------------------------------------------------------------------------
+
+_LISTAGG_SQL = """
+WITH r AS (
+  SELECT n.n_name, c.c_name, c.c_acctbal,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey)
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY rn) AS top_names,
+       CAST(floor(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100)
+            AS BIGINT) AS top_bal_cents,
+       CAST(count(*) AS BIGINT) AS n_top
+FROM r WHERE rn <= 5 GROUP BY n_name
+"""
+
+
+def _q_nation_top_customer_csv(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG / string_agg WITHIN
+    GROUP): each nation's top-5 customers by account balance as one
+    ordered CSV cell.  Spark has no ordered string_agg, so the
+    portable exact form is collect_list of (rank, name) structs +
+    in-row `array_sort` + `transform` + `array_join` — the in-row
+    sort makes the result independent of collect_list's arrival
+    order, i.e. partition-count invariant.  Ranks come from one top-k
+    window (ties broken by name); only rank<=5 rows ever reach the
+    aggregation, so the shuffle carries 5 short rows per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey") \
+        .orderBy(F.col("c_acctbal").desc(), "c_name")
+    top = (c.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 5)
+           .join(F.broadcast(n),
+                 c.c_nationkey == n.n_nationkey))
+    names = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+            lambda x: x["c_name"]), ",")
+    return (top.groupBy("n_name")
+            .agg(names.alias("top_names"),
+                 F.floor(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                         * 100).cast("long").alias("top_bal_cents"),
+                 F.count(F.lit(1)).alias("n_top")))
+
+
 PENDING2: list[tuple[str, str,
                      Callable[[SparkSession, str], DataFrame]]] = [
     ("order_priority_exists",
@@ -830,4 +943,7 @@ PENDING2: list[tuple[str, str,
     ("events_decay_sum", _DECAY_SQL, _q_events_decay_sum),
     ("set_except_churned", _EXCEPT_SQL.format(orders="orders"),
      _q_set_except_churned),
+    ("events_ohlc_bars", _OHLC_SQL, _q_events_ohlc_bars),
+    ("nation_top_customer_csv", _LISTAGG_SQL,
+     _q_nation_top_customer_csv),
 ]

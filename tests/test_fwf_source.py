@@ -110,6 +110,35 @@ def test_fwf_byte_offsets_mode(spark, tmp_path):
     assert r["name"] == "São" and r["n"] == 42
 
 
+def test_fwf_never_raises_on_arbitrary_content(spark, tmp_path):
+    """Fuzz the PERMISSIVE contract: arbitrary printable lines (runs
+    generated from a seeded RNG — hypothesis' function-scoped health
+    check dislikes session fixtures, so the corpus is pinned) must
+    never kill a task; every line yields exactly one row."""
+    import random
+    import string
+
+    rng = random.Random(20260814)
+    alphabet = string.printable.replace("\n", "").replace("\r", "")
+    lines = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 40)))
+             for _ in range(200)]
+    (tmp_path / "fuzz.txt").write_text(
+        "\n".join(lines) + "\n", encoding="utf-8")
+    register_fwf(spark)
+    df = (spark.read.format("fwf")
+          .option("colspec",
+                  "a:0:5:int,b:5:12:string,c:12:20:double,d:20:33:bigint")
+          .load(str(tmp_path)))
+    rows = df.collect()
+    assert len(rows) == len(lines)
+    # String column round-trips the stripped slice exactly (compared
+    # as multisets: row order across partitions is not guaranteed).
+    got_b = sorted(r["b"] for r in rows if r["b"] is not None)
+    want_b = sorted(s for s in (ln[5:12].strip() for ln in lines) if s)
+    assert got_b == want_b
+
+
 def test_fwf_bad_layout_fails_on_driver():
     with pytest.raises(ValueError, match="unknown type"):
         _parse_colspec("a:0:3:decimal")

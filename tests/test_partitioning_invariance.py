@@ -36,6 +36,10 @@ CHECKED = [
     "text_dup_ngram_spans",
     "top_revenue_supplier",
     "mode_event_per_user",
+    # selection aggregates (min_by/max_by merge order) and the in-row
+    # sorted collect_list concat.
+    "events_ohlc_bars",
+    "nation_top_customer_csv",
 ]
 
 

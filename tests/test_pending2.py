@@ -146,3 +146,48 @@ def test_tfidf_topk_at_most_three_per_doc(spark, sf_dir):
     bad = per_doc.filter((F.col("n") > 3)
                          | (F.col("max_rnk") > 3)).count()
     assert bad == 0
+
+
+def test_dup_ngram_spans_matches_bruteforce(spark):
+    """Third-implementation law (both engine formulations could share
+    a bug): direct python n-gram counting on a corpus CONSTRUCTED to
+    exercise the interesting cases — an exact duplicate pair, a
+    shared-boilerplate span inside otherwise-distinct docs, a doc
+    with internal repetition only (its gram repeats within ONE doc,
+    which must NOT count as duplicated), and a doc shorter than the
+    gram width (excluded entirely)."""
+    docs = {
+        1: "a b c d e f g h i j",                    # shares 8-gram w/ 2
+        2: "a b c d e f g h x y",
+        3: "p q r s t u v w",                        # exact dup of 4
+        4: "p q r s t u v w",
+        5: "m m m m m m m m m m m m",                # self-repeat only
+        6: "too short",                              # < 8 tokens
+    }
+    grams = {}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        for i in range(len(toks) - 7):
+            grams.setdefault(" ".join(toks[i:i + 8]), set()).add(did)
+    expect = {}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        if len(toks) < 8:
+            continue
+        gs = [" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)]
+        expect[did] = (len(gs),
+                       sum(1 for g in gs if len(grams[g]) >= 2))
+    import os
+    import tempfile
+
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table  # noqa: F401
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(k, v) for k, v in docs.items()], "doc_id bigint, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+               for r in P2._q_text_dup_ngram_spans(spark, td).collect()}
+    assert got == expect
+    assert expect[5][1] == 0, "self-repetition must not count"
+    assert 6 not in got
