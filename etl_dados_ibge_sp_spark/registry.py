@@ -62,8 +62,14 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
+def _t(spark, sf_dir, name, fan_out: bool = True):
+    """``fan_out=False`` for join/aggregate-first queries: the scan
+    fan-out repartition exists for per-row-heavy NARROW pipelines
+    (hashing, shingling); when the first real operator is a shuffle
+    anyway, the optimizer can transpose the repartition above the
+    join and the fan-out becomes a blind extra exchange of the join
+    output (pinned by tests/test_plan_hygiene.py)."""
+    return load_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 # --------------------------------------------------------------------------
@@ -647,7 +653,7 @@ SELECT 'union' AS op, o_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
 """)
 def q_set_operations(spark, sf_dir):
     """union / intersect / except (distinct semantics on both sides)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", fan_out=False)
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     tag = lambda df, t: df.select(F.lit(t).alias("op"), "o_custkey")  # noqa: E731

@@ -369,7 +369,10 @@ def q_dedup_keep_canonical(spark, sf_dir):
     back to the corpus.  This is the operator a training-data pipeline
     actually runs; the stages before it are its observable internals.
     Trigram shingles, same rationale as dedup_connected_components."""
-    docs = _t(spark, sf_dir, "documents")
+    # No fan-out: this load only feeds the final semi-join projection
+    # (the shingle-heavy work lives inside the memoized pair set,
+    # which fans out its own scan).
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     pairs = _jaccard_pairs_full(spark, sf_dir)
     nodes = docs.select(F.col("doc_id").alias("node"))
     comp = D.connected_components(nodes, pairs, node_col="node")

@@ -92,9 +92,9 @@ def _q_correlated_small_qty_revenue(spark: SparkSession,
     subquery that Catalyst decorrelates into a per-part aggregate +
     join (the plan a 100-TB engine must produce; a per-row subquery
     would be a quadratic disaster)."""
-    load_table(spark, sf_dir, "lineitem") \
+    load_table(spark, sf_dir, "lineitem", fan_out=False) \
         .createOrReplaceTempView("__q17_lineitem")
-    load_table(spark, sf_dir, "part") \
+    load_table(spark, sf_dir, "part", fan_out=False) \
         .createOrReplaceTempView("__q17_part")
     return spark.sql(_Q17_SQL.format(lineitem="__q17_lineitem",
                                      part="__q17_part"))
@@ -119,9 +119,9 @@ def _q_correlated_exists_orders(spark: SparkSession,
     (TPC-H Q21 flavor): orders 1.6x above their own customer's average
     that contain at least one bulk lineitem.  Decorrelates to a
     per-customer aggregate join plus a left-semi join."""
-    load_table(spark, sf_dir, "orders") \
+    load_table(spark, sf_dir, "orders", fan_out=False) \
         .createOrReplaceTempView("__qex_orders")
-    load_table(spark, sf_dir, "lineitem") \
+    load_table(spark, sf_dir, "lineitem", fan_out=False) \
         .createOrReplaceTempView("__qex_lineitem")
     return spark.sql(_QEXISTS_SQL.format(orders="__qex_orders",
                                          lineitem="__qex_lineitem"))
@@ -176,7 +176,7 @@ def _q_having_scalar_threshold(spark: SparkSession,
     The scalar computes once and broadcasts as a literal-like filter
     on the aggregate, never per group; DECIMAL accumulation keeps the
     4% boundary bit-identical across engines."""
-    load_table(spark, sf_dir, "part") \
+    load_table(spark, sf_dir, "part", fan_out=False) \
         .createOrReplaceTempView("__q11_part")
     return spark.sql(_Q11_SQL.format(part="__q11_part"))
 
@@ -246,7 +246,7 @@ def _q_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape.  Catalyst decorrelates it to a per-nation min aggregate +
     join; equality against the min is exact (the min IS one of the
     doubles), so no rounding discipline is needed on the filter."""
-    load_table(spark, sf_dir, "supplier") \
+    load_table(spark, sf_dir, "supplier", fan_out=False) \
         .createOrReplaceTempView("__q2_supplier")
     load_table(spark, sf_dir, "nation") \
         .createOrReplaceTempView("__q2_nation")
@@ -278,11 +278,11 @@ def _q_inactive_premium_customers(spark: SparkSession,
     EXISTS (decorrelated to a left-anti join with the date filter
     pushed into the orders scan).  DECIMAL accumulation keeps the
     average boundary bit-identical across engines."""
-    load_table(spark, sf_dir, "customer") \
+    load_table(spark, sf_dir, "customer", fan_out=False) \
         .createOrReplaceTempView("__q22_customer")
     load_table(spark, sf_dir, "nation") \
         .createOrReplaceTempView("__q22_nation")
-    load_table(spark, sf_dir, "orders") \
+    load_table(spark, sf_dir, "orders", fan_out=False) \
         .createOrReplaceTempView("__q22_orders")
     return spark.sql(_Q22_SQL.format(customer="__q22_customer",
                                      nation="__q22_nation",
@@ -1284,7 +1284,7 @@ def _q_suppliers_serving_all_nations(spark: SparkSession,
     to the divisor's count (an uncorrelated scalar, computed once) —
     all shuffles are keys-only.  Same SQL text on both engines."""
     for t in ("nation", "region", "customer", "orders", "lineitem"):
-        load_table(spark, sf_dir, t) \
+        load_table(spark, sf_dir, t, fan_out=False) \
             .createOrReplaceTempView(f"__div_{t}")
     return spark.sql(_DIVISION_SQL.format(
         nation="__div_nation", region="__div_region",
