@@ -263,3 +263,155 @@ def ann_multiprobe_topk(emb: DataFrame, query: DataFrame, k: int,
          .alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ's second stage): 8-byte codes for
+# billion-scale ANN
+# --------------------------------------------------------------------------
+
+def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
+    """Nested literal array CB[sub][code][dim] (1-indexed element_at)."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                  for c in sub])
+        for sub in codebooks])
+
+
+def _sub_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """In-row PQ encoding: for each subspace, the argmin-L2 codebook
+    index (ties -> lowest code via array_position's first match).
+    Pure JVM expressions over literal codebooks — zero shuffle, zero
+    Python."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    dm = len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    v = _as_double(vec)
+
+    def code_for(s: Column) -> Column:
+        sv = F.slice(v, s * dm + 1, dm)
+        cents = F.element_at(cb, s + 1)
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(kk - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(sv, F.element_at(cents, c + 1),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        return (F.array_position(dists, F.array_min(dists)) - 1) \
+            .cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Train PQ codebooks: independent L2 k-means in each of ``m``
+    subspaces — but run as ONE DataFrame job per iteration across all
+    subspaces (explode to (sub, subvector) rows; assignment is an
+    in-row argmin against the literal codebooks; the update is a
+    map-combinable (sub, code, dim) decimal-sum aggregate).  m·k·(d/m)
+    floats come back to the driver per iteration — the model, like
+    kmeans_fit's centroids, with the same k·n_iter driver-barrier
+    caveat.
+
+    Deterministic: seeds are the k lowest-id vectors' subvectors,
+    decimal accumulation, fixed iterations — bit-identical on any
+    partitioning.  At 100 TB: train on a deterministic sample
+    (content-hash filter), encode the full corpus with the frozen
+    codebooks.
+    """
+    from pyspark.sql.types import DecimalType
+    acc = DecimalType(32, 12)
+    first = emb.select(_as_double(F.col(vec_col)).alias("v")).first()
+    d = len(first["v"])
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dm = d // m
+
+    seeds = [r["v"] for r in
+             emb.select(F.col(id_col).alias("i"),
+                        _as_double(F.col(vec_col)).alias("v"))
+             .orderBy("i").limit(k).collect()]
+    codebooks = [[list(v[s * dm:(s + 1) * dm]) for v in seeds]
+                 for s in range(m)]
+
+    v = emb.select(_as_double(F.col(vec_col)).alias("v"))
+    subs = v.select(F.explode(F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice("v", s * dm + 1, dm).alias("sv"))
+        for s in range(m)])).alias("e")).select("e.sub", "e.sv")
+
+    for _ in range(n_iter):
+        cb = _codebook_lit(codebooks)
+        cents = F.element_at(cb, F.col("sub") + 1)
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda c: F.aggregate(
+                F.zip_with("sv", F.element_at(cents, c + 1),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x))
+        code = (F.array_position(dists, F.array_min(dists)) - 1) \
+            .cast("int")
+        stats = (subs.select("sub", code.alias("code"),
+                             F.posexplode("sv").alias("dim", "x"))
+                 .groupBy("sub", "code", "dim")
+                 .agg(F.sum(F.col("x").cast(acc)).alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in stats:
+            means.setdefault((r["sub"], r["code"]), {})[r["dim"]] = \
+                float(r["s"]) / r["n"]
+            counts[(r["sub"], r["code"])] = r["n"]
+        for s in range(m):
+            for c in range(k):
+                got = means.get((s, c))
+                if got:
+                    codebooks[s][c] = [got[i] for i in range(dm)]
+                # empty cluster: keep previous centroid
+    return codebooks
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector to its m-byte PQ code array — (id, codes).
+    In-row JVM expression only: at 100 TB this is the narrow pass
+    that shrinks a 256-byte float embedding to m bytes (32x for
+    64-dim float32 at m=8), which is what makes exhaustive ANN scans
+    of billion-row tables memory-feasible."""
+    return emb.select(
+        F.col(id_col),
+        _sub_codes(F.col(vec_col), codebooks).alias("codes"))
+
+
+def pq_adc_topk(codes: DataFrame, query_vec: list[float],
+                codebooks: list[list[list[float]]], k: int,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric distance computation: the query stays un-quantized;
+    per-subspace distances to every codebook centroid are computed
+    ONCE on the driver (m·k doubles — the classic ADC lookup table)
+    and shipped as a literal, so scanning a vector costs m array
+    lookups + adds, no float vector math at all.  Top-k is a
+    TakeOrdered (ties by id); at scale, combine with the IVF coarse
+    quantizer to prune the scan to nprobe cells first, then refine
+    the top candidates against the exact vectors."""
+    m = len(codebooks)
+    table = [[sum((float(q) - float(c)) ** 2
+                  for q, c in zip(query_vec[s * len(codebooks[0][0]):
+                                            (s + 1) * len(codebooks[0][0])],
+                                  codebooks[s][code]))
+              for code in range(len(codebooks[0]))]
+             for s in range(m)]
+    t = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.element_at(t, s + 1),
+            F.element_at("codes", s + 1) + 1))
+    return (codes.select(F.col(id_col),
+                         F.round(dist, 6).alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))

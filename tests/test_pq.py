@@ -1,0 +1,72 @@
+"""Laws for product quantization (operators/similarity.pq_*):
+code validity, ADC recall against exact L2 brute force, and
+self-query recovery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_dados_ibge_sp_spark.operators.similarity import (pq_adc_topk,
+                                                          pq_encode,
+                                                          pq_train)
+from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+M, K = 8, 16
+
+
+@pytest.fixture(scope="module")
+def pq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=M, k=K, n_iter=2)
+    codes = pq_encode(emb, books).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.select("vec_id", "embedding").collect()}
+    return emb, books, codes, vecs
+
+
+def test_pq_codes_are_valid(pq):
+    _, books, codes, vecs = pq
+    assert len(books) == M and all(len(s) == K for s in books)
+    assert len(codes) == len(vecs)
+    for r in codes:
+        assert len(r["codes"]) == M
+        assert all(0 <= c < K for c in r["codes"])
+
+
+def test_pq_adc_recall_against_exact(spark, sf_dir, pq):
+    """ADC top-2k candidates must contain >= 70% of the exact-L2
+    top-10 — the quantization-quality bar that makes PQ a usable
+    first-stage filter (refine the survivors against exact vectors,
+    as the docstring prescribes)."""
+    emb, books, _, vecs = pq
+    q = vecs[1]
+    exact = sorted(vecs, key=lambda i: (float(((vecs[i] - q) ** 2).sum()),
+                                        i))[:10]
+    got = [r["vec_id"] for r in
+           pq_adc_topk(pq_encode(emb, books), list(q), books,
+                       k=20).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.7, f"recall@10 with 20 candidates = {recall}"
+
+
+def test_pq_self_query_recovers_itself(spark, sf_dir, pq):
+    """Querying with a corpus vector must put that vector's own id in
+    the top-5 ADC candidates (its quantized cell is by construction
+    nearest-or-close to the unquantized query)."""
+    emb, books, _, vecs = pq
+    got = [r["vec_id"] for r in
+           pq_adc_topk(pq_encode(emb, books), list(vecs[7]), books,
+                       k=5).collect()]
+    assert 7 in got, got
+
+
+def test_pq_encode_is_inrow_jvm(spark, sf_dir, pq):
+    """Encoding is a narrow, Python-free projection: no exchange, no
+    Python eval in the plan — the property that lets it run as a
+    side-effect of any corpus scan at 100 TB."""
+    emb, books, _, _ = pq
+    plan = pq_encode(emb, books) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
