@@ -415,3 +415,52 @@ def pq_adc_topk(codes: DataFrame, query_vec: list[float],
     return (codes.select(F.col(id_col),
                          F.round(dist, 6).alias("adc_dist"))
             .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))
+
+
+def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
+                   centroids: list[list[float]],
+                   codebooks: list[list[list[float]]],
+                   k: int, nprobe: int = 2, refine: int = 0,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The full two-stage billion-scale ANN: IVF coarse quantizer
+    prunes the scan to ``nprobe`` cells, PQ/ADC ranks inside them,
+    and (optionally) the top ``refine`` survivors re-rank against the
+    exact vectors.  Everything runs on L2-NORMALIZED vectors so L2
+    order ≡ cosine order end-to-end (||a−b||² = 2−2·cos for unit
+    vectors) — the IVF stage's spherical centroids and the PQ
+    codebooks must both have been trained on normalized input.
+
+    At 100 TB: the table is written partitioned by the IVF cell and
+    stores only (id, m-byte codes [+ exact vector for refine]); a
+    query touches nprobe partitions, scans codes with m lookups/row,
+    and reads exact vectors for just the refine set.  Driver work is
+    the centroid argsort + the m×k ADC table — microseconds.
+    """
+    import math
+
+    q = list(map(float, query_vec))
+    nrm = math.sqrt(sum(x * x for x in q)) or 1.0
+    q = [x / nrm for x in q]
+    order = sorted(range(len(centroids)),
+                   key=lambda i: -sum(a * b for a, b
+                                      in zip(q, centroids[i])))
+    probes = order[:nprobe]
+
+    nv = l2_normalized(_as_double(F.col(vec_col)))
+    cell = nearest_centroid(nv, centroids)
+    pruned = emb.withColumn("__cell", cell) \
+        .filter(F.col("__cell").isin(probes))
+    codes = pruned.select(F.col(id_col), "__cell",
+                          _sub_codes(nv, codebooks).alias("codes"),
+                          nv.alias("__nv"))
+    cand = pq_adc_topk(codes, q, codebooks,
+                       k=max(k, refine), id_col=id_col)
+    if refine <= 0:
+        return cand.select(id_col, "adc_dist")
+    qlit = F.array(*[F.lit(x) for x in q])
+    exact = (cand.join(codes.select(id_col, "__nv"), id_col)
+             .select(F.col(id_col),
+                     F.round(2.0 - 2.0 * dot(F.col("__nv"), qlit), 6)
+                      .alias("l2sq_dist")))
+    return exact.orderBy(F.asc("l2sq_dist"), F.asc(id_col)).limit(k)

@@ -148,6 +148,38 @@ def test_tfidf_topk_at_most_three_per_doc(spark, sf_dir):
     assert bad == 0
 
 
+def test_ohlc_matches_bruteforce_with_ties(spark, sf_dir, tmp_path):
+    """Selection-aggregate law on synthetic data with same-timestamp
+    ties: open/close must follow the (ts, event_id) total order, not
+    value order or arrival order."""
+    import os
+
+    rows = [
+        # (event_id, us, type, value) — bar 0: ties on us=1000
+        (1, 1000, "a", 5.0), (2, 1000, "a", 9.0), (3, 2000, "a", 1.0),
+        (4, 3000, "a", 7.0),
+        # bar boundary: 3600s * 1e6 us
+        (5, 3_600_000_000 + 10, "a", 2.5),
+        (6, 3_600_000_000 + 10, "a", -4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, event_type string, value double"
+    ).selectExpr("event_id", "timestamp_micros(us) AS ts",
+                 "event_type", "value")
+    os.makedirs(tmp_path / "d", exist_ok=True)
+    df.write.parquet(str(tmp_path / "d" / "events.parquet"))
+    got = {(r["event_type"], r["bar"]):
+           (r["open_e4"], r["high_e4"], r["low_e4"], r["close_e4"],
+            r["n_events"])
+           for r in P2._q_events_ohlc_bars(spark,
+                                           str(tmp_path / "d")).collect()}
+    # bar 0: open = event 1 (5.0, lowest event_id at earliest ts),
+    # close = event 4 (7.0); high 9.0, low 1.0.
+    assert got[("a", 0)] == (50000, 90000, 10000, 70000, 4)
+    # bar 1: open = event 5 (2.5), close = event 6 (-4.0).
+    assert got[("a", 1)] == (25000, 25000, -40000, -40000, 2)
+
+
 def test_dup_ngram_spans_matches_bruteforce(spark):
     """Third-implementation law (both engine formulations could share
     a bug): direct python n-gram counting on a corpus CONSTRUCTED to

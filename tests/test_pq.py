@@ -61,6 +61,43 @@ def test_pq_self_query_recovers_itself(spark, sf_dir, pq):
     assert 7 in got, got
 
 
+def test_ivfpq_recall_and_pruning(spark, sf_dir):
+    """The composed two-stage pipeline: IVF cells prune the scan
+    (strictly fewer rows than the corpus reach ADC), and with refine
+    against exact vectors the top-10 recall vs exact cosine stays
+    >= 0.6 while scanning only nprobe cells."""
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        ann_ivfpq_topk, kmeans_fit, l2_normalized, _as_double)
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    norm = emb.select("vec_id",
+                      l2_normalized(_as_double(F.col("embedding")))
+                      .alias("embedding"))
+    books = pq_train(norm, m=M, k=K, n_iter=2)
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in norm.collect()}
+    q = vecs[3]
+    exact = sorted(vecs, key=lambda i: (-float(vecs[i] @ q), i))[:10]
+
+    got = [r["vec_id"] for r in
+           ann_ivfpq_topk(emb, list(q), cents, books, k=10,
+                          nprobe=3, refine=40).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.6, f"ivfpq recall@10 = {recall}"
+    # Pruning really happened: the probed cells hold < the corpus.
+    from etl_dados_ibge_sp_spark.operators.similarity import \
+        nearest_centroid
+    cells = emb.select(nearest_centroid(
+        l2_normalized(_as_double(F.col("embedding"))), cents)
+        .alias("c")).groupBy("c").count().collect()
+    total = sum(r["count"] for r in cells)
+    top3 = sum(sorted((r["count"] for r in cells), reverse=True)[:3])
+    assert top3 < total, "IVF assignment left everything in 3 cells"
+
+
 def test_pq_encode_is_inrow_jvm(spark, sf_dir, pq):
     """Encoding is a narrow, Python-free projection: no exchange, no
     Python eval in the plan — the property that lets it run as a
