@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
              src: str = "u", dst: str = "v", weight: str = "w",
              iters: int = 5, damping: float = 0.85,
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             broadcast_edges: bool = False) -> DataFrame:
     """Weighted PageRank, ``iters`` fixed power iterations.
 
     ``nodes``: one column of node ids.  ``edges``: (src, dst, weight)
@@ -40,6 +41,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
     default ``localCheckpoint`` stores executor-local blocks, which a
     lost executor silently invalidates mid-iteration; long-running
     cluster jobs should pass a dir.
+
+    ``broadcast_edges``: set when the graph is known-small (a node-pair
+    aggregate over a bounded dimension) — each iteration's two joins
+    then broadcast, leaving the per-round min-payload groupBy as the
+    only shuffle.  Leave False for web-scale graphs, where the
+    transition matrix is the big table and must hash-partition.
 
     Returns (node_col, pagerank) with rank rounded to 9 decimals.
     """
@@ -61,16 +68,18 @@ def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
     ranks = nodes.select(F.col(node_col).alias("__n"),
                          F.lit(1.0 / n).alias("__r"))
     bare = nodes.select(F.col(node_col).alias("__n"))
+    trans_side = F.broadcast(trans) if broadcast_edges else trans
     for _ in range(iters):
         contrib = (
-            trans.join(ranks, trans["__u"] == ranks["__n"])
+            trans_side.join(ranks, trans["__u"] == ranks["__n"])
             .select(F.col("__v").alias("__n2"),
                     (F.col("__r") * F.col("__p")).alias("__c")))
         agg = contrib.groupBy("__n2").agg(
             F.sum(F.col("__c").cast("decimal(38,18)")).cast("double")
             .alias("__s"))
+        agg_side = F.broadcast(agg) if broadcast_edges else agg
         ranks = (
-            bare.join(agg, F.col("__n") == F.col("__n2"), "left")
+            bare.join(agg_side, F.col("__n") == F.col("__n2"), "left")
             .select("__n",
                     (F.lit(jump)
                      + F.lit(damping) * F.coalesce("__s", F.lit(0.0)))

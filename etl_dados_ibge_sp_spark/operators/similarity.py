@@ -278,30 +278,34 @@ def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
         for sub in codebooks])
 
 
+def _argmin_code(sv: Column, cents: Column, k: int) -> Column:
+    """Argmin-L2 codebook index for one subvector against a k-entry
+    centroid array (ties -> lowest code via array_position's first
+    match).  THE single assignment rule — pq_train's in-loop
+    assignment and _sub_codes' encoding both call it, so train-time
+    and encode-time can never diverge on a tie-break or fold order."""
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: F.aggregate(
+            F.zip_with(sv, F.element_at(cents, c + 1),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def _sub_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """In-row PQ encoding: for each subspace, the argmin-L2 codebook
-    index (ties -> lowest code via array_position's first match).
-    Pure JVM expressions over literal codebooks — zero shuffle, zero
-    Python."""
+    index.  Pure JVM expressions over literal codebooks — zero
+    shuffle, zero Python."""
     m = len(codebooks)
     kk = len(codebooks[0])
     dm = len(codebooks[0][0])
     cb = _codebook_lit(codebooks)
     v = _as_double(vec)
-
-    def code_for(s: Column) -> Column:
-        sv = F.slice(v, s * dm + 1, dm)
-        cents = F.element_at(cb, s + 1)
-        dists = F.transform(
-            F.sequence(F.lit(0), F.lit(kk - 1)),
-            lambda c: F.aggregate(
-                F.zip_with(sv, F.element_at(cents, c + 1),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x))
-        return (F.array_position(dists, F.array_min(dists)) - 1) \
-            .cast("int")
-
-    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _argmin_code(F.slice(v, s * dm + 1, dm),
+                               F.element_at(cb, s + 1), kk))
 
 
 def pq_train(emb: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
@@ -325,6 +329,8 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
     from pyspark.sql.types import DecimalType
     acc = DecimalType(32, 12)
     first = emb.select(_as_double(F.col(vec_col)).alias("v")).first()
+    if first is None or first["v"] is None:
+        raise ValueError("pq_train: empty input (or NULL first vector)")
     d = len(first["v"])
     if d % m != 0:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
@@ -345,15 +351,8 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
 
     for _ in range(n_iter):
         cb = _codebook_lit(codebooks)
-        cents = F.element_at(cb, F.col("sub") + 1)
-        dists = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda c: F.aggregate(
-                F.zip_with("sv", F.element_at(cents, c + 1),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, x: a + x))
-        code = (F.array_position(dists, F.array_min(dists)) - 1) \
-            .cast("int")
+        code = _argmin_code(F.col("sv"),
+                            F.element_at(cb, F.col("sub") + 1), k)
         stats = (subs.select("sub", code.alias("code"),
                              F.posexplode("sv").alias("dim", "x"))
                  .groupBy("sub", "code", "dim")
@@ -361,11 +360,9 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
                       F.count(F.lit(1)).alias("n"))
                  .collect())
         means: dict[tuple[int, int], dict[int, float]] = {}
-        counts: dict[tuple[int, int], int] = {}
         for r in stats:
             means.setdefault((r["sub"], r["code"]), {})[r["dim"]] = \
                 float(r["s"]) / r["n"]
-            counts[(r["sub"], r["code"])] = r["n"]
         for s in range(m):
             for c in range(k):
                 got = means.get((s, c))
@@ -388,9 +385,24 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
         _sub_codes(F.col(vec_col), codebooks).alias("codes"))
 
 
+def _check_query_dim(query_vec: list[float],
+                     codebooks: list[list[list[float]]],
+                     who: str) -> None:
+    """A wrong-length query must fail loudly: zip would silently
+    truncate, zeroing the later subspaces' contribution and returning
+    plausible-but-wrong neighbors."""
+    want = len(codebooks) * len(codebooks[0][0])
+    if len(query_vec) != want:
+        raise ValueError(
+            f"{who}: query_vec has {len(query_vec)} dims, codebooks "
+            f"expect {want} (m={len(codebooks)} x "
+            f"dm={len(codebooks[0][0])})")
+
+
 def pq_adc_topk(codes: DataFrame, query_vec: list[float],
                 codebooks: list[list[list[float]]], k: int,
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Asymmetric distance computation: the query stays un-quantized;
     per-subspace distances to every codebook centroid are computed
     ONCE on the driver (m·k doubles — the classic ADC lookup table)
@@ -398,11 +410,17 @@ def pq_adc_topk(codes: DataFrame, query_vec: list[float],
     lookups + adds, no float vector math at all.  Top-k is a
     TakeOrdered (ties by id); at scale, combine with the IVF coarse
     quantizer to prune the scan to nprobe cells first, then refine
-    the top candidates against the exact vectors."""
+    the top candidates against the exact vectors.
+
+    ``carry_cols``: extra ``codes`` columns projected through to the
+    result (e.g. the exact vector for a refine stage) — carrying them
+    through the ONE scan beats a join back that would re-derive the
+    scan."""
+    _check_query_dim(query_vec, codebooks, "pq_adc_topk")
     m = len(codebooks)
+    dm = len(codebooks[0][0])
     table = [[sum((float(q) - float(c)) ** 2
-                  for q, c in zip(query_vec[s * len(codebooks[0][0]):
-                                            (s + 1) * len(codebooks[0][0])],
+                  for q, c in zip(query_vec[s * dm:(s + 1) * dm],
                                   codebooks[s][code]))
               for code in range(len(codebooks[0]))]
              for s in range(m)]
@@ -412,7 +430,7 @@ def pq_adc_topk(codes: DataFrame, query_vec: list[float],
         lambda acc, s: acc + F.element_at(
             F.element_at(t, s + 1),
             F.element_at("codes", s + 1) + 1))
-    return (codes.select(F.col(id_col),
+    return (codes.select(F.col(id_col), *carry_cols,
                          F.round(dist, 6).alias("adc_dist"))
             .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))
 
@@ -440,6 +458,11 @@ def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
     import math
 
     q = list(map(float, query_vec))
+    _check_query_dim(q, codebooks, "ann_ivfpq_topk")
+    if centroids and len(q) != len(centroids[0]):
+        raise ValueError(
+            f"ann_ivfpq_topk: query_vec has {len(q)} dims, centroids "
+            f"have {len(centroids[0])}")
     nrm = math.sqrt(sum(x * x for x in q)) or 1.0
     q = [x / nrm for x in q]
     order = sorted(range(len(centroids)),
@@ -448,19 +471,21 @@ def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
     probes = order[:nprobe]
 
     nv = l2_normalized(_as_double(F.col(vec_col)))
-    cell = nearest_centroid(nv, centroids)
-    pruned = emb.withColumn("__cell", cell) \
-        .filter(F.col("__cell").isin(probes))
-    codes = pruned.select(F.col(id_col), "__cell",
+    pruned = emb.filter(nearest_centroid(nv, centroids).isin(probes))
+    codes = pruned.select(F.col(id_col),
                           _sub_codes(nv, codebooks).alias("codes"),
                           nv.alias("__nv"))
-    cand = pq_adc_topk(codes, q, codebooks,
-                       k=max(k, refine), id_col=id_col)
     if refine <= 0:
-        return cand.select(id_col, "adc_dist")
+        return pq_adc_topk(codes, q, codebooks, k=k, id_col=id_col) \
+            .select(id_col, "adc_dist")
+    # Carry the exact vector THROUGH the single pruned-cell scan — a
+    # join back to `codes` here would re-derive the scan, cell
+    # assignment, and normalization a second time.
+    cand = pq_adc_topk(codes, q, codebooks, k=max(k, refine),
+                       id_col=id_col, carry_cols=("__nv",))
     qlit = F.array(*[F.lit(x) for x in q])
-    exact = (cand.join(codes.select(id_col, "__nv"), id_col)
-             .select(F.col(id_col),
-                     F.round(2.0 - 2.0 * dot(F.col("__nv"), qlit), 6)
-                      .alias("l2sq_dist")))
+    exact = cand.select(
+        F.col(id_col),
+        F.round(2.0 - 2.0 * dot(F.col("__nv"), qlit), 6)
+         .alias("l2sq_dist"))
     return exact.orderBy(F.asc("l2sq_dist"), F.asc(id_col)).limit(k)

@@ -38,24 +38,21 @@ _TRIGRAMS_SQL = (
 # local, so survivor pairs == full pairs filtered to survivor
 # endpoints).  A suite run computes pair discovery once instead of
 # twice; results are unchanged because the filter is exact.
-_PAIR_MEMO: dict[tuple[int, str], tuple] = {}
 
 
 def _jaccard_pairs_full(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
-    # Strong session reference in the memo value: id() stays unique
-    # only while the object is alive, so pinning the session prevents
-    # a recycled id from serving a frame bound to a dead session.
-    key = (id(spark), sf_dir)
-    if key not in _PAIR_MEMO:
+    from .session import session_memo
+
+    def build():
         docs = _t(spark, sf_dir, "documents")
-        pairs = D.jaccard_pairs(
+        return D.jaccard_pairs(
             D.word_shingles(docs, "doc_id", "text", n=3), "doc_id",
-            threshold=0.8).select("id_a", "id_b")
-        _PAIR_MEMO[key] = (spark,
-                           pairs.persist(StorageLevel.MEMORY_AND_DISK))
-    return _PAIR_MEMO[key][1]
+            threshold=0.8).select("id_a", "id_b") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+
+    return session_memo(spark, f"jaccard_pairs:{sf_dir}", build)
 
 
 # --------------------------------------------------------------------------

@@ -709,11 +709,36 @@ def q_nation_pagerank(spark, sf_dir):
     (node, rank) pairs.  Oracle: the same 5 rounds unrolled as CTEs,
     decimal-accumulated so the doubles match to the bit."""
     from .operators.graph import pagerank
+    nation = _t(spark, sf_dir, "nation")
+    edges = _pr_edges_local(spark, sf_dir)
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    # Bounded-dimension graph (<= |nations|^2 edges at any corpus
+    # scale): edges are a driver-local table, so broadcast both
+    # per-iteration joins — the only shuffle per round is the tiny
+    # (node, decimal) aggregate.
+    pr = pagerank(nodes, edges, iters=5, broadcast_edges=True)
+    return pr.join(F.broadcast(nation),
+                   pr.node == nation.n_nationkey) \
+        .select("n_name", "pagerank")
+
+
+def _pr_edges_local(spark, sf_dir):
+    """The weighted nation->nation trade graph, star-joined once per
+    (session, sf_dir) and materialized to the driver — same rationale
+    and bound as registry_pending._trade_edges: a node-pair aggregate
+    over the nation dimension is a tiny derived MODEL, and handing
+    iterative consumers a LocalTableScan keeps their plans small."""
+    from .session import session_memo
+
+    return session_memo(spark, f"pr_edges:{sf_dir}",
+                        lambda: _build_pr_edges(spark, sf_dir))
+
+
+def _build_pr_edges(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = _t(spark, sf_dir, "nation")
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
@@ -722,11 +747,7 @@ def q_nation_pagerank(spark, sf_dir):
                  F.col("s_nationkey").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node"))
-    pr = pagerank(nodes, edges, iters=5)
-    return pr.join(F.broadcast(nation),
-                   pr.node == nation.n_nationkey) \
-        .select("n_name", "pagerank")
+    return spark.createDataFrame(edges.collect(), schema=edges.schema)
 
 
 @register("jsonl_roundtrip", sql="""

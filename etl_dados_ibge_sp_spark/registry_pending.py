@@ -312,9 +312,6 @@ WHERE wt > 1.2 * (SELECT CAST(SUM(wt) AS DOUBLE) / count(*) FROM w)
 """
 
 
-_TRADE_MEMO: dict = {}
-
-
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded nation trade graph (u, v): undirected customer-
     nation <-> supplier-nation pairs whose trade volume exceeds 1.2x
@@ -323,19 +320,19 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of saturating to the complete graph.  Shared by the
     triangle and BFS queries; mirrors _TRADE_EDGES_CTE exactly.
 
-    Memoized per (session, sf_dir) like registry_ext's Jaccard pair
-    set: the star join is the expensive part and its tiny derived
-    edge list is deterministic, so every graph query over the same
-    corpus shares ONE materialization — exactly how a production
-    pipeline stages a derived graph table."""
-    # The memo value keeps a STRONG reference to the owning session:
-    # id() of a live object is unique, and holding the session alive
-    # for the memo's lifetime is what makes the id a safe key (a
-    # stopped-and-collected session could otherwise recycle its id
-    # and serve a frame bound to a dead session).
-    key = (id(spark), sf_dir)
-    if key in _TRADE_MEMO:
-        return _TRADE_MEMO[key][1]
+    Memoized per (session, sf_dir) via session.session_memo (one
+    shared idiom for all session-scoped caches): the star join is the
+    expensive part and its tiny derived edge list is deterministic,
+    so every graph query over the same corpus shares ONE
+    materialization — exactly how a production pipeline stages a
+    derived graph table."""
+    from .session import session_memo
+
+    return session_memo(spark, f"trade_edges:{sf_dir}",
+                        lambda: _build_trade_edges(spark, sf_dir))
+
+
+def _build_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem") \
         .select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders") \
@@ -374,7 +371,6 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       schema=edges.schema)
     finally:
         w.unpersist()
-    _TRADE_MEMO[key] = (spark, local)
     return local
 
 

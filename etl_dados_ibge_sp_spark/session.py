@@ -124,3 +124,27 @@ def _ship_package(spark: SparkSession) -> None:
     except Exception:
         # Self-contained closures keep working without the shipped zip.
         pass
+
+
+_SESSION_MEMO: dict = {}
+
+
+def session_memo(spark: SparkSession, key: str, build):
+    """Memoize a derived frame (or model) per (session, key).
+
+    The stored value keeps a STRONG reference to the owning session:
+    ``id()`` of a live object is unique, and pinning the session for
+    the memo's lifetime is exactly what makes the id a safe dict key —
+    a stopped-and-collected session could otherwise recycle its id and
+    the memo would serve a frame bound to a dead session.  One idiom,
+    shared by every session-scoped cache in the engine (Jaccard pair
+    set, trade graph, pagerank edges), so the liveness reasoning lives
+    in one place.
+
+    ``build`` runs at most once per (session, key); its result is
+    returned verbatim on later calls.
+    """
+    k = (id(spark), key)
+    if k not in _SESSION_MEMO:
+        _SESSION_MEMO[k] = (spark, build())
+    return _SESSION_MEMO[k][1]

@@ -35,11 +35,18 @@ def test_observed_write_is_single_job(spark, sf_dir, tmp_path):
     zero for metrics)."""
     sc = spark.sparkContext
     src = load_table(spark, sf_dir, "nation", fan_out=False)
-
-    def n_jobs() -> int:
-        return len(sc._jsc.sc().statusTracker().getJobIdsForGroup(None))
-
-    before = n_jobs()
-    write_parquet_observed(src, str(tmp_path / "n"), null_cols=["n_name"])
-    delta = n_jobs() - before
-    assert delta == 1, f"expected exactly 1 job, saw {delta}"
+    # Count within a DEDICATED job group: the global retained-job list
+    # is capped (spark.ui.retainedJobs), so counting all jobs can see
+    # evictions mid-test in a long suite session; a fresh group only
+    # ever contains this test's jobs, which are the newest and cannot
+    # have been evicted yet.
+    group = "observed-sink-law"
+    sc.setJobGroup(group, "single-job law")
+    try:
+        write_parquet_observed(src, str(tmp_path / "n"),
+                               null_cols=["n_name"])
+        jobs = len(sc._jsc.sc().statusTracker()
+                   .getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == 1, f"expected exactly 1 job, saw {jobs}"
