@@ -1,0 +1,117 @@
+"""Versioned parquet tables: snapshot writes, time-travel reads, and
+retention vacuum — the modern restatement of the reference's
+idempotent load pattern.
+
+The reference gets safe re-runs from delete&insert restatement
+(pipeline.py's month-scoped delete + append; K3 in SURVEY §2.9) and
+bounds history with a keep-newest-5 file retention
+(pipeline_manual.py:16-28, ``sources/files.prune_old_files``).  A
+versioned table gives both properties structurally, the way modern
+lakehouse formats do:
+
+* every write is a NEW immutable snapshot directory (``v=N/``) —
+  re-running a failed job never corrupts the current table, because
+  readers only follow the manifest;
+* the manifest flip is an atomic ``os.replace`` of a single JSON file,
+  so readers see the old or the new version, never a half-written mix
+  (on object stores this is a conditional PUT — same one-pointer
+  design);
+* old snapshots stay readable (``version=`` time travel) until
+  ``vacuum`` retires all but the newest K — the reference's
+  MAX_HISTORICO policy applied to table versions instead of CSVs.
+
+Deliberately minimal: one table = one directory, linear version
+history, no concurrent multi-writer arbitration (a lakehouse format's
+log brings that; the reference is a single nightly writer).  What it
+demonstrates is the ENGINE pattern: snapshot isolation via immutable
+data + one atomically-swapped pointer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST)
+
+
+def _read_manifest(table_dir: str) -> dict:
+    try:
+        with open(_manifest_path(table_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"current": None, "versions": []}
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the table's next snapshot and atomically flip
+    the manifest to it.  Returns the new version number.
+
+    Failure safety: the snapshot directory is fully written BEFORE the
+    manifest flip; a crash mid-write leaves an orphan ``v=N`` dir that
+    the manifest never references (and vacuum removes), never a
+    corrupt current version."""
+    os.makedirs(table_dir, exist_ok=True)
+    man = _read_manifest(table_dir)
+    version = (man["current"] or 0) + 1
+    vdir = os.path.join(table_dir, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    man["current"] = version
+    man["versions"] = sorted(set(man["versions"]) | {version})
+    man.setdefault("history", []).append(
+        {"version": version, "ts": time.time()})
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic pointer flip
+    return version
+
+
+def read_version(spark: SparkSession, table_dir: str,
+                 version: int | None = None) -> DataFrame:
+    """Read the current snapshot, or ``version=`` for time travel."""
+    man = _read_manifest(table_dir)
+    v = man["current"] if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table_dir}: no committed version")
+    if v not in man["versions"]:
+        raise ValueError(
+            f"{table_dir}: version {v} not available "
+            f"(have {man['versions']})")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def vacuum(table_dir: str, keep: int = 5) -> list[int]:
+    """Retire all but the ``keep`` newest versions (the current
+    version is always kept).  Returns the removed version numbers.
+    Mirrors the reference's MAX_HISTORICO retention; removal updates
+    the manifest FIRST (readers stop seeing the version) and deletes
+    data after — the delete is safe because no manifest references
+    the snapshot anymore."""
+    import shutil
+
+    man = _read_manifest(table_dir)
+    if man["current"] is None:
+        return []
+    keepers = set(sorted(man["versions"], reverse=True)[:max(keep, 1)])
+    keepers.add(man["current"])
+    doomed = [v for v in man["versions"] if v not in keepers]
+    if not doomed:
+        return []
+    man["versions"] = sorted(keepers)
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, _manifest_path(table_dir))
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"),
+                      ignore_errors=True)
+    return doomed

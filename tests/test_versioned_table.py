@@ -1,0 +1,75 @@
+"""Laws for the versioned parquet table (sinks/versioned): snapshot
+isolation, time travel, idempotent re-runs, and retention vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dados_ibge_sp_spark.sinks.versioned import (read_version,
+                                                     vacuum,
+                                                     write_version)
+from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+
+def _orders(spark, sf_dir, year):
+    return load_table(spark, sf_dir, "orders", fan_out=False) \
+        .filter(F.year("o_orderdate") == year)
+
+
+def test_write_read_and_time_travel(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = write_version(_orders(spark, sf_dir, 1996), t)
+    v2 = write_version(_orders(spark, sf_dir, 1997), t)
+    assert (v1, v2) == (1, 2)
+    cur = read_version(spark, t)
+    assert cur.count() == _orders(spark, sf_dir, 1997).count()
+    old = read_version(spark, t, version=1)
+    assert old.count() == _orders(spark, sf_dir, 1996).count()
+
+
+def test_rerun_never_corrupts_current(spark, sf_dir, tmp_path):
+    """The delete&insert idempotency property, structurally: a re-run
+    writes a NEW snapshot; the previous version stays intact and
+    readable throughout, and the row count never doubles."""
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir, 1996)
+    n = base.count()
+    write_version(base, t)
+    write_version(base, t)  # "re-run" of the same load
+    assert read_version(spark, t).count() == n          # not 2n
+    assert read_version(spark, t, version=1).count() == n
+
+
+def test_vacuum_keeps_newest_and_current(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir, 1996).limit(10)
+    for _ in range(5):
+        write_version(base, t)
+    removed = vacuum(t, keep=2)
+    assert removed == [1, 2, 3]
+    assert read_version(spark, t).count() == 10          # current ok
+    assert read_version(spark, t, version=4).count() == 10
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, t, version=2)
+
+
+def test_read_empty_table_fails_clearly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        read_version(spark, str(tmp_path / "nope"))
+
+
+def test_orphan_snapshot_is_invisible(spark, sf_dir, tmp_path):
+    """A crash mid-write leaves a snapshot dir the manifest never
+    references: readers must not see it, and the next successful
+    write must not be confused by it."""
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir, 1996).limit(7)
+    write_version(base, t)
+    # Simulate a crashed writer: data landed, manifest never flipped.
+    base.limit(3).write.parquet(f"{t}/v=99")
+    assert read_version(spark, t).count() == 7
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, t, version=99)
+    assert write_version(base, t) == 2
+    assert read_version(spark, t).count() == 7
