@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+"""Benchmark harness: runs EVERY registered (and pending) query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Evidence contract (round-5 fix: the old per-query dict outgrew the
+driver's 2 000-char stdout tail and BENCH_r04.json lost its raw
+timings):
 
-Each query is forced end-to-end with a noop-format write (full
-computation, no driver collect), timed individually; `value` is the
-total wall time across the suite.
+- FULL detail — per-query seconds, baseline deltas, regression list,
+  methodology — is written to ``BENCH_full.json`` at the repo root,
+  which is committed so raw timings survive in-repo.
+- stdout carries ONE COMPACT JSON line (metric, value, n_queries,
+  mean_query_sec, regressions, sf) that always fits the tail capture.
+
+Coverage: the suite is ``all_queries_with_pending()`` — all registered
+queries plus any deferred-registration ones — benchmarked in sorted
+name order so BENCH_full.json diffs cleanly round over round.  No
+silent caps: every query the engine ships is timed.
 
 Methodology: steady-state, min-of-3.  Each query runs once to warm
 (one-time JVM costs — whole-stage codegen compilation, Python daemon
@@ -34,97 +43,6 @@ from etl_dados_ibge_sp_spark.registry import (  # noqa: E402
     all_queries_with_pending)
 from etl_dados_ibge_sp_spark.session import get_spark  # noqa: E402
 
-# Headline suite: the scale-critical operators (big agg, star join,
-# anti-join pipeline, windows, dedup family, similarity, text, events).
-HEADLINE = [
-    "pricing_summary",
-    "multi_join_revenue",
-    "incremental_enrichment",
-    "range_join_banded",
-    "asof_join_events",
-    "topk_per_group",
-    "window_running_sum",
-    "rollup_hierarchy",
-    "value_percentiles",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embed_neardup",
-    "text_token_stats",
-    "text_language_id",
-    "text_rolling_hash",
-    "embed_cosine_topk",
-    "event_sessionize",
-    "windowed_event_agg",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "deterministic_sample",
-    "fuzzy_join_names",
-    "fuzzy_join_names_k2",
-    "dedup_keep_canonical",
-    "corpus_curate",
-    "text_decontaminate",
-    "text_pii_redact",
-    "text_repetition",
-    "doc_chunk",
-    "seq_pack",
-    "events_funnel",
-    "user_retention",
-    "corpus_mix",
-    "docs_shuffle_shard",
-    "unigram_logprob",
-    "dedup_prefix_hash",
-    "ngram_counts",
-    "winsorize_outliers",
-    "salted_join_events",
-    "nation_pagerank",
-    "pretrain_sequences",
-    "session_window_agg",
-    "shipping_priority",
-    "customer_distribution",
-    "merge_upsert",
-    "multimodal_ppm_roundtrip",
-    "events_resample_locf",
-    # Round-4 additions.  Some of these are deferred-registration
-    # queries (registry_pending) not yet admitted to the driver's
-    # correctness rotation — benching resolves them via the pending
-    # list, so their perf evidence doesn't wait on the row budget.
-    "correlated_small_qty_revenue",
-    "nation_trade_triangles",
-    "events_rolling_anomaly",
-    "revenue_sliding_7d",
-    "pareto_front_brand",
-    "heavy_hitter_tokens",
-    "window_value_functions",
-    "event_day_streaks",
-    "multimodal_wav_stats",
-    "dq_report",
-    "market_share_yearly",
-    "zorder_key_orders",
-    "nation_trade_bfs",
-    "incremental_agg_maintenance",
-    "active_users_7d",
-    "events_dow_profile",
-    "corpus_mix_temperature",
-    "weighted_sample_docs",
-    "null_safe_join",
-    "customer_rfm_segments",
-    "suppliers_serving_all_nations",
-    # Second pending tranche (registry_pending2).
-    "regional_revenue",
-    "returned_item_customers",
-    "disjunctive_filter_revenue",
-    "embed_quantize_int8",
-    "embed_label_centroids",
-    "text_tfidf_topk",
-    "text_dup_ngram_spans",
-    "events_decay_sum",
-    "value_mad_outliers",
-    "pivot_event_counts",
-    "events_ohlc_bars",
-    "nation_top_customer_csv",
-]
-
 
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -138,11 +56,36 @@ def run_once(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def compact_line(full: dict) -> dict:
+    """The one JSON line printed to stdout.  MUST stay small: the
+    driver captures only the last 2 000 chars of output, and round 4
+    lost its raw timings when the per-query dict outgrew that window
+    (VERDICT r04 'What's wrong' #1).  Per-query detail goes to
+    BENCH_full.json instead; tests pin this line's size."""
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "n_queries": full["n_queries"],
+        "mean_query_sec": full["mean_query_sec"],
+        "n_regressions": len(full["regressions"]),
+        "regressions": full["regressions"][:8],
+        "detail": "BENCH_full.json",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="etl-ibge-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries_with_pending()
+    names = sorted(queries)
+
+    # Optional subset for local iteration: bench.py q1 q2 ...
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if subset:
+        names = [n for n in names if n in set(subset)]
 
     # Warm the JVM, parquet footers AND data pages once so query 1
     # isn't charged for session startup or a cold OS page cache
@@ -162,7 +105,7 @@ def main() -> None:
     # estimator — external stalls only ever ADD time, so the minimum
     # converges on the query's true cost.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         run_once(fn(spark, sf_dir))  # warm: codegen, py workers, footers
         best = float("inf")
@@ -194,20 +137,27 @@ def main() -> None:
                 if t > 1.5 * base[name]:
                     regressions.append(name)
 
-    print(json.dumps({
-        "metric": "headline_suite_wall_sec",
+    full = {
+        "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        # The headline suite GROWS round over round (25 -> 33 -> 47
-        # queries); compare `mean_query_sec` across rounds, not raw
-        # `value`, which scales with coverage.
+        "sf": sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 3),
-        "sf": sf_from_dir(sf_dir),
+        "methodology": "warm + min-of-3 per query, noop sink",
+        "queries": timings,
         "baseline_delta": deltas,
         "regressions": regressions,
-    }))
+    }
+    # Full detail lives in-repo; stdout stays compact (the driver
+    # captures only the last 2 000 chars of stdout).
+    if not subset:
+        with open(os.path.join(HERE, "BENCH_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    print(json.dumps(compact_line(full)))
+    if subset:
+        print(json.dumps(timings), file=sys.stderr)
     if regressions:
         for name in regressions:
             print(f"REGRESSION: {name} {timings[name]:.3f}s vs baseline "

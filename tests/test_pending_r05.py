@@ -631,15 +631,43 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     assert got == {3, 4, 5}
 
 
-def test_bench_headline_names_resolve():
-    """Every bench HEADLINE entry must resolve (registered or pending)
-    — a typo here would crash the driver's per-round bench run."""
+def test_bench_compact_line_fits_driver_tail():
+    """The driver records only the last 2 000 chars of bench.py's
+    stdout; round 4's per-query dict outgrew that and BENCH_r04.json
+    lost its raw timings (parsed: null).  Pin the fix: the compact
+    line stays well under the window even at full query count with
+    many regressions, and never embeds the per-query dict."""
+    import json
     import sys
 
     sys.path.insert(0, "/root/repo")
-    from bench import HEADLINE
+    from bench import compact_line
 
-    from etl_dados_ibge_sp_spark.registry import all_queries_with_pending
-    qs = all_queries_with_pending()
-    missing = [n for n in HEADLINE if n not in qs]
-    assert not missing, f"bench names missing from registry: {missing}"
+    full = {
+        "metric": "suite_wall_sec", "value": 123.456, "unit": "sec",
+        "sf": 0.1, "n_queries": 300, "mean_query_sec": 0.412,
+        "queries": {f"query_name_{i:03d}": 0.5 for i in range(300)},
+        "baseline_delta": {f"query_name_{i:03d}": 1.0 for i in range(300)},
+        "regressions": [f"some_regressed_query_{i:03d}"
+                        for i in range(300)],
+    }
+    line = json.dumps(compact_line(full))
+    assert len(line) < 1000, f"compact line too long: {len(line)}"
+    assert "query_name_000" not in line  # per-query detail excluded
+    assert "baseline_delta" not in line
+
+
+def test_bench_covers_every_query():
+    """No silent coverage caps: bench.py's suite is exactly the full
+    registered+pending surface (VERDICT r04 missing #3)."""
+    import ast
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    src = open("/root/repo/bench.py").read()
+    tree = ast.parse(src)
+    # The suite must be derived from all_queries_with_pending, with no
+    # hand-maintained HEADLINE list left to drift.
+    assert "all_queries_with_pending" in src
+    names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    assert "HEADLINE" not in names
