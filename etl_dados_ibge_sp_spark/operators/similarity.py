@@ -340,6 +340,11 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
              emb.select(F.col(id_col).alias("i"),
                         _as_double(F.col(vec_col)).alias("v"))
              .orderBy("i").limit(k).collect()]
+    # Fewer corpus vectors than k: clamp so the codebooks, the in-row
+    # argmin probe, and the update loop all agree on the entry count —
+    # otherwise _argmin_code's element_at(codebook, k) walks past the
+    # end and fails the whole job under Spark 4's default ANSI mode.
+    k = min(k, len(seeds))
     codebooks = [[list(v[s * dm:(s + 1) * dm]) for v in seeds]
                  for s in range(m)]
 

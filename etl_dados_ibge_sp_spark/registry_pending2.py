@@ -366,9 +366,13 @@ def _q_embed_quantize_int8(spark: SparkSession,
     folds): zero shuffles, zero Python — the oracle needs two CTEs and
     a join to say what one narrow projection computes here.
     floor(x / ma * 127) uses only IEEE-exact ops, so the integers are
-    bit-identical across engines."""
+    bit-identical across engines.  NULL elements are dropped up front:
+    the fold below is NULL-absorbing (a + NULL = NULL) while the
+    oracle's SUM skips NULLs, so without the filter a single NULL
+    element would silently diverge the engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    xd = F.transform("embedding", lambda x: x.cast("double"))
+    xd = F.filter(F.transform("embedding", lambda x: x.cast("double")),
+                  lambda x: x.isNotNull())
     e = e.select("vec_id", xd.alias("xd")) \
          .withColumn("ma", F.array_max(F.transform("xd", F.abs))) \
          .filter(F.col("ma") > 0)

@@ -143,8 +143,48 @@ def session_memo(spark: SparkSession, key: str, build):
 
     ``build`` runs at most once per (session, key); its result is
     returned verbatim on later calls.
+
+    Eviction: every call first sweeps entries whose owning session has
+    been STOPPED (their frames are unusable anyway), so a long-lived
+    driver that stops and replaces sessions doesn't pin dead sessions
+    and their persisted frames forever.  ``session_memo_clear`` evicts
+    a live session's entries explicitly.
     """
+    _sweep_stopped()
     k = (id(spark), key)
     if k not in _SESSION_MEMO:
         _SESSION_MEMO[k] = (spark, build())
     return _SESSION_MEMO[k][1]
+
+
+def _is_stopped(spark: SparkSession) -> bool:
+    try:
+        # SparkContext.stop() nulls _jsc; any access error counts too.
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _evict(k) -> None:
+    _, value = _SESSION_MEMO.pop(k)
+    try:
+        unpersist = getattr(value, "unpersist", None)
+        if callable(unpersist):
+            unpersist()
+    except Exception:
+        pass  # dead session: nothing to release JVM-side
+
+
+def _sweep_stopped() -> None:
+    for k in [k for k, (s, _) in _SESSION_MEMO.items() if _is_stopped(s)]:
+        _evict(k)
+
+
+def session_memo_clear(spark: SparkSession | None = None) -> int:
+    """Evict memo entries (all sessions, or just ``spark``'s),
+    unpersisting any cached frames.  Returns the number evicted."""
+    doomed = [k for k, (s, _) in _SESSION_MEMO.items()
+              if spark is None or s is spark]
+    for k in doomed:
+        _evict(k)
+    return len(doomed)

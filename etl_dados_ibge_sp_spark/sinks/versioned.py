@@ -57,8 +57,9 @@ def write_version(df: DataFrame, table_dir: str) -> int:
 
     Failure safety: the snapshot directory is fully written BEFORE the
     manifest flip; a crash mid-write leaves an orphan ``v=N`` dir that
-    the manifest never references (and vacuum removes), never a
-    corrupt current version."""
+    the manifest never references — readers never see it, the next
+    write overwrites it (same version number), and ``vacuum`` reclaims
+    it — never a corrupt current version."""
     os.makedirs(table_dir, exist_ok=True)
     man = _read_manifest(table_dir)
     version = (man["current"] or 0) + 1
@@ -89,13 +90,40 @@ def read_version(spark: SparkSession, table_dir: str,
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
+def _orphan_versions(table_dir: str, man: dict) -> list[int]:
+    """``v=N`` dirs on disk that the manifest does not reference —
+    snapshots stranded by a crash between data write and manifest
+    flip.  Invisible to readers, but disk they occupy never comes back
+    unless reclaimed (a later write only reuses the number if no
+    commit happened in between)."""
+    known = set(man["versions"])
+    orphans = []
+    try:
+        entries = os.listdir(table_dir)
+    except FileNotFoundError:
+        return []
+    for name in entries:
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if v not in known:
+            orphans.append(v)
+    return sorted(orphans)
+
+
 def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     """Retire all but the ``keep`` newest versions (the current
-    version is always kept).  Returns the removed version numbers.
+    version is always kept), plus any crash-orphaned snapshot dirs the
+    manifest never referenced.  Returns the removed version numbers.
     Mirrors the reference's MAX_HISTORICO retention; removal updates
     the manifest FIRST (readers stop seeing the version) and deletes
     data after — the delete is safe because no manifest references
-    the snapshot anymore."""
+    the snapshot anymore.  Single-writer design (like the reference's
+    nightly job): don't run vacuum concurrently with a write, or an
+    in-flight not-yet-committed snapshot would look like an orphan."""
     import shutil
 
     man = _read_manifest(table_dir)
@@ -104,6 +132,7 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     keepers = set(sorted(man["versions"], reverse=True)[:max(keep, 1)])
     keepers.add(man["current"])
     doomed = [v for v in man["versions"] if v not in keepers]
+    doomed += _orphan_versions(table_dir, man)
     if not doomed:
         return []
     man["versions"] = sorted(keepers)
@@ -114,4 +143,4 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"),
                       ignore_errors=True)
-    return doomed
+    return sorted(doomed)

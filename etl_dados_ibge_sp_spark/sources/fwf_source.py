@@ -112,6 +112,15 @@ class FwfReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("fwf: .load(path) is required")
+        if "://" in path:
+            # This reader walks the filesystem with os.listdir/open on
+            # driver AND executors — it only works on a path visible to
+            # every node (local[...] or a shared mount).  Rejecting
+            # hdfs://, s3://, etc. here beats each task dying with a
+            # confusing FileNotFoundError.
+            raise ValueError(
+                f"fwf: {path!r} — URI schemes are not supported; this "
+                "source reads local/shared-filesystem paths only")
         self.path = path
         self.cols = _parse_colspec(options.get("colspec", ""))
         self.encoding = options.get("encoding", "utf-8")

@@ -671,3 +671,90 @@ def test_bench_covers_every_query():
     assert "all_queries_with_pending" in src
     names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
     assert "HEADLINE" not in names
+
+
+# --------------------------------------------------------------------------
+# Round-5 ADVICE regression tests
+# --------------------------------------------------------------------------
+
+
+def test_session_memo_sweeps_stopped_sessions(spark):
+    """_SESSION_MEMO must not pin stopped sessions (or their persisted
+    frames) for the process lifetime: entries whose owning session is
+    stopped are swept on the next memo call, and session_memo_clear
+    evicts a live session's entries on demand (round-5 ADVICE)."""
+    from types import SimpleNamespace
+
+    from etl_dados_ibge_sp_spark import session as S
+
+    unpersisted = []
+    dead = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None))
+    frame = SimpleNamespace(unpersist=lambda: unpersisted.append(True))
+    S._SESSION_MEMO[(id(dead), "k")] = (dead, frame)
+
+    live_calls = []
+    got = S.session_memo(spark, "__memo_evict_test__",
+                         lambda: live_calls.append(1) or "value")
+    assert got == "value" and live_calls == [1]
+    assert (id(dead), "k") not in S._SESSION_MEMO  # dead entry swept
+    assert unpersisted == [True]                   # frame released
+    # Live entry memoizes...
+    assert S.session_memo(spark, "__memo_evict_test__",
+                          lambda: live_calls.append(2)) == "value"
+    assert live_calls == [1]
+    # ...until explicitly cleared.
+    assert S.session_memo_clear(spark) >= 1
+    assert S.session_memo(spark, "__memo_evict_test__",
+                          lambda: "rebuilt") == "rebuilt"
+    S.session_memo_clear(spark)
+
+
+def test_pq_train_clamps_k_to_corpus_size(spark):
+    """pq_train with fewer vectors than k must clamp, not build short
+    codebooks that _argmin_code probes past the end of (ANSI mode
+    fails the job on out-of-range element_at; round-5 ADVICE)."""
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]),
+            (2, [4.0, 3.0, 2.0, 1.0]),
+            (3, [0.5, 0.5, 0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cbs = pq_train(emb, m=2, k=16, n_iter=1)
+    assert len(cbs) == 2 and all(len(cb) == 3 for cb in cbs)
+    codes = pq_encode(emb, cbs)
+    top = pq_adc_topk(codes, [1.0, 2.0, 3.0, 4.0], cbs, k=1).collect()
+    assert top[0]["vec_id"] == 1
+
+
+def test_quantize_int8_null_elements_match_sum_skips_null(spark, tmp_path):
+    """A NULL embedding element must contribute nothing (SUM-skips-NULL
+    semantics, matching the DuckDB oracle's unnest+SUM), not absorb the
+    whole fold to NULL (round-5 ADVICE)."""
+    from etl_dados_ibge_sp_spark.registry_pending2 import (
+        _q_embed_quantize_int8)
+
+    rows = [(1, [2.0, None, -4.0], "a"),
+            (2, [None, None, None], "b"),   # all-NULL: dropped (ma NULL)
+            (3, [1.0, 1.0, 1.0], "c")]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string") \
+        .write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["vec_id"]: r.asDict()
+           for r in _q_embed_quantize_int8(spark, str(tmp_path)).collect()}
+    # vec 1: ma=4 -> q = [floor(2/4*127), floor(-4/4*127)] = [63, -127]
+    assert got[1]["q_sum"] == 63 - 127
+    assert got[1]["q_sqsum"] == 63 * 63 + 127 * 127
+    assert got[1]["q_min"] == -127 and got[1]["q_max"] == 63
+    assert 2 not in got
+    assert got[3]["q_sum"] == 3 * 127
+
+
+def test_fwf_rejects_uri_schemes(spark):
+    """format('fwf') walks local paths with os.listdir/open on every
+    node; an hdfs:// or s3:// URI must fail fast with a clear message,
+    not per-task FileNotFoundErrors (round-5 ADVICE)."""
+    from etl_dados_ibge_sp_spark.sources.fwf_source import FwfReader
+
+    with pytest.raises(ValueError, match="local/shared-filesystem"):
+        FwfReader({"path": "s3://bucket/data", "colspec": "a:0:3:string"})

@@ -73,3 +73,24 @@ def test_orphan_snapshot_is_invisible(spark, sf_dir, tmp_path):
         read_version(spark, t, version=99)
     assert write_version(base, t) == 2
     assert read_version(spark, t).count() == 7
+
+
+def test_vacuum_reclaims_crash_orphans(spark, sf_dir, tmp_path):
+    """A snapshot dir stranded by a crash between data write and
+    manifest flip occupies disk forever unless vacuum reclaims it —
+    the manifest alone can't know about it (round-5 ADVICE)."""
+    import os
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import vacuum
+
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir, 1996).limit(7)
+    write_version(base, t)
+    write_version(base, t)
+    base.limit(3).write.parquet(f"{t}/v=99")  # crashed writer
+    assert os.path.isdir(f"{t}/v=99")
+    assert vacuum(t, keep=5) == [99]
+    assert not os.path.isdir(f"{t}/v=99")
+    # Committed versions under the keep horizon are untouched.
+    assert read_version(spark, t).count() == 7
+    assert read_version(spark, t, version=1).count() == 7
