@@ -920,40 +920,49 @@ def _green_history() -> tuple[dict[str, int], int]:
     return last, newest + 1
 
 
+def _stale_bound(current_round: int) -> int:
+    """The rotation's documented staleness bound: once verified, every
+    registered query re-verifies within this many rounds.  3 through
+    round 5 (the registry hit N = 150 = 3×50 in round 4, and the
+    round-4 verdict froze admissions so round 5's whole budget drains
+    the never-verified backlog).  4 from round 6 — the sanctioned way
+    to reopen admission slack for the pending queue: at N ≤ 4·budget =
+    200 the least-recently-verified-first order still meets a 4-round
+    bound (pinned by the drain-simulation tests)."""
+    return 3 if current_round <= 5 else 4
+
+
 def _order(names: list[str], last_green: dict[str, int],
            current_round: int) -> list[str]:
     """Least-recently-verified-first rotation (pure; tested directly).
 
-    Four classes, front to back:
-      0. critically stale — last green row is ≥3 rounds old, i.e. the
-         documented 3-round staleness bound would break if the budget
-         missed it again (oldest round first);
+    Three classes, front to back:
+      0. critically stale — last green row is ≥(bound)−0 rounds old,
+         i.e. the staleness bound (``_stale_bound``) would break if
+         the budget missed it again (oldest round first);
       1. never driver-verified — freshly admitted pending queries and
          queries whose old no-oracle row was invalidated by gaining an
          oracle.  These have no row ANYWHERE in the judge's coverage
          union, so they outrank rows that are merely one rotation
          period old — but never a row about to breach the bound;
-      2. ordinarily stale — green exactly 2 rounds ago, the normal
-         steady-state rotation position.  A class-1 query admitted
-         ahead of these pushes at most (N − 2·budget) of them to
-         3-round staleness for one round, after which class 0 catches
-         them — self-stabilizing as long as N ≤ 3·budget (pinned by
-         the drain simulation test);
-      3. fresh — green within the last round, re-verify as budget
-         allows.
+      2. everything else, least-recently-green first — the normal
+         steady-state rotation.  A class-1 query admitted ahead of
+         these pushes at most (N − 2·budget) of them one round closer
+         to the bound, after which class 0 catches them —
+         self-stabilizing as long as N ≤ bound·budget (pinned by the
+         drain simulation tests).
     Registration order breaks ties, so the ordering is deterministic.
     """
     idx = {n: i for i, n in enumerate(names)}
+    bound = _stale_bound(current_round)
 
     def key(n: str) -> tuple[int, int, int]:
         g = last_green.get(n)
         if g is None:
             return (1, 0, idx[n])
-        if g <= current_round - 3:
+        if g <= current_round - bound:
             return (0, g, idx[n])
-        if g == current_round - 2:
-            return (2, g, idx[n])
-        return (3, g, idx[n])
+        return (2, g, idx[n])
 
     return sorted(names, key=key)
 
@@ -980,11 +989,15 @@ def _load_extensions() -> None:
     else:
         # Displacement-tolerant admission: class 1 of the rotation sits
         # ahead of ordinarily-stale rows, so admitted queries actually
-        # reach the driver; the worst case pushes a few stale rows to
-        # 3-round staleness for one round (class 0 then reclaims them).
-        # Bounded by N ≤ 3·budget so the staleness bound never breaks.
+        # reach the driver; the worst case pushes a few stale rows one
+        # round closer to the staleness bound (class 0 then reclaims
+        # them).  Bounded by N ≤ bound·budget so the bound never
+        # breaks — at the round-5 bound of 3 this is exactly the
+        # N = 150 freeze the round-4 verdict demanded; the round-6
+        # extension to 4 reopens 50 slots for the pending queue.
         slack = max(0,
-                    3 * registry_pending.DRIVER_ROW_BUDGET - len(REGISTRY))
+                    _stale_bound(current_round)
+                    * registry_pending.DRIVER_ROW_BUDGET - len(REGISTRY))
     registry_pending.admit(REGISTRY, slack, register)
 
 

@@ -1288,6 +1288,155 @@ def _q_suppliers_serving_all_nations(spark: SparkSession,
         lineitem="__div_lineitem"))
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup load: the production arrival path, end to end
+# --------------------------------------------------------------------------
+
+_INC_LOAD_SQL = """
+WITH wh AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+norm_w AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+    FROM wh),
+norm_n AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+    FROM nb),
+sh_w AS (
+    SELECT doc_id,
+           unnest([substr(nt, i, 4)
+               FOR i IN generate_series(1, greatest(length(nt) - 3, 1))])
+               AS shingle
+    FROM norm_w),
+sh_n AS (
+    SELECT doc_id,
+           unnest([substr(nt, i, 4)
+               FOR i IN generate_series(1, greatest(length(nt) - 3, 1))])
+               AS shingle
+    FROM norm_n),
+sig_w AS (
+    SELECT doc_id,
+           min(substr(md5(concat('s0:', shingle)),  1, 8)) AS mh0,
+           min(substr(md5(concat('s0:', shingle)),  9, 8)) AS mh1,
+           min(substr(md5(concat('s0:', shingle)), 17, 8)) AS mh2,
+           min(substr(md5(concat('s0:', shingle)), 25, 8)) AS mh3,
+           min(substr(md5(concat('s1:', shingle)),  1, 8)) AS mh4,
+           min(substr(md5(concat('s1:', shingle)),  9, 8)) AS mh5,
+           min(substr(md5(concat('s1:', shingle)), 17, 8)) AS mh6,
+           min(substr(md5(concat('s1:', shingle)), 25, 8)) AS mh7
+    FROM sh_w GROUP BY 1),
+sig_n AS (
+    SELECT doc_id,
+           min(substr(md5(concat('s0:', shingle)),  1, 8)) AS mh0,
+           min(substr(md5(concat('s0:', shingle)),  9, 8)) AS mh1,
+           min(substr(md5(concat('s0:', shingle)), 17, 8)) AS mh2,
+           min(substr(md5(concat('s0:', shingle)), 25, 8)) AS mh3,
+           min(substr(md5(concat('s1:', shingle)),  1, 8)) AS mh4,
+           min(substr(md5(concat('s1:', shingle)),  9, 8)) AS mh5,
+           min(substr(md5(concat('s1:', shingle)), 17, 8)) AS mh6,
+           min(substr(md5(concat('s1:', shingle)), 25, 8)) AS mh7
+    FROM sh_n GROUP BY 1),
+band_w AS (
+    SELECT doc_id, 0 AS band, concat(mh0, '|', mh1) AS band_key FROM sig_w
+    UNION ALL SELECT doc_id, 1, concat(mh2, '|', mh3) FROM sig_w
+    UNION ALL SELECT doc_id, 2, concat(mh4, '|', mh5) FROM sig_w
+    UNION ALL SELECT doc_id, 3, concat(mh6, '|', mh7) FROM sig_w),
+band_n AS (
+    SELECT doc_id, 0 AS band, concat(mh0, '|', mh1) AS band_key FROM sig_n
+    UNION ALL SELECT doc_id, 1, concat(mh2, '|', mh3) FROM sig_n
+    UNION ALL SELECT doc_id, 2, concat(mh4, '|', mh5) FROM sig_n
+    UNION ALL SELECT doc_id, 3, concat(mh6, '|', mh7) FROM sig_n),
+kept AS (
+    SELECT band, band_key FROM band_w
+    GROUP BY 1, 2 HAVING COUNT(*) <= 500),
+pruned_w AS (
+    SELECT b.* FROM band_w b
+    JOIN kept k ON b.band = k.band AND b.band_key = k.band_key),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, w.doc_id AS old_id
+    FROM band_n n
+    JOIN pruned_w w ON n.band = w.band AND n.band_key = w.band_key),
+shd_n AS (SELECT DISTINCT doc_id, shingle FROM sh_n),
+shd_w AS (SELECT DISTINCT doc_id, shingle FROM sh_w),
+sz_n AS (SELECT doc_id, COUNT(*) AS sz FROM shd_n GROUP BY 1),
+sz_w AS (SELECT doc_id, COUNT(*) AS sz FROM shd_w GROUP BY 1),
+inter AS (
+    SELECT c.new_id, c.old_id, COUNT(*) AS i
+    FROM cand c
+    JOIN shd_n a ON a.doc_id = c.new_id
+    JOIN shd_w b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+    GROUP BY 1, 2),
+dups AS (
+    SELECT i.new_id, min(i.old_id) AS matched_old
+    FROM inter i
+    JOIN sz_n ON sz_n.doc_id = i.new_id
+    JOIN sz_w ON sz_w.doc_id = i.old_id
+    WHERE round(CAST(i.i AS DOUBLE) / (sz_n.sz + sz_w.sz - i.i), 6) >= 0.8
+    GROUP BY 1)
+SELECT nb.doc_id, d.matched_old,
+       CAST(d.matched_old IS NULL AS BIGINT) AS loaded
+FROM nb LEFT JOIN dups d ON d.new_id = nb.doc_id
+"""
+
+
+def _q_dedup_incremental_load(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The production arrival path END TO END: a new document batch
+    (doc_id % 7 = 0) lands against the existing corpus warehouse (the
+    other 6/7), and incremental LSH decides what loads.
+
+    batch minhash signatures -> ``incremental_lsh_candidates`` against
+    the warehouse signature table (new-bands x warehouse-bands only —
+    the corpus is never re-shingled against itself; the hot-band cap
+    bounds fanout on the warehouse side) -> exact char-4gram Jaccard
+    recheck of just the candidate pairs (inverted-index join, never
+    all-pairs) -> anti-join verdict per batch doc: ``matched_old`` =
+    lowest warehouse duplicate (NULL if none), ``loaded`` = 1 iff the
+    doc survives to load.  At 100 TB the warehouse signatures are a
+    materialized table partitioned by band key, so each nightly batch
+    touches only its own buckets — O(batch), not O(corpus).
+
+    Composes the J2 anti-join-load semantics (reference
+    pipeline.py:179-186) with MinHash/LSH; every stage is the same
+    operator the standalone dedup queries verify."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.filter(F.col("doc_id") % 7 != 0)
+    nb = docs.filter(F.col("doc_id") % 7 == 0)
+
+    sig_w = D.minhash_signature(
+        D.char_shingles(wh, "doc_id", "text", n=4), "doc_id", n_hashes=8)
+    sig_n = D.minhash_signature(
+        D.char_shingles(nb, "doc_id", "text", n=4), "doc_id", n_hashes=8)
+    cand = D.incremental_lsh_candidates(sig_n, sig_w, "doc_id",
+                                        rows_per_band=2, max_bucket=500)
+
+    shd_n = D.char_shingles(nb, "doc_id", "text", n=4, distinct=True) \
+        .withColumnRenamed("doc_id", "new_id")
+    shd_w = D.char_shingles(wh, "doc_id", "text", n=4, distinct=True) \
+        .withColumnRenamed("doc_id", "old_id")
+    sz_n = shd_n.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nsz"))
+    sz_w = shd_w.groupBy("old_id").agg(F.count(F.lit(1)).alias("__osz"))
+
+    inter = (cand.join(shd_n, "new_id")
+             .join(shd_w, ["old_id", "shingle"])
+             .groupBy("new_id", "old_id")
+             .agg(F.count(F.lit(1)).alias("__i")))
+    jac = F.round(
+        F.col("__i").cast("double") /
+        (F.col("__nsz") + F.col("__osz") - F.col("__i")), 6)
+    dups = (inter.join(sz_n, "new_id").join(sz_w, "old_id")
+            .filter(jac >= 0.8)
+            .groupBy("new_id")
+            .agg(F.min("old_id").alias("matched_old")))
+
+    return (nb.select("doc_id")
+            .join(dups, nb["doc_id"] == dups["new_id"], "left")
+            .select("doc_id", "matched_old",
+                    F.when(F.col("matched_old").isNull(), F.lit(1))
+                     .otherwise(F.lit(0)).cast("long").alias("loaded")))
+
+
 # (name, oracle_sql, fn) in admission order.
 PENDING: list[tuple[str, str,
                     Callable[[SparkSession, str], DataFrame]]] = [
@@ -1350,6 +1499,14 @@ PENDING: list[tuple[str, str,
 from .registry_pending2 import PENDING2  # noqa: E402
 
 PENDING.extend(PENDING2)
+
+# Third tranche (round 5) — queues BEHIND both earlier tranches; at
+# N = 150 = 3x50 the rotation has zero slack in round 5 (by design:
+# the round-4 verdict froze net-new registrations so the 50-row budget
+# drains the never-verified backlog), so this admits when the
+# staleness bound extends to 4 rounds in round 6+.
+PENDING.append(("dedup_incremental_load", _INC_LOAD_SQL,
+                _q_dedup_incremental_load))
 
 
 def admit(registry: dict, slack: int,

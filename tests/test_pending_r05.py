@@ -112,12 +112,14 @@ def test_admission_budget_arithmetic():
 
 def _sim_slack(names, last_green, cur, budget):
     """Mirror of registry._load_extensions' admission-slack rule."""
+    from etl_dados_ibge_sp_spark.registry import _stale_bound
+
     if cur <= 4:
         n_front = sum(1 for n in names
                       if last_green.get(n) is None
                       or last_green[n] <= cur - 2)
         return max(0, budget - n_front)
-    return max(0, 3 * budget - len(names))
+    return max(0, _stale_bound(cur) * budget - len(names))
 
 
 def test_rotation_order_and_drain_simulation():
@@ -584,7 +586,7 @@ def test_rotation_invariants_random_histories():
     stale rows first."""
     import random
 
-    from etl_dados_ibge_sp_spark.registry import _order
+    from etl_dados_ibge_sp_spark.registry import _order, _stale_bound
 
     BUDGET = 50
     rng = random.Random(7)
@@ -602,7 +604,8 @@ def test_rotation_invariants_random_histories():
             keys = []
             for q in ordered:
                 g = last_green.get(q)
-                keys.append(0 if (g is not None and g <= r - 3)
+                keys.append(0 if (g is not None
+                                  and g <= r - _stale_bound(r))
                             else (1 if g is None else 2))
             assert keys == sorted(keys)
             for q in ordered[:BUDGET]:
@@ -758,3 +761,49 @@ def test_fwf_rejects_uri_schemes(spark):
 
     with pytest.raises(ValueError, match="local/shared-filesystem"):
         FwfReader({"path": "s3://bucket/data", "colspec": "a:0:3:string"})
+
+
+def test_round6_extension_admits_and_holds_4_round_bound():
+    """From round 6 the staleness bound extends 3 -> 4
+    (registry._stale_bound), reopening 50 admission slots at the
+    N = 150 = 3x50 freeze point.  Forward-simulate the REAL round-5
+    state (cohorts green in r03/r04/r05, two never-verified leftovers,
+    one pending query): the pending query must admit in r6 and get a
+    driver row within 2 rounds, the leftovers must clear in r6, and no
+    verified query may ever go more than 4 rounds without
+    re-verification."""
+    from etl_dados_ibge_sp_spark.registry import _order, _stale_bound
+
+    assert _stale_bound(5) == 3 and _stale_bound(6) == 4
+
+    BUDGET = RP.DRIVER_ROW_BUDGET
+    names = ([f"a{i}" for i in range(50)] + [f"b{i}" for i in range(48)]
+             + [f"c{i}" for i in range(50)] + ["left0", "left1"])
+    last_green = ({f"a{i}": 3 for i in range(50)}
+                  | {f"b{i}": 4 for i in range(48)}
+                  | {f"c{i}": 5 for i in range(50)})
+    pending = ["dedup_incremental_load"]
+
+    cur, max_gap, admitted_at = 6, 0, {}
+    first_green: dict[str, int] = {}
+    for _ in range(8):  # rounds 6..13
+        slack = _sim_slack(names, last_green, cur, BUDGET)
+        while slack > 0 and pending:
+            q = pending.pop(0)
+            names.append(q)
+            admitted_at[q] = cur
+            slack -= 1
+        checked = _order(names, last_green, cur)[:BUDGET]
+        for n in names:
+            g = last_green.get(n)
+            if g is not None and n not in checked:
+                max_gap = max(max_gap, cur - g)
+        for n in checked:
+            last_green[n] = cur
+            first_green.setdefault(n, cur)
+        cur += 1
+
+    assert admitted_at.get("dedup_incremental_load") == 6
+    assert first_green["dedup_incremental_load"] <= 8
+    assert first_green["left0"] == 6 and first_green["left1"] == 6
+    assert max_gap <= 4, f"bound broken: a query went {max_gap} rounds"
