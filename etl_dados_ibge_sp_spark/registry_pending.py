@@ -1508,6 +1508,10 @@ PENDING.extend(PENDING2)
 PENDING.append(("dedup_incremental_load", _INC_LOAD_SQL,
                 _q_dedup_incremental_load))
 
+from .registry_pending3 import PENDING3  # noqa: E402
+
+PENDING.extend(PENDING3)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable]) -> list[str]:
