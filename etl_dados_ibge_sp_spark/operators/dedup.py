@@ -278,6 +278,76 @@ def incremental_lsh_candidates(new_sigs: DataFrame,
     )
 
 
+def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                n_shingle: int = 4,
+                                threshold: float = 0.8,
+                                max_bucket: int | None = 500,
+                                wh_sigs: DataFrame | None = None,
+                                ) -> DataFrame:
+    """Per-new-doc load verdict against an existing corpus: (id,
+    matched_old, loaded) where ``matched_old`` is the LOWEST warehouse
+    near-duplicate id (NULL if none) and ``loaded`` = 1 iff the doc
+    survives to load — the complete arrival-path decision.
+
+    Stages (each the operator the standalone dedup queries verify):
+    batch minhash signatures → ``incremental_lsh_candidates`` against
+    the warehouse signatures (new-bands × warehouse-bands only,
+    hot-band capped) → exact char-n-gram Jaccard recheck of JUST the
+    candidate pairs via the inverted-index join (never all-pairs) →
+    left-join verdict.
+
+    ``wh_sigs``: pass the materialized warehouse signature table to
+    skip re-shingling the corpus — at 100 TB the signatures are stored
+    (partitioned by band key) and this argument is mandatory in
+    spirit; when None they are derived from ``wh_docs`` (the small-SF
+    test path).  The exact recheck always reads ``wh_docs`` but only
+    for the candidates' old ids (semi-join pruned).
+    """
+    sig_n = minhash_signature(
+        char_shingles(new_docs, id_col, text_col, n=n_shingle),
+        id_col, n_hashes=8)
+    if wh_sigs is None:
+        wh_sigs = minhash_signature(
+            char_shingles(wh_docs, id_col, text_col, n=n_shingle),
+            id_col, n_hashes=8)
+    cand = incremental_lsh_candidates(sig_n, wh_sigs, id_col,
+                                      rows_per_band=2,
+                                      max_bucket=max_bucket)
+
+    # Exact recheck, candidates only: prune the warehouse scan to the
+    # candidate old ids before shingling it for set sizes.
+    wh_cand = wh_docs.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    shd_n = char_shingles(new_docs, id_col, text_col, n=n_shingle,
+                          distinct=True) \
+        .withColumnRenamed(id_col, "new_id")
+    shd_w = char_shingles(wh_cand, id_col, text_col, n=n_shingle,
+                          distinct=True) \
+        .withColumnRenamed(id_col, "old_id")
+    sz_n = shd_n.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nsz"))
+    sz_w = shd_w.groupBy("old_id").agg(F.count(F.lit(1)).alias("__osz"))
+    inter = (cand.join(shd_n, "new_id")
+             .join(shd_w, ["old_id", "shingle"])
+             .groupBy("new_id", "old_id")
+             .agg(F.count(F.lit(1)).alias("__i")))
+    jac = F.round(
+        F.col("__i").cast("double") /
+        (F.col("__nsz") + F.col("__osz") - F.col("__i")), 6)
+    dups = (inter.join(sz_n, "new_id").join(sz_w, "old_id")
+            .filter(jac >= threshold)
+            .groupBy("new_id")
+            .agg(F.min("old_id").alias("matched_old")))
+
+    return (new_docs.select(id_col)
+            .join(dups, new_docs[id_col] == dups["new_id"], "left")
+            .select(id_col, "matched_old",
+                    F.when(F.col("matched_old").isNull(), F.lit(1))
+                     .otherwise(F.lit(0)).cast("long").alias("loaded")))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
                         rows_per_band: int = 2,
                         max_bucket: int | None = None) -> DataFrame:

@@ -1397,44 +1397,17 @@ def _q_dedup_incremental_load(spark: SparkSession,
 
     Composes the J2 anti-join-load semantics (reference
     pipeline.py:179-186) with MinHash/LSH; every stage is the same
-    operator the standalone dedup queries verify."""
-    from .operators import dedup as D
+    operator the standalone dedup queries verify.  The whole decision
+    is ``dedup.incremental_neardup_verdict`` — the identical function
+    the streaming arrival path (streaming/windowed.py
+    streaming_neardup_load) runs per micro-batch."""
+    from .operators.dedup import incremental_neardup_verdict
 
     docs = load_table(spark, sf_dir, "documents")
     wh = docs.filter(F.col("doc_id") % 7 != 0)
     nb = docs.filter(F.col("doc_id") % 7 == 0)
-
-    sig_w = D.minhash_signature(
-        D.char_shingles(wh, "doc_id", "text", n=4), "doc_id", n_hashes=8)
-    sig_n = D.minhash_signature(
-        D.char_shingles(nb, "doc_id", "text", n=4), "doc_id", n_hashes=8)
-    cand = D.incremental_lsh_candidates(sig_n, sig_w, "doc_id",
-                                        rows_per_band=2, max_bucket=500)
-
-    shd_n = D.char_shingles(nb, "doc_id", "text", n=4, distinct=True) \
-        .withColumnRenamed("doc_id", "new_id")
-    shd_w = D.char_shingles(wh, "doc_id", "text", n=4, distinct=True) \
-        .withColumnRenamed("doc_id", "old_id")
-    sz_n = shd_n.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nsz"))
-    sz_w = shd_w.groupBy("old_id").agg(F.count(F.lit(1)).alias("__osz"))
-
-    inter = (cand.join(shd_n, "new_id")
-             .join(shd_w, ["old_id", "shingle"])
-             .groupBy("new_id", "old_id")
-             .agg(F.count(F.lit(1)).alias("__i")))
-    jac = F.round(
-        F.col("__i").cast("double") /
-        (F.col("__nsz") + F.col("__osz") - F.col("__i")), 6)
-    dups = (inter.join(sz_n, "new_id").join(sz_w, "old_id")
-            .filter(jac >= 0.8)
-            .groupBy("new_id")
-            .agg(F.min("old_id").alias("matched_old")))
-
-    return (nb.select("doc_id")
-            .join(dups, nb["doc_id"] == dups["new_id"], "left")
-            .select("doc_id", "matched_old",
-                    F.when(F.col("matched_old").isNull(), F.lit(1))
-                     .otherwise(F.lit(0)).cast("long").alias("loaded")))
+    return incremental_neardup_verdict(nb, wh, threshold=0.8,
+                                       max_bucket=500)
 
 
 # (name, oracle_sql, fn) in admission order.

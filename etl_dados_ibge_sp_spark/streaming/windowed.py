@@ -227,6 +227,104 @@ def streaming_incremental_load(spark: SparkSession, source_dir: str,
             query.stop()
 
 
+def streaming_neardup_load(spark: SparkSession, source_dir: str,
+                           schema, warehouse_dir: str, sig_dir: str,
+                           checkpoint_dir: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.8,
+                           max_bucket: int | None = 500) -> None:
+    """The NEAR-DUP arrival path as a stream: each micro-batch of new
+    documents is judged by ``dedup.incremental_neardup_verdict``
+    against the warehouse (using its MATERIALIZED signature table —
+    the corpus is never re-shingled), and only survivors append, to
+    BOTH the document warehouse and the signature table.
+
+    This is ``streaming_incremental_load``'s semantics with the J2
+    anti-join upgraded from exact keys to near-duplicate content: the
+    exact-id anti-join still runs first (replay safety — a restarted
+    batch finds its ids already present and appends nothing), then the
+    LSH verdict drops content near-dups of the existing corpus.
+
+    Scale: per micro-batch the work is O(batch) — batch shingling,
+    band join pruned to the batch's own buckets of the partitioned
+    signature table, candidate-only exact recheck.  Appending
+    signatures keeps the warehouse invariant (every stored doc has a
+    stored signature) without any corpus rescan.  Intra-batch dups are
+    left to the downstream canonicalizer by design: cross-batch state
+    is what streaming must get right.
+    """
+    from ..operators.dedup import (char_shingles,
+                                   incremental_neardup_verdict,
+                                   minhash_signature)
+
+    def load(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col])
+        try:
+            wh_docs = sess.read.parquet(warehouse_dir)
+        except AnalysisException:
+            # First batch only: empty warehouse, everything loads.  Any
+            # other failure must fail the micro-batch — swallowing it
+            # would skip the dedup gate and load duplicates.
+            wh_docs = None
+        if wh_docs is None:
+            to_load = batch
+            heal = batch.limit(0)
+        else:
+            try:
+                wh_sigs = sess.read.parquet(sig_dir)
+                sig_ids = wh_sigs.select(id_col).distinct()
+            except AnalysisException:
+                # Docs landed but no signature table yet: the replay
+                # of a first batch that crashed between its two
+                # appends.  Derive signatures from the docs this once.
+                wh_sigs = None
+                sig_ids = batch.select(id_col).limit(0)
+            existing_ids = wh_docs.select(id_col).distinct()
+            new_rows = batch.join(existing_ids, id_col, "left_anti")
+            verdict = incremental_neardup_verdict(
+                new_rows, wh_docs, id_col=id_col, text_col=text_col,
+                threshold=threshold, max_bucket=max_bucket,
+                wh_sigs=wh_sigs)
+            keep = verdict.filter(F.col("loaded") == 1).select(id_col)
+            to_load = new_rows.join(keep, id_col, "left_semi")
+            # Replay healing: a crash BETWEEN the two appends below
+            # leaves docs in the warehouse with no signature.  On the
+            # checkpointed replay those ids fail the exact-id
+            # anti-join (so no duplicate doc rows), and this picks
+            # their signatures back up — restoring the every-doc-has-
+            # a-signature invariant instead of silently dropping it.
+            heal = (batch.join(existing_ids, id_col, "left_semi")
+                    .join(sig_ids, id_col, "left_anti"))
+        sig_source = to_load.unionByName(heal)
+        sigs = minhash_signature(
+            char_shingles(sig_source, id_col, text_col, n=4), id_col,
+            n_hashes=8)
+        to_load.write.mode("append").parquet(warehouse_dir)
+        sigs.write.mode("append").parquet(sig_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(source_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(load)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
+    finally:
+        if query.isActive:
+            query.stop()
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity gap
 
 
