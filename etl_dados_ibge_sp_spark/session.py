@@ -167,12 +167,17 @@ def _is_stopped(spark: SparkSession) -> bool:
 
 def _evict(k) -> None:
     _, value = _SESSION_MEMO.pop(k)
-    try:
-        unpersist = getattr(value, "unpersist", None)
-        if callable(unpersist):
-            unpersist()
-    except Exception:
-        pass  # dead session: nothing to release JVM-side
+    # Memo values are frames, models, or composites of both (e.g. the
+    # IVF entry is a (persisted corpus, centroid list) tuple) — walk
+    # one level of tuple/list so every persisted member is released.
+    parts = value if isinstance(value, (tuple, list)) else (value,)
+    for part in parts:
+        try:
+            unpersist = getattr(part, "unpersist", None)
+            if callable(unpersist):
+                unpersist()
+        except Exception:
+            pass  # dead session: nothing to release JVM-side
 
 
 def _sweep_stopped() -> None:

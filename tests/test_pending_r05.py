@@ -694,13 +694,21 @@ def test_session_memo_sweeps_stopped_sessions(spark):
     dead = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None))
     frame = SimpleNamespace(unpersist=lambda: unpersisted.append(True))
     S._SESSION_MEMO[(id(dead), "k")] = (dead, frame)
+    # Composite values (the IVF memo stores (persisted corpus, model))
+    # must release every persisted member, not just bare frames.
+    pair = (SimpleNamespace(unpersist=lambda: unpersisted.append("a")),
+            ["centroids"])
+    S._SESSION_MEMO[(id(dead), "k2")] = (dead, pair)
 
     live_calls = []
     got = S.session_memo(spark, "__memo_evict_test__",
                          lambda: live_calls.append(1) or "value")
     assert got == "value" and live_calls == [1]
     assert (id(dead), "k") not in S._SESSION_MEMO  # dead entry swept
-    assert unpersisted == [True]                   # frame released
+    assert (id(dead), "k2") not in S._SESSION_MEMO
+    assert unpersisted.count(True) == 1    # bare frame released
+    assert unpersisted.count("a") == 1     # tuple member released
+    assert len(unpersisted) == 2
     # Live entry memoizes...
     assert S.session_memo(spark, "__memo_evict_test__",
                           lambda: live_calls.append(2)) == "value"
