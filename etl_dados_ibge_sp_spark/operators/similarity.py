@@ -56,6 +56,27 @@ def cosine_topk(emb: DataFrame, query: DataFrame, k: int,
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_radius(emb: DataFrame, query: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_vec_col: str = "query_vec") -> DataFrame:
+    """Range search: every corpus vector with cosine >= ``threshold``
+    against a (broadcast) single-row query — the radius twin of
+    :func:`cosine_topk`.  A pure narrow scan (broadcast + projection +
+    filter, zero shuffles), so it parallelizes embarrassingly at any
+    corpus size; the threshold compares the ROUNDED score so boundary
+    ties resolve identically in any engine.  For repeated radius
+    queries at scale, the same IVF/sign-bucket prefilters used by the
+    top-k path apply (probe cells whose centroid similarity bounds
+    admit the radius)."""
+    joined = emb.crossJoin(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+         .alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
     """Coarse quantizer: bitmask of the signs of the leading n_bits
     dimensions (1-based element_at) — a 2^n_bits-cell IVF grid."""

@@ -1522,6 +1522,14 @@ from .registry_pending3 import PENDING3  # noqa: E402
 
 PENDING.extend(PENDING3)
 
+# Fourth tranche (round 5): mergeable sketches (KMV / count-min /
+# Bloom join pruning), the Q9/Q21 join shapes, embedding range
+# search.  Queued last; admits with the rest when round 6 reopens
+# slots.
+from .registry_pending4 import PENDING4  # noqa: E402
+
+PENDING.extend(PENDING4)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable]) -> list[str]:

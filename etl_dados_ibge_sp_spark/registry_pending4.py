@@ -1,0 +1,329 @@
+"""Fourth tranche of round-budget-deferred queries (round 5; queued
+behind the third tranche — see ``registry_pending`` for the admission
+protocol.  Nothing here registers before round 6: the round-4 verdict
+froze net-new registrations so the driver's 50-row budget drains the
+never-verified backlog, and ``registry._load_extensions`` computes
+zero slack at the round-5 staleness bound).
+
+Families:
+
+* **Mergeable sketches** (``operators/sketches``): KMV distinct-count
+  (HLL-sized threshold prefilter -> bounded min-k), count-min
+  frequency (fixed d x w counter matrix), and Bloom-filter join
+  pruning (distributed bit-array build, scan-side prune, exact join
+  after).  Each sketch is built from the engine-portable 60-bit
+  md5-prefix hash, so the oracle recomputes identical hash values,
+  order statistics, counters, and estimates — sketches verified as
+  exact oracle queries, not just error-bound laws (those are pinned
+  too, in tests/test_sketches.py).
+* **Remaining classic TPC-H join shapes**: Q9 (profit rollup across
+  the 5-table part/supplier/orders/nation star, adapted to this
+  schema's columns: retail-price-based supply-cost stand-in) and Q21
+  (the double-correlated EXISTS / NOT EXISTS self-join on lineitem —
+  here "the order's SOLE returning supplier", since this lineitem has
+  no commit/receipt dates).
+* **Embedding range search**: all vectors within a cosine radius of a
+  query — the top-k path's missing twin, a zero-shuffle narrow scan.
+
+Float discipline (tranche-1 rules): revenue/profit accumulate in
+DECIMAL after the established per-row double expression; estimates
+use IEEE-exact-or-single-rounding op chains; comparisons happen on
+ROUNDED values; hashes are md5-prefix bigints.  Tie-breaks go through
+unique keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import sketches as SK
+from .sources.parquet_source import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, table: str,
+          prefix: str) -> str:
+    """Temp view WITHOUT the scan fan-out (join-first SQL queries get
+    their parallelism from the first exchange; see the tranche-2 note
+    in registry_pending2._view)."""
+    name = f"__{prefix}_{table}"
+    load_table(spark, sf_dir, table, fan_out=False) \
+        .createOrReplaceTempView(name)
+    return name
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count sketch: active user-days per event type
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+# user-day key, rendered identically by both engines: BIGINT user id,
+# '|', floor-div day index of the event timestamp.
+_KMV_KEY_SQL = ("CAST(user_id AS VARCHAR) || '|' || "
+                "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 "
+                "AS VARCHAR)")
+
+_KMV_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           {SK.hash60_sql(_KMV_KEY_SQL, 'kmv')} AS hv
+    FROM events
+), r AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nd
+    FROM h
+)
+SELECT event_type,
+       CAST(least(nd, {_KMV_K}) AS INT) AS k_used,
+       max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_hash,
+       round(CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+             ELSE {float(_KMV_K - 1)!r} * {float(SK.HASH_SPACE)!r}
+                  / CAST(max(CASE WHEN rn = {_KMV_K} THEN hv END)
+                         AS DOUBLE) END, 2) AS n_distinct_est
+FROM r
+GROUP BY event_type, nd
+"""
+
+
+def _q_kmv_distinct_by_type(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """KMV distinct-count of active (user, day) pairs per event type.
+    The sketch build is the scale path — HLL++ sizes each group, a
+    broadcast threshold keeps only the lowest slice of the hash space,
+    and the k smallest distinct hashes are collected from the ~alpha*k
+    survivors (operators/sketches.kmv_sketch) — while the oracle
+    recomputes the exact order statistic over all distinct hashes, so
+    a driver row checks the sketch VALUES bit-for-bit (estimator: one
+    bigint->double cast + one division, IEEE-identical everywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)) \
+        .cast("bigint")
+    keyed = ev.select(
+        "event_type",
+        F.concat_ws("|", F.col("user_id"), day).alias("uday"))
+    sk = SK.kmv_sketch(keyed, "event_type", "uday", k=_KMV_K)
+    return SK.kmv_estimate(sk, k=_KMV_K)
+
+
+# --------------------------------------------------------------------------
+# Count-min frequency sketch: per-user event counts
+# --------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 256
+
+_CM_SQL = f"""
+WITH counters AS (
+    {SK.countmin_sql('CAST(user_id AS VARCHAR)', 'events',
+                     depth=_CM_D, width=_CM_W)}
+), probe AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY user_id
+), pos AS (
+    SELECT p.user_id, p.exact_cnt, s.r AS r,
+           CAST(concat('0x', substr(md5(concat('cm',
+                CAST(s.r AS VARCHAR), ':',
+                CAST(p.user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % {_CM_W} AS pos
+    FROM probe p, generate_series(0, {_CM_D - 1}) s(r)
+)
+SELECT p.user_id, p.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cm_est
+FROM pos p JOIN counters c ON c.r = p.r AND c.pos = p.pos
+GROUP BY p.user_id, p.exact_cnt
+"""
+
+
+def _q_countmin_user_events(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Count-min estimate vs exact count of events per user.  The
+    counter matrix is ONE map-side-combinable aggregate with at most
+    d*w output rows regardless of input size; lookups broadcast it.
+    The counters and the min-of-d estimates are integers, so the
+    oracle match is exact — and the >= exact-count guarantee is
+    pinned separately in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    counters = SK.countmin_counters(ev.select("user_id"), "user_id",
+                                    depth=_CM_D, width=_CM_W)
+    keys = ev.groupBy("user_id") \
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return SK.countmin_lookup(counters, keys, "user_id",
+                              depth=_CM_D, width=_CM_W)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning: urgent-order revenue by year
+# --------------------------------------------------------------------------
+
+_BLOOM_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(32,6))) AS DOUBLE), 2)
+           AS urgent_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
+def _q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-filtered-dim join with an explicit Bloom prefilter on
+    the fact scan: the urgent orders' keys are aggregated into a 2^20
+    bit array (a bounded driver-side model — 16384 longs, independent
+    of data scale), the lineitem scan drops rows whose key cannot be
+    urgent BEFORE the shuffle, and the exact join then runs on the
+    survivors.  The oracle is the PLAIN join — equality proves the
+    filter never drops a true match; false positives are pruned by the
+    join itself.  This is Spark's runtime row-level bloom made
+    explicit, testable, and available to any query shape."""
+    orders = load_table(spark, sf_dir, "orders", fan_out=False)
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    words = SK.bloom_build(build, "o_orderkey")
+    pruned = SK.bloom_prune(li, "l_orderkey", words)
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) \
+        .cast("decimal(32,6)")
+    return (pruned.join(build.select("o_orderkey", "o_orderdate"),
+                        pruned.l_orderkey == F.col("o_orderkey"))
+            .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(rev).cast("double"), 2)
+                  .alias("urgent_revenue")))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by nation and order year
+# --------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - p.p_retailprice * l.l_quantity * 0.1
+                           AS DECIMAL(32,6))), 2) AS DOUBLE) AS profit,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+def _q_product_profit_yearly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(nation, year) profit over the
+    part/supplier/orders/nation star, filtered to one part family.
+    This schema has no partsupp, so supply cost is the established
+    stand-in 0.1 * p_retailprice * quantity; the per-row profit is one
+    double expression (identical op order in both engines) cast to
+    DECIMAL for accumulation.  NOTE the rounding order: round(.., 2)
+    runs on the exact DECIMAL sum and only then casts to DOUBLE —
+    both engines round decimal ties half-away-from-zero, whereas the
+    usual round(CAST(.. AS DOUBLE), 2) diverges when a sum lands near
+    a .005 boundary (this query's sf0.01 data hits one).  Plan shape: the p_name filter reaches
+    the part scan, nation broadcasts, AQE picks broadcast for the
+    filtered part side when it fits; the orders join is the one
+    genuinely large shuffle."""
+    t = {n: _view(spark, sf_dir, n, "q9")
+         for n in ("lineitem", "part", "supplier", "orders", "nation")}
+    return spark.sql(_Q9_SQL.format(**t))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: the order's sole returning supplier
+# --------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_sole_return
+FROM {supplier} s
+JOIN {lineitem} l1 ON s.s_suppkey = l1.l_suppkey
+JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R'
+  AND o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM {lineitem} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+"""
+
+
+def _q_sole_returned_supplier(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in this
+    lineitem, so "kept waiting" becomes "returned"): suppliers who
+    were the ONLY supplier with a returned line in a multi-supplier
+    finished order — correlated EXISTS plus correlated NOT EXISTS
+    against the same fact table.  Catalyst must decorrelate both into
+    semi/anti self-joins on l_orderkey with the suppkey inequality as
+    a join residual (the plan law in tests/test_sketches.py pins
+    LeftSemi + LeftAnti, no in-plan Subquery) — at scale three
+    co-partitioned shuffles of the fact on the same key, not a
+    per-row subquery."""
+    t = {n: _view(spark, sf_dir, n, "q21")
+         for n in ("supplier", "lineitem", "orders")}
+    return spark.sql(_Q21_SQL.format(**t))
+
+
+# --------------------------------------------------------------------------
+# Embedding range search
+# --------------------------------------------------------------------------
+
+_RCOS = """
+round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(q.qe, q.qe))), 6)
+"""
+
+_RADIUS_SQL = f"""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_RCOS} AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != 0 AND {_RCOS} >= 0.15
+"""
+
+
+def _q_embed_radius_search(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """All corpus vectors within cosine radius 0.15 of the query
+    vector — the range-search twin of embed_cosine_topk.  Zero
+    shuffles: broadcast single-row query, JVM fold dot products, a
+    filter on the ROUNDED score (so the radius boundary resolves
+    identically in both engines)."""
+    from .operators import similarity as S
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    corpus = emb.filter(F.col("vec_id") != 0) \
+        .select("vec_id", "embedding")
+    return S.cosine_radius(corpus, query, threshold=0.15)
+
+
+# (name, oracle_sql, fn) in admission order — queued after PENDING3.
+PENDING4: list[tuple[str, str,
+                     Callable[[SparkSession, str], DataFrame]]] = [
+    ("kmv_distinct_by_type", _KMV_SQL, _q_kmv_distinct_by_type),
+    ("countmin_user_events", _CM_SQL, _q_countmin_user_events),
+    ("bloom_filter_join", _BLOOM_SQL, _q_bloom_filter_join),
+    ("product_profit_yearly", _Q9_SQL.format(
+        lineitem="lineitem", part="part", supplier="supplier",
+        orders="orders", nation="nation"), _q_product_profit_yearly),
+    ("sole_returned_supplier", _Q21_SQL.format(
+        supplier="supplier", lineitem="lineitem", orders="orders"),
+     _q_sole_returned_supplier),
+    ("embed_radius_search", _RADIUS_SQL, _q_embed_radius_search),
+]
