@@ -10,12 +10,16 @@ array — so partial results merge associatively across partitions,
 days, and reruns, where the exact computation (COUNT DISTINCT, a
 per-key count, a semi-join build side) shuffles every key.
 
-Hashing is the engine-portable 60-bit md5-prefix construction shared
-with :mod:`.sample` (``conv(substr(md5(salt:key), 1, 15), 16, 10)``),
-so every sketch has a bit-exact DuckDB rendering: the oracle can
-recompute the identical hashes, order statistics, counters, and
-estimates — a sketch whose VALUES are deterministic is testable as an
-oracle query, not just against an error-bound law.
+KMV and count-min hash with the engine-portable 60-bit md5-prefix
+construction shared with :mod:`.sample` (``conv(substr(md5(salt:key),
+1, 15), 16, 10)``), so both have a bit-exact DuckDB rendering: the
+oracle recomputes the identical hashes, order statistics, counters,
+and estimates — a sketch whose VALUES are deterministic is testable
+as an oracle query, not just against an error-bound law.  Bloom is
+the exception on purpose: its oracle is the PLAIN join (equality
+proves conservativeness) and never recomputes a hash, so it uses the
+native integer ``xxhash64`` — the probe must cost ~nothing because it
+runs at raw-scan parallelism below the fan-out exchange.
 """
 
 from __future__ import annotations
@@ -176,14 +180,34 @@ def countmin_sql(key_expr: str, source: str, depth: int = 4,
 
 def _bloom_positions(key: Column, n_hashes: int, m_bits: int,
                      salt: str) -> list[Column]:
-    return [hash60(key.cast("string"), f"{salt}{r}") % m_bits
+    """``n_hashes`` bit positions from ONE ``xxhash64`` — disjoint
+    21-bit slices, masked to ``m_bits`` (power of two required).
+
+    Unlike the KMV/count-min hashes, Bloom needs NO engine-portable
+    digest: its oracle is the plain join (equality proves the filter
+    conservative), never a recomputation of the hashes — so the native
+    JVM xxhash64 (integer ops end-to-end, no string digest, no hex
+    parse) is the right choice.  This matters doubly because the probe
+    filter runs below the fan-out exchange by design (prune before the
+    shuffle, i.e. at raw-scan parallelism): with md5 the per-row
+    digest dominated the whole query on a narrow local scan (~3 s on
+    600 k rows); xxhash64 makes the probe virtually free.  The 64-bit
+    hash yields three independent 21-bit slices; the arithmetic
+    shift's sign bits are masked off by ``m_bits - 1``."""
+    if not 1 <= n_hashes <= 3:
+        raise ValueError("n_hashes must be 1..3 (one 64-bit digest)")
+    if m_bits & (m_bits - 1) or m_bits > 1 << 21:
+        raise ValueError("m_bits must be a power of two <= 2^21")
+    h = F.xxhash64(F.lit(salt), key.cast("string"))
+    return [F.shiftright(h, 21 * r).bitwiseAND(F.lit(m_bits - 1))
             for r in range(n_hashes)]
 
 
 def bloom_build(build: DataFrame, key_col: str, m_bits: int = 1 << 20,
-                n_hashes: int = 3, salt: str = "bf") -> list[int]:
+                n_hashes: int = 3, salt: str = "bf") -> bytes:
     """Aggregate the build side's join keys into an ``m_bits`` Bloom
-    bit array, returned as ``m_bits/64`` packed longs.
+    bit array, returned as ``m_bits/4`` ASCII hex-nibble BYTES
+    (nibble i holds bits 4i..4i+3, LSB-first).
 
     The bit array is built DISTRIBUTED — set-bit positions are a
     keys-only projection, packed into words by a ``bit_or`` aggregate
@@ -193,21 +217,40 @@ def bloom_build(build: DataFrame, key_col: str, m_bits: int = 1 << 20,
     boundedness is set by ``m_bits``, independent of data scale).  At
     even larger build sides, grow ``m_bits`` or switch to Spark's
     runtime row-level bloom (spark.sql.optimizer.runtime.bloomFilter)
-    which this operator makes explicit and testable."""
+    which this operator makes explicit and testable.
+
+    Why hex BYTES and not an array or a string: a Python-list literal
+    crosses py4j once per ELEMENT (F.lit on 16384 longs measured 15 s
+    of driver time — it dominated the whole query), and numpy /
+    one-row-DataFrame transports still cost seconds; a scalar literal
+    is one py4j call and ONE Literal node.  And it must be BINARY, not
+    STRING: UTF8String.substring walks codepoints from the start, so
+    probing a 262144-char string literal is O(position) PER ROW
+    (measured 12 s for 6 000 probes), while binary substring is
+    byte-addressed O(1)."""
     pos = F.explode(F.array(*_bloom_positions(
         F.col(key_col), n_hashes, m_bits, salt))).alias("p")
-    words = (build.select(pos)
+    # Keys-only projection, fanned out BEFORE hashing: the build side
+    # often arrives as a narrow filtered scan (few partitions locally)
+    # and md5 is the whole per-row cost; the Generate/hash stage sits
+    # above the repartition, so it runs cluster-wide.  The shuffle
+    # moves bare keys — negligible.
+    keys = build.select(F.col(key_col))
+    spark = build.sparkSession
+    keys = keys.repartition(spark.sparkContext.defaultParallelism)
+    words = (keys.select(pos)
              .groupBy((F.col("p") / 64).cast("int").alias("w"))
              .agg(F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))")
                   .alias("bits"))
              .collect())
-    arr = [0] * (m_bits // 64)
+    bitmap = 0
     for row in words:
-        arr[row["w"]] = row["bits"]
-    return arr
+        bitmap |= (row["bits"] & ((1 << 64) - 1)) << (64 * row["w"])
+    # MSB-first hex, reversed => char i is the nibble for bits 4i..4i+3.
+    return format(bitmap, f"0{m_bits // 4}x")[::-1].encode("ascii")
 
 
-def bloom_prune(probe: DataFrame, key_col: str, words: list[int],
+def bloom_prune(probe: DataFrame, key_col: str, nibbles: bytes,
                 m_bits: int = 1 << 20, n_hashes: int = 3,
                 salt: str = "bf") -> DataFrame:
     """Keep only probe rows whose key MIGHT be in the build side: all
@@ -216,13 +259,18 @@ def bloom_prune(probe: DataFrame, key_col: str, words: list[int],
     exact join, so the filter is correctness-neutral and purely a
     shuffle-volume reducer — the explicit form of a runtime semi-join
     bloom, applied at the scan so the pruned rows never shuffle."""
-    out = probe.withColumn("__bw", F.lit(words))
     positions = _bloom_positions(F.col(key_col), n_hashes, m_bits, salt)
-    for r, pos in enumerate(positions):
-        out = (out.withColumn("__bp", pos)
-               # Variable-distance shifts need SQL form (the PySpark
-               # shiftright helper takes only a literal distance).
-               .where(F.expr("(shiftright(element_at(__bw, "
-                             "CAST(__bp / 64 AS INT) + 1), "
-                             "CAST(__bp % 64 AS INT)) & 1L) = 1L")))
-    return out.drop("__bw", "__bp")
+    pos_cols = {f"__bp{r}": pos for r, pos in enumerate(positions)}
+    out = probe.withColumns({"__bf": F.lit(nibbles), **pos_cols})
+    cond = None
+    for pc in pos_cols:
+        # Nibble for bit p lives at 1-based byte index p/4 + 1; the
+        # bit inside it is p%4.  The 1-byte binary slice casts to a
+        # 1-char hex string for conv.  Variable-distance shifts need
+        # SQL form (the PySpark shiftright helper takes only a
+        # literal distance).
+        c = F.expr(f"(shiftright(CAST(conv(CAST(substring(__bf, "
+                   f"CAST({pc} / 4 AS INT) + 1, 1) AS STRING), 16, 10) "
+                   f"AS INT), CAST({pc} % 4 AS INT)) & 1) = 1")
+        cond = c if cond is None else (cond & c)
+    return out.where(cond).drop("__bf", *pos_cols)

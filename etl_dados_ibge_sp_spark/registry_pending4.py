@@ -143,7 +143,11 @@ def _q_countmin_user_events(spark: SparkSession,
     d*w output rows regardless of input size; lookups broadcast it.
     The counters and the min-of-d estimates are integers, so the
     oracle match is exact — and the >= exact-count guarantee is
-    pinned separately in tests/test_sketches.py."""
+    pinned separately in tests/test_sketches.py.  (Probing EVERY key,
+    as here, is for oracle coverage; the production shape probes a
+    bounded candidate set — e.g. per-partition top-k pre-candidates —
+    against the broadcast matrix, which is what makes count-min cheap
+    when the key universe doesn't fit anywhere.)"""
     ev = load_table(spark, sf_dir, "events")
     counters = SK.countmin_counters(ev.select("user_id"), "user_id",
                                     depth=_CM_D, width=_CM_W)

