@@ -96,6 +96,32 @@ def kmv_merge(a: Column, b: Column, k: int) -> Column:
     return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
 
 
+def kmv_union_est(merged: Column, k: int) -> Column:
+    """Distinct-count estimate from a (merged) KMV array column:
+    exact size below ``k``, else (k-1) * 2^60 / kth_min."""
+    size = F.size(merged)
+    kth = F.element_at(merged, k)
+    return F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))
+        / kth.cast("double"))
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int) -> Column:
+    """|A ∩ B| estimate from two KMV sketches — the set algebra that
+    makes KMV more than a distinct counter (Beyer et al. 2007): merge
+    the sketches (a KMV of A ∪ B), estimate the union, and scale by
+    the fraction of the merged k-set present in BOTH input sketches
+    (an unbiased Jaccard estimate, since the merged k-set is a uniform
+    sample of the union's hash space).  Exact whenever both sets fit
+    their sketches.  Entirely in-row over two small arrays — sketches
+    of yesterday's and today's corpora intersect without touching
+    either corpus."""
+    merged = kmv_merge(a, b, k)
+    both = F.size(F.array_intersect(F.array_intersect(merged, a), b))
+    denom = F.least(F.size(merged), F.lit(k))
+    return both.cast("double") / denom * kmv_union_est(merged, k)
+
+
 def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     """Distinct-count estimate from a KMV sketch.
 
@@ -106,9 +132,7 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     and one division, identical IEEE steps in any engine."""
     size = F.size("kmv")
     kth = F.element_at("kmv", k)
-    est = F.when(size < k, size.cast("double")).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))
-        / kth.cast("double"))
+    est = kmv_union_est(F.col("kmv"), k)
     return sketch.select(
         *[c for c in sketch.columns if c != "kmv"],
         F.least(size, F.lit(k)).cast("int").alias("k_used"),

@@ -1401,9 +1401,7 @@ def _q_dedup_incremental_load(spark: SparkSession,
     is ``dedup.incremental_neardup_verdict`` — the identical function
     the streaming arrival path (streaming/windowed.py
     streaming_neardup_load) runs per micro-batch."""
-    from .operators.dedup import (char_shingles,
-                                  incremental_neardup_verdict,
-                                  minhash_signature)
+    from .operators.dedup import incremental_neardup_verdict
 
     # The warehouse frame plays two roles with OPPOSITE layout needs:
     # the signature derivation is a narrow per-row-heavy pipeline that

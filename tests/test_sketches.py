@@ -75,6 +75,40 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     assert merged == whole
 
 
+def test_kmv_intersection_estimate(spark):
+    """KMV set algebra: the intersection estimate tracks the true
+    overlap (planted: |A|=2000, |B|=2000, |A∩B|=1000) within the
+    k=64 sampling error, and is EXACT when both sets fit their
+    sketches."""
+    k = 64
+    a = spark.range(0, 2000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("key"))
+    b = spark.range(1000, 3000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("key"))
+    sk_a = SK.kmv_sketch(a, "g", "key", k=k) \
+        .withColumnRenamed("kmv", "ka")
+    sk_b = SK.kmv_sketch(b, "g", "key", k=k) \
+        .withColumnRenamed("kmv", "kb")
+    est = (sk_a.join(sk_b, "g")
+           .select(SK.kmv_intersect_estimate(F.col("ka"), F.col("kb"), k)
+                   .alias("i")).collect()[0]["i"])
+    assert abs(est - 1000) / 1000 <= 0.5, est  # ~3x the k=64 std err
+
+    # Small sets (|A∪B| = 50 < k): sketches hold everything, the
+    # merged sketch IS the union -> estimate is exact.
+    sa = spark.range(0, 30).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("key"))
+    sb = spark.range(20, 50).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("key"))
+    ska = SK.kmv_sketch(sa, "g", "key", k=k).withColumnRenamed("kmv", "ka")
+    skb = SK.kmv_sketch(sb, "g", "key", k=k).withColumnRenamed("kmv", "kb")
+    exact = (ska.join(skb, "g")
+             .select(SK.kmv_intersect_estimate(F.col("ka"), F.col("kb"),
+                                               k).alias("i"))
+             .collect()[0]["i"])
+    assert exact == 10.0
+
+
 def test_countmin_never_undercounts_and_bounds_overcount(spark, sf_dir):
     """min-of-d counters >= true count always (each counter holds the
     key's own mass plus collisions); the overcount is the collision
