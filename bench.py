@@ -145,6 +145,13 @@ def main() -> None:
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 3),
         "methodology": "warm + min-of-3 per query, noop sink",
+        "notes": [
+            "stream_* queries run a real availableNow Structured "
+            "Streaming query per invocation; their wall is dominated "
+            "by fixed startup + state-store instantiation (one store "
+            "per shuffle partition per stateful operator), a constant "
+            "that does not scale with data volume",
+        ],
         "queries": timings,
         "baseline_delta": deltas,
         "regressions": regressions,

@@ -326,6 +326,59 @@ def ann_ivf_topk(emb: DataFrame, query: DataFrame, k: int,
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def ann_ivf_topk_batch(emb: DataFrame, queries: DataFrame, k: int,
+                       centroids: list[list[float]], nprobe: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       q_id_col: str = "query_id",
+                       q_vec_col: str = "query_vec") -> DataFrame:
+    """Batch ANN serving: top-k neighbors for EVERY query in one
+    bucket join — the shape real retrieval runs (embed a batch of
+    requests, answer them together), not one job per query.
+
+    Plan: the corpus is bucketed once by nearest centroid (at scale a
+    stored partition column written at ingest); each query explodes to
+    its ``nprobe`` closest buckets and the (query, bucket) pairs
+    BROADCAST onto the corpus — the scan touches only probed buckets
+    (partition-prunable), every query's candidates emerge from the one
+    join, and a per-query window takes k.  Corpus rows are never
+    replicated per query beyond bucket matches; queries are assumed a
+    small batch (broadcast side).
+
+    Cost notes, per the interpreted-lambda lessons pinned on
+    ``nearest_centroid``: bucket RANKING uses the hoisted-norm
+    normalized query (O(d) per query), while the SCORE uses the
+    ORIGINAL query vector so the float op sequence matches the exact
+    brute-force oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    bucketed = emb.withColumn(
+        "bucket",
+        nearest_centroid(_as_double(F.col(vec_col)), centroids))
+    qn = with_l2_normalized(
+        queries.select(F.col(q_id_col), F.col(q_vec_col)),
+        q_vec_col, "__qn")
+    cb = _codebook_2d_lit(centroids)
+    ranked = F.reverse(F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            dot(F.col("__qn"), F.element_at(cb, i + 1)).alias("d"),
+            i.alias("i")))))
+    q = qn.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+        ).alias("bucket"))
+    joined = bucketed.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(q_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6)
+         .alias("cos_sim"))
+    w = Window.partitionBy(q_id_col) \
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def ann_multiprobe_topk(emb: DataFrame, query: DataFrame, k: int,
                         n_bits: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding",

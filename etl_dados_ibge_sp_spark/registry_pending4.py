@@ -317,6 +317,52 @@ def _q_embed_radius_search(spark: SparkSession,
     return S.cosine_radius(corpus, query, threshold=0.15)
 
 
+# --------------------------------------------------------------------------
+# Batch ANN serving: top-k for a query SET in one bucket join
+# --------------------------------------------------------------------------
+
+def _batch_ann_sql() -> str:
+    from .registry_ext import _PLANT_SQL
+    return f"""
+WITH pl AS ({_PLANT_SQL}
+), q AS (
+    SELECT vec_id AS query_id, v AS qe FROM pl WHERE vec_id % 199 = 0
+), s AS (
+    SELECT q.query_id, p.vec_id,
+           round(list_dot_product(p.v, q.qe) /
+                 (sqrt(list_dot_product(p.v, p.v)) *
+                  sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+    FROM pl p, q WHERE p.vec_id != 0
+), r AS (
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM s
+)
+SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5
+"""
+
+
+def _q_embed_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the planted-clusters fixture: every 199th vector
+    is a query, all answered by ONE bucket join against the corpus
+    bucketed by the learned IVF quantizer (the memoized `_ivf_model`
+    the single-query path trains).  On planted data the IVF result
+    EQUALS exact per-query top-k — each query's true neighbors share
+    its inverted list — so the oracle is the brute-force window SQL:
+    a full hash-match of the batch serving path.  The recall law on
+    raw embeddings stays pinned in tests/test_ranking_history.py."""
+    from .operators import similarity as S
+    from .registry_ext import _ivf_model, planted_clusters
+    corpus, cents = _ivf_model(spark, sf_dir)
+    queries = planted_clusters(load_table(spark, sf_dir, "embeddings")) \
+        .filter(F.col("vec_id") % 199 == 0) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    return S.ann_ivf_topk_batch(corpus, queries, k=5, centroids=cents,
+                                nprobe=2)
+
+
 # (name, oracle_sql, fn) in admission order — queued after PENDING3.
 PENDING4: list[tuple[str, str,
                      Callable[[SparkSession, str], DataFrame]]] = [
@@ -330,4 +376,5 @@ PENDING4: list[tuple[str, str,
         supplier="supplier", lineitem="lineitem", orders="orders"),
      _q_sole_returned_supplier),
     ("embed_radius_search", _RADIUS_SQL, _q_embed_radius_search),
+    ("embed_ann_batch", _batch_ann_sql(), _q_embed_ann_batch),
 ]

@@ -118,3 +118,34 @@ def test_scd2_single_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # one hash partitioning on the key, reused by every window/agg
     assert plan.lower().count("hashpartitioning") <= 1
+
+
+def test_batch_ann_agrees_with_single_query_path(spark, sf_dir):
+    """The batch serving join must return, for any one query, exactly
+    what the single-query IVF probe returns (same model, same planted
+    fixture, same k) — the batch operator is a widening, not a
+    different algorithm."""
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.operators import similarity as S
+    from etl_dados_ibge_sp_spark.registry_ext import (_ivf_model,
+                                                      planted_clusters)
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+    corpus, cents = _ivf_model(spark, sf_dir)
+    planted = planted_clusters(load_table(spark, sf_dir, "embeddings"))
+    queries = planted.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    batch = {(r["vec_id"], r["cos_sim"])
+             for r in S.ann_ivf_topk_batch(corpus, queries, k=5,
+                                           centroids=cents,
+                                           nprobe=2).collect()}
+    single = {(r["vec_id"], r["cos_sim"])
+              for r in S.ann_ivf_topk(
+                  corpus,
+                  planted.filter(F.col("vec_id") == 0)
+                  .select(F.col("embedding").alias("query_vec")),
+                  k=5, centroids=cents, nprobe=2)
+              .select("vec_id", "cos_sim").collect()}
+    assert batch == single and len(batch) == 5
