@@ -52,8 +52,9 @@ def hash60_sql(expr: str, salt: str) -> str:
 def kmv_sketch(df: DataFrame, group_col: str, key_col: str,
                k: int = 64, alpha: int = 8,
                salt: str = "kmv") -> DataFrame:
-    """Per-group KMV sketch: the ``k`` smallest distinct 60-bit hashes
-    of ``key_col``, as one ascending array column ``kmv``.
+    """Per-group KMV sketch (Bar-Yossef et al. 2002; Beyer et al.
+    2007): the ``k`` smallest distinct 60-bit hashes of ``key_col``,
+    as one ascending array column ``kmv``.
 
     Bounded-state plan, in three cheap passes over the hashed keys:
 
@@ -150,8 +151,9 @@ def _cm_pos(key: Column, row: int, width: int, salt: str) -> Column:
 
 def countmin_counters(df: DataFrame, key_col: str, depth: int = 4,
                       width: int = 256, salt: str = "cm") -> DataFrame:
-    """Build the count-min counter matrix: ``depth`` independent hash
-    rows of ``width`` counters, as rows (r, pos, cnt).
+    """Build the count-min counter matrix (Cormode & Muthukrishnan
+    2005): ``depth`` independent hash rows of ``width`` counters, as
+    rows (r, pos, cnt).
 
     One map-side-combinable aggregate: each input row contributes
     ``depth`` (r, pos) increments, and the result is at most
@@ -230,7 +232,7 @@ def _bloom_positions(key: Column, n_hashes: int, m_bits: int,
 def bloom_build(build: DataFrame, key_col: str, m_bits: int = 1 << 20,
                 n_hashes: int = 3, salt: str = "bf") -> bytes:
     """Aggregate the build side's join keys into an ``m_bits`` Bloom
-    bit array, returned as ``m_bits/4`` ASCII hex-nibble BYTES
+    (1970) bit array, returned as ``m_bits/4`` ASCII hex-nibble BYTES
     (nibble i holds bits 4i..4i+3, LSB-first).
 
     The bit array is built DISTRIBUTED — set-bit positions are a
