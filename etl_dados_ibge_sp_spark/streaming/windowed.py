@@ -78,6 +78,45 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def stream_windowed_distinct_approx(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour per event type with BOUNDED
+    streaming state: ``approx_count_distinct`` (HLL++) keeps one
+    fixed-size sketch per (window, type) group instead of the exact
+    distinct's one state row per user — the only way a distinct-count
+    survives an unbounded stream at 100 TB/day.  The sketch is a
+    deterministic function of the value SET (register maxima), so
+    availableNow over a finite source equals the batch aggregate
+    exactly — the pytest parity law — while on an infinite stream the
+    watermark bounds how long each window's sketch lives."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02)
+             .alias("approx_users"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type", "approx_users")
+    )
+    qname = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(qname)
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment — the streaming form of the
     J1 dimension join (reference dags/etl_municipios.py's municipality

@@ -165,3 +165,41 @@ def test_decode_stub_and_real(spark, sf_dir):
         assert len(r["checksum"]) == 32
     with pytest.raises(NotImplementedError):
         decode_real(docs)
+
+
+def test_stream_windowed_distinct_approx_parity(spark, sf_dir):
+    """Streaming HLL distinct (bounded state: one sketch per window ×
+    type, not one row per user) must equal the batch aggregate on the
+    same finite source — HLL++ is a deterministic function of the
+    value set, so availableNow parity is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+    from etl_dados_ibge_sp_spark.streaming.windowed import \
+        stream_windowed_distinct_approx
+
+    got = {(r["window_start_us"], r["event_type"]): r["approx_users"]
+           for r in stream_windowed_distinct_approx(spark,
+                                                    sf_dir).collect()}
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                  .alias("approx_users"))
+             .select(F.unix_micros(F.col("w.start"))
+                     .alias("window_start_us"),
+                     "event_type", "approx_users"))
+    want = {(r["window_start_us"], r["event_type"]): r["approx_users"]
+            for r in batch.collect()}
+    assert got == want and got
+    # And the estimate is a real count estimate: within the rsd-bound
+    # neighborhood of the exact distinct per group.
+    exact = {(r["window_start_us"], r["event_type"]): r["nd"]
+             for r in (load_table(spark, sf_dir, "events")
+                       .groupBy(F.window("ts", "1 hour").alias("w"),
+                                "event_type")
+                       .agg(F.countDistinct("user_id").alias("nd"))
+                       .select(F.unix_micros(F.col("w.start"))
+                               .alias("window_start_us"),
+                               "event_type", "nd")).collect()}
+    for key, est in got.items():
+        assert abs(est - exact[key]) <= max(3, 0.1 * exact[key])
