@@ -323,15 +323,20 @@ def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
     batch minhash signatures → ``incremental_lsh_candidates`` against
     the warehouse signatures (new-bands × warehouse-bands only,
     hot-band capped) → exact char-n-gram Jaccard recheck of JUST the
-    candidate pairs via the inverted-index join (never all-pairs) →
-    left-join verdict.
+    candidate pairs via in-row shingle-set intersects (never
+    all-pairs) → left-join verdict.
 
     ``wh_sigs``: pass the materialized warehouse signature table to
     skip re-shingling the corpus — at 100 TB the signatures are stored
     (partitioned by band key) and this argument is mandatory in
     spirit; when None they are derived from ``wh_docs`` (the small-SF
-    test path).  The exact recheck always reads ``wh_docs`` but only
-    for the candidates' old ids (semi-join pruned).
+    test path).  The exact recheck scans the FULL ``wh_docs`` for its
+    zero-shuffle shingle-set projection and prunes row-by-row via the
+    inner join on the candidate old ids — deliberately NOT a semi-join
+    prefilter, which would force the heavy candidate subtree to
+    evaluate twice (see the inline comment below); at cluster scale
+    substitute a stored per-doc shingle table or a runtime bloom join
+    so the warehouse TEXT scan itself is pruned.
     """
     sig_n = minhash_signature(
         char_shingles(new_docs, id_col, text_col, n=n_shingle),

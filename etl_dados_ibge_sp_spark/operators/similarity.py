@@ -171,14 +171,21 @@ def with_l2_normalized(df: DataFrame, vec_col: str,
                        out_col: str) -> DataFrame:
     """O(d) normalization as TWO projections: the norm lands in its
     own column first, so the divide-lambda reads a plain attribute
-    instead of re-evaluating the dot-product fold per element.  The
-    separate projection also gives downstream argmax expressions a
-    cheap column to reference many times (CollapseProject refuses to
-    inline multiply-referenced non-trivial aliases, keeping it so)."""
+    instead of re-evaluating the dot-product fold per element.
+
+    The ``isNotNull`` guard is LOAD-BEARING, not defensive styling:
+    CollapseProject inlines a SINGLE-referenced alias back into the
+    lambda body (restoring the O(d²) shape this function exists to
+    avoid — verified on the optimized plan), but refuses for
+    multiply-referenced non-trivial aliases; the guard is the second
+    reference.  Semantics are unchanged: a NULL norm comes only from a
+    NULL vector, where the unhoisted form also yields NULL."""
     e = _as_double(F.col(vec_col))
     step = df.withColumn("__l2nrm", F.sqrt(dot(e, e)))
     out = step.withColumn(
-        out_col, F.transform(e, lambda x: x / F.col("__l2nrm")))
+        out_col,
+        F.when(F.col("__l2nrm").isNotNull(),
+               F.transform(e, lambda x: x / F.col("__l2nrm"))))
     return out.drop("__l2nrm")
 
 

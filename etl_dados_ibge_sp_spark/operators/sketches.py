@@ -175,7 +175,13 @@ def countmin_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
     """Point-query the sketch for every row of ``keys``: the estimate
     is min over the ``depth`` counters the key hashes to — never an
     under-count, over by at most the collision mass (pinned by the
-    pytest law).  The counter matrix is tiny, so it broadcasts."""
+    pytest law).  The counter matrix is tiny, so it broadcasts.
+
+    LEFT join + coalesce-to-0, not inner: an unseen key can hash to
+    cells no insert ever touched, and those cells hold 0 — an inner
+    join would drop the empty cells from the min (overestimating past
+    the count-min bound) and lose all-empty keys from the output
+    entirely."""
     cells = F.array(*[
         F.struct(F.lit(r).alias("r"),
                  _cm_pos(F.col(key_col), r, width, salt).alias("pos"))
@@ -183,9 +189,11 @@ def countmin_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
     probed = keys.select(*keys.columns, F.explode(cells).alias("c"))
     return (probed.join(F.broadcast(counters),
                         (F.col("c.r") == F.col("r"))
-                        & (F.col("c.pos") == F.col("pos")))
+                        & (F.col("c.pos") == F.col("pos")),
+                        "left")
             .groupBy(*keys.columns)
-            .agg(F.min("cnt").alias(out_col)))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias(out_col)))
 
 
 def countmin_sql(key_expr: str, source: str, depth: int = 4,

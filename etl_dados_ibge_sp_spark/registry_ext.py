@@ -628,14 +628,21 @@ def planted_clusters(emb, n_clusters: int = 8, eps: float = 0.1):
     e = F.col("embedding").cast("array<double>")
     # Norm hoisted into its own projection: referenced inside the
     # transform lambda it would be re-evaluated per element (O(d²)
-    # interpreted — the embed_ann_ivf 351 s lesson).
+    # interpreted — the embed_ann_ivf 351 s lesson).  The isNotNull
+    # guard is the alias's SECOND reference: CollapseProject inlines a
+    # single-referenced alias straight back into the lambda (undoing
+    # the hoist — verified on the optimized plan), but keeps
+    # multiply-referenced ones.  Same idiom as
+    # similarity.with_l2_normalized.
     step = emb.select("vec_id", e.alias("__e"),
                       F.sqrt(S.dot(e, e)).alias("__nrm"))
     c = (F.col("vec_id") % n_clusters).cast("bigint")
     v = F.transform("__e", lambda x, i: x / F.col("__nrm") * F.lit(eps)
                     + F.when(i.cast("bigint") == c, F.lit(1.0))
                        .otherwise(F.lit(0.0)))
-    return step.select("vec_id", v.alias("embedding"))
+    return step.select(
+        "vec_id",
+        F.when(F.col("__nrm").isNotNull(), v).alias("embedding"))
 
 
 _PLANT_SQL = """

@@ -43,15 +43,10 @@ from .operators import sketches as SK
 from .sources.parquet_source import load_table
 
 
-def _view(spark: SparkSession, sf_dir: str, table: str,
-          prefix: str) -> str:
-    """Temp view WITHOUT the scan fan-out (join-first SQL queries get
-    their parallelism from the first exchange; see the tranche-2 note
-    in registry_pending2._view)."""
-    name = f"__{prefix}_{table}"
-    load_table(spark, sf_dir, table, fan_out=False) \
-        .createOrReplaceTempView(name)
-    return name
+# Temp-view helper shared with the tranche-2 SQL queries (fan_out=False
+# for join-first shapes; the rationale and plan law live at the
+# definition).
+from .registry_pending2 import _view  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -71,6 +66,7 @@ WITH h AS (
     SELECT DISTINCT event_type,
            {SK.hash60_sql(_KMV_KEY_SQL, 'kmv')} AS hv
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), r AS (
     SELECT event_type, hv,
            row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
@@ -102,9 +98,16 @@ def _q_kmv_distinct_by_type(spark: SparkSession,
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)) \
         .cast("bigint")
+    # NULL-propagating F.concat, NOT concat_ws: concat_ws SKIPS null
+    # members, so a NULL user_id would silently hash a partial key
+    # ('|day') while the oracle's || yields NULL — divergent hash
+    # sets.  With F.concat a NULL component nulls the whole key, the
+    # null hash is dropped by collect_set, and the oracle's explicit
+    # NOT NULL filter says the same thing.
     keyed = ev.select(
         "event_type",
-        F.concat_ws("|", F.col("user_id"), day).alias("uday"))
+        F.concat(F.col("user_id").cast("string"), F.lit("|"),
+                 day.cast("string")).alias("uday"))
     sk = SK.kmv_sketch(keyed, "event_type", "uday", k=_KMV_K)
     return SK.kmv_estimate(sk, k=_KMV_K)
 

@@ -87,8 +87,16 @@ def stream_windowed_distinct_approx(spark: SparkSession,
     survives an unbounded stream at 100 TB/day.  The sketch is a
     deterministic function of the value SET (register maxima), so
     availableNow over a finite source equals the batch aggregate
-    exactly — the pytest parity law — while on an infinite stream the
-    watermark bounds how long each window's sketch lives."""
+    exactly — the pytest parity law.
+
+    ``update`` output mode, deliberately: complete mode RETAINS every
+    group's state forever and re-emits the whole result per trigger
+    (the watermark never evicts in complete mode), which would forfeit
+    exactly the bounded-state property this operator exists for; in
+    update mode the 1-day watermark purges each window's sketch once
+    it can no longer change.  On the finite single-batch availableNow
+    run, update emits each group exactly once, so the memory sink
+    holds the final aggregate."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream
@@ -102,7 +110,7 @@ def stream_windowed_distinct_approx(spark: SparkSession,
     qname = f"stream_hll_{uuid.uuid4().hex[:8]}"
     query = (
         agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

@@ -127,6 +127,27 @@ def test_countmin_never_undercounts_and_bounds_overcount(spark, sf_dir):
         assert r["cm_est"] - r["exact"] <= 4 * n_total / 256
 
 
+def test_countmin_unseen_keys_report_zero(spark):
+    """A key never inserted must estimate 0 when any of its cells is
+    untouched, and must STILL APPEAR in the output — the left-join +
+    coalesce contract (an inner join would drop empty cells from the
+    min, or lose the key entirely)."""
+    ins = spark.createDataFrame([(f"k{i}",) for i in range(10)],
+                                "key string")
+    counters = SK.countmin_counters(ins, "key", depth=4, width=256)
+    probe = spark.createDataFrame([("k1",), ("never-seen-a",),
+                                   ("never-seen-b",)], "key string")
+    got = {r["key"]: r["cm_est"]
+           for r in SK.countmin_lookup(counters, probe, "key",
+                                       depth=4, width=256).collect()}
+    assert set(got) == {"k1", "never-seen-a", "never-seen-b"}
+    assert got["k1"] >= 1
+    # 10 inserts x 4 cells in 1024 cells: the chance an unseen key's 4
+    # cells are ALL occupied is ~(40/256)^4 — these fixed keys hit 0.
+    assert got["never-seen-a"] == 0
+    assert got["never-seen-b"] == 0
+
+
 def test_countmin_counter_matrix_is_fixed_size(spark, sf_dir):
     """The summary must stay <= depth*width rows no matter the input —
     that fixed size IS the sketch's scale property."""
