@@ -366,6 +366,94 @@ def _q_embed_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 nprobe=2)
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (+) cosine via reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_RRF_K = 60.0     # the standard RRF damping constant (Cormack 2009)
+_RRF_TOPN = 50    # per-leg candidate depth
+_RRF_OUT = 20
+
+
+def _rrf_sql() -> str:
+    from .operators.ranking import bm25_oracle_sql
+    from .registry_ext import _BM25_TERMS, _NORM_SQL
+    bm25 = bm25_oracle_sql(_BM25_TERMS, _RRF_TOPN, _NORM_SQL)
+    return f"""
+WITH lexr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+    FROM ({bm25})
+), semr AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_sem
+    FROM (
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_RCOS} AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id != 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {_RRF_TOPN}
+    )
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({_RRF_K!r} + l.r_lex), 0.0)
+             + COALESCE(1.0 / ({_RRF_K!r} + s.r_sem), 0.0), 6) AS rrf
+FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_OUT}
+"""
+
+
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-era default: fuse a lexical BM25
+    ranking and a semantic cosine ranking by reciprocal-rank fusion
+    (Cormack et al. 2009) — score = Σ 1/(60 + rank_leg), robust to
+    incomparable raw scores.  Each leg is the engine's existing
+    retriever (rational-idf BM25 over documents; brute cosine over
+    embeddings, ids shared with the doc corpus); ranks are integers
+    with id tie-breaks and the fused score is two IEEE divisions and
+    one add in fixed order, so the oracle matches bit-for-bit.
+
+    Scale shape: each leg is its own top-N (TakeOrdered / narrow
+    scan) and fusion touches only 2N candidate rows — a driver-scale
+    full-outer join however large the corpus."""
+    from pyspark.sql import Window
+
+    from .operators.ranking import bm25_topk
+    from .operators.similarity import cosine_topk
+    from .registry_ext import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, list(_BM25_TERMS), _RRF_TOPN)
+    lex_r = lex.withColumn(
+        "r_lex",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))))
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    corpus = emb.filter(F.col("vec_id") != 0) \
+        .select("vec_id", "embedding")
+    sem = cosine_topk(corpus, query, k=_RRF_TOPN) \
+        .withColumnRenamed("vec_id", "doc_id")
+    sem_r = sem.withColumn(
+        "r_sem",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))))
+    fused = (lex_r.join(sem_r, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.round(
+                         F.coalesce(F.lit(1.0) / (F.lit(_RRF_K)
+                                                  + F.col("r_lex")),
+                                    F.lit(0.0))
+                         + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K)
+                                                    + F.col("r_sem")),
+                                      F.lit(0.0)),
+                         6).alias("rrf")))
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_OUT)
+
+
 # (name, oracle_sql, fn) in admission order — queued after PENDING3.
 PENDING4: list[tuple[str, str,
                      Callable[[SparkSession, str], DataFrame]]] = [
@@ -380,4 +468,5 @@ PENDING4: list[tuple[str, str,
      _q_sole_returned_supplier),
     ("embed_radius_search", _RADIUS_SQL, _q_embed_radius_search),
     ("embed_ann_batch", _batch_ann_sql(), _q_embed_ann_batch),
+    ("hybrid_search_rrf", _rrf_sql(), _q_hybrid_search_rrf),
 ]
