@@ -639,3 +639,59 @@ def contamination_stats(train: DataFrame, eval_docs: DataFrame,
             .withColumn("contamination_ratio", ratio)
             .withColumn("contaminated",
                         F.col("contamination_ratio") >= flag_threshold))
+
+
+def bloom_decontaminate(train: DataFrame, eval_docs: DataFrame,
+                        id_col: str, text_col: str, n: int = 3,
+                        flag_threshold: float = 0.2,
+                        m_bits: int = 1 << 20) -> DataFrame:
+    """:func:`contamination_stats` with a Bloom prefilter on the gram
+    probe — the decontamination shape the big pretraining pipelines
+    run (an n-gram Bloom of the benchmark suite, not the benchmark
+    text itself, is what ships to the cluster).
+
+    The eval grams aggregate into a fixed-size bit array
+    (sketches.bloom_build: only the bitmap is collected, never the
+    grams — ~256 KB at m=2^20 versus a multi-MB broadcast of raw gram
+    strings), the exploded train grams drop non-members AT THE SCAN,
+    and only the survivors (true hits + the tiny fp mass) probe the
+    exact broadcast gram set.  Per-doc totals are captured before the
+    prune, so the output is ROW-IDENTICAL to contamination_stats —
+    pinned by the equality law in tests/test_sketches.py."""
+    from .sketches import bloom_build, bloom_prune
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams_expr = F.array_distinct(
+        F.when(
+            F.size("__tk") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+                lambda i: F.array_join(F.slice("__tk", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")))
+    with_grams = (train.select(F.col(id_col), toks.alias("__tk"))
+                  .select(F.col(id_col), grams_expr.alias("__grams")))
+    base = with_grams.select(
+        F.col(id_col), F.size("__grams").cast("bigint").alias("n_grams"))
+    eval_grams = (word_shingles(eval_docs, id_col, text_col, n=n)
+                  .select("shingle").distinct())
+    nib = bloom_build(eval_grams, "shingle", m_bits=m_bits)
+    exploded = with_grams.select(F.col(id_col),
+                                 F.explode("__grams").alias("shingle"))
+    survivors = bloom_prune(exploded, "shingle", nib, m_bits=m_bits)
+    hits = (survivors
+            .join(F.broadcast(eval_grams), "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_contaminated")))
+    out = (base.join(hits, id_col, "left")
+           .withColumn("n_contaminated",
+                       F.coalesce("n_contaminated", F.lit(0))))
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_contaminated").cast("double")
+                / F.col("n_grams"), 6)
+    ).otherwise(F.lit(0.0))
+    return (out.withColumn("contamination_ratio", ratio)
+            .withColumn("contaminated",
+                        F.col("contamination_ratio") >= flag_threshold))

@@ -661,6 +661,7 @@ def test_bench_compact_line_fits_driver_tail():
     full = {
         "metric": "suite_wall_sec", "value": 123.456, "unit": "sec",
         "sf": 0.1, "n_queries": 300, "mean_query_sec": 0.412,
+        "host_factor": 1.27,
         "queries": {f"query_name_{i:03d}": 0.5 for i in range(300)},
         "baseline_delta": {f"query_name_{i:03d}": 1.0 for i in range(300)},
         "regressions": [f"some_regressed_query_{i:03d}"

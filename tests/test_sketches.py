@@ -218,3 +218,25 @@ def test_radius_search_matches_bruteforce_filter(spark, sf_dir):
              if r["cos_sim"] >= 0.15}
     assert got == brute
     assert got  # non-empty at every test scale factor
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    """The Bloom-prefiltered decontamination gate must be
+    ROW-IDENTICAL to the exact contamination_stats (bloom keeps every
+    true hit; false positives die at the exact semi-join; per-doc
+    totals are captured before the prune)."""
+    from etl_dados_ibge_sp_spark.operators.dedup import (
+        bloom_decontaminate, contamination_stats)
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    cols = ["doc_id", "n_grams", "n_contaminated",
+            "contamination_ratio", "contaminated"]
+    got = sorted(tuple(r[c] for c in cols)
+                 for r in bloom_decontaminate(train, ev, "doc_id",
+                                              "text").collect())
+    want = sorted(tuple(r[c] for c in cols)
+                  for r in contamination_stats(train, ev, "doc_id",
+                                               "text").collect())
+    assert got == want and got
