@@ -113,6 +113,92 @@ def _q_kmv_distinct_by_type(spark: SparkSession,
 
 
 # --------------------------------------------------------------------------
+# KMV set algebra: audience overlap from sketches alone
+# --------------------------------------------------------------------------
+
+_KMV_EST_SQL = """CASE WHEN len({arr}) < {k} THEN CAST(len({arr}) AS DOUBLE)
+     ELSE {km1} * {space} / CAST({arr}[{k}] AS DOUBLE) END"""
+
+
+def _kmv_overlap_sql() -> str:
+    k = _KMV_K
+    est = lambda arr: _KMV_EST_SQL.format(  # noqa: E731
+        arr=arr, k=k, km1=float(k - 1), space=float(SK.HASH_SPACE))
+    return f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           {SK.hash60_sql(_KMV_KEY_SQL, 'kmv')} AS hv
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND user_id IS NOT NULL AND ts IS NOT NULL
+), r AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+), ka AS (
+    SELECT list(hv ORDER BY hv) AS a FROM r
+    WHERE event_type = 'click' AND rn <= {k}
+), kb AS (
+    SELECT list(hv ORDER BY hv) AS b FROM r
+    WHERE event_type = 'purchase' AND rn <= {k}
+), m AS (
+    SELECT a, b,
+           list_sort(list_distinct(a || b)) AS u
+    FROM ka, kb
+), mm AS (
+    SELECT a, b,
+           CASE WHEN len(u) > {k} THEN u[1:{k}] ELSE u END AS merged
+    FROM m
+)
+SELECT round({est('a')}, 2) AS est_click,
+       round({est('b')}, 2) AS est_purchase,
+       round({est('merged')}, 2) AS est_union,
+       round((CAST(len(list_filter(merged,
+                       v -> list_contains(a, v)
+                            AND list_contains(b, v))) AS DOUBLE)
+              / least(len(merged), {k})) * ({est('merged')}), 2)
+           AS est_overlap
+FROM mm
+"""
+
+
+def _q_kmv_audience_overlap(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """|click audience ∩ purchase audience| (distinct user-days)
+    estimated from the two KMV sketches ALONE — the set algebra that
+    lets yesterday's and today's (or two sources') audiences intersect
+    without touching either corpus again.  Merge the sketches, scale
+    the union estimate by the fraction of the merged k-set present in
+    both inputs (Beyer et al. 2007).  Every number is deterministic
+    (integer hashes, one bigint->double cast, fixed-order IEEE ops),
+    so the driver hash-checks the sketch algebra end to end."""
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase"))
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)) \
+        .cast("bigint")
+    keyed = ev.select(
+        "event_type",
+        F.concat(F.col("user_id").cast("string"), F.lit("|"),
+                 day.cast("string")).alias("uday"))
+    sk = SK.kmv_sketch(keyed, "event_type", "uday", k=_KMV_K)
+    a = sk.filter(F.col("event_type") == "click") \
+        .select(F.col("kmv").alias("a"))
+    b = sk.filter(F.col("event_type") == "purchase") \
+        .select(F.col("kmv").alias("b"))
+    both = a.crossJoin(F.broadcast(b))
+    merged = SK.kmv_merge(F.col("a"), F.col("b"), _KMV_K)
+    return both.select(
+        F.round(SK.kmv_union_est(F.col("a"), _KMV_K), 2)
+         .alias("est_click"),
+        F.round(SK.kmv_union_est(F.col("b"), _KMV_K), 2)
+         .alias("est_purchase"),
+        F.round(SK.kmv_union_est(merged, _KMV_K), 2).alias("est_union"),
+        F.round(SK.kmv_intersect_estimate(F.col("a"), F.col("b"),
+                                          _KMV_K), 2)
+         .alias("est_overlap"))
+
+
+# --------------------------------------------------------------------------
 # Count-min frequency sketch: per-user event counts
 # --------------------------------------------------------------------------
 
@@ -469,4 +555,6 @@ PENDING4: list[tuple[str, str,
     ("embed_radius_search", _RADIUS_SQL, _q_embed_radius_search),
     ("embed_ann_batch", _batch_ann_sql(), _q_embed_ann_batch),
     ("hybrid_search_rrf", _rrf_sql(), _q_hybrid_search_rrf),
+    ("kmv_audience_overlap", _kmv_overlap_sql(),
+     _q_kmv_audience_overlap),
 ]
