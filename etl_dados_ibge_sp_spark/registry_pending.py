@@ -1528,6 +1528,14 @@ from .registry_pending4 import PENDING4  # noqa: E402
 
 PENDING.extend(PENDING4)
 
+# Fifth tranche (Q7 cross-nation trade, sweep-line concurrency,
+# largest-remainder apportionment, weighted median, chi-square cells,
+# Benford audit, basket pair support, linear interpolation).  Queued
+# last; admits with the rest when round 6 reopens slots.
+from .registry_pending5 import PENDING5  # noqa: E402
+
+PENDING.extend(PENDING5)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable]) -> list[str]:
