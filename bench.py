@@ -157,8 +157,21 @@ def main() -> None:
         if deltas:
             ds = sorted(deltas.values())
             host_factor = max(1.0, ds[len(ds) // 2])
-        regressions = [name for name, d in sorted(deltas.items())
-                       if d > 1.5 * host_factor]
+        # Absolute-excess floor: on sub-second multi-stage queries the
+        # ratio gate amplifies fixed stage-SCHEDULING jitter into
+        # phantom ratios (observed on identical code, same hour:
+        # set_operations 0.48s vs its 0.32s pin = "1.51x" while a
+        # scan-bound control ran 0.59x ITS pin — pin variance swings
+        # both ways on these shapes).  A real regression (an extra
+        # shuffle, a lost pushdown) costs ≥ a full stage at sf0.1,
+        # never 0.16s.  So a flag additionally requires the excess
+        # over the host-scaled pin to top 0.3s — ~2x the observed
+        # jitter band, far below any structural slowdown — keeping
+        # the ratio gate fully sensitive wherever seconds are real.
+        regressions = [
+            name for name, d in sorted(deltas.items())
+            if d > 1.5 * host_factor
+            and timings[name] - base[name] * host_factor > 0.3]
 
     full = {
         "metric": "suite_wall_sec",
