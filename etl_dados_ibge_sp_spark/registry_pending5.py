@@ -590,6 +590,93 @@ def _q_events_interpolate_linear(spark: SparkSession,
                     .alias("value_interp")))
 
 
+# --------------------------------------------------------------------------
+# Rolling 7-day Pearson correlation of daily click vs purchase volume
+# --------------------------------------------------------------------------
+
+_CORR_WIN = 6  # RANGE 6 preceding + current day = 7-day trailing window
+
+_ROLLCORR_SQL = f"""
+WITH daily AS (
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}
+), m AS (
+    SELECT day, x, y,
+           count(*) OVER w AS n,
+           sum(x) OVER w AS sx,   sum(y) OVER w AS sy,
+           sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+           sum(x * y) OVER w AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN {_CORR_WIN} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(x AS BIGINT) AS n_clicks,
+       CAST(y AS BIGINT) AS n_purchases,
+       CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            END AS corr_7d
+FROM m
+"""
+
+
+def _q_rolling_corr_counts_7d(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between daily click volume
+    and daily purchase volume — the co-movement monitor behind
+    "are purchases tracking traffic this week?".  Formulated on
+    integer daily COUNTS so every moment (Σx, Σx², Σxy over the
+    frame) is exact bigint arithmetic; only the final
+    (nΣxy−ΣxΣy)/(√(nΣxx−Σx²)·√(nΣyy−Σy²)) chain touches floats —
+    integer casts, two correctly-rounded sqrts, one multiply, one
+    divide, identical textual order on both engines.  Zero-variance
+    frames yield NULL via an INTEGER guard (never a float compare).
+    The frame is RANGE over the integer day index, so calendar gaps
+    shorten the window instead of silently stretching it.  Scale:
+    one map-side combinable groupBy collapses the fact table to
+    |days| rows; the window runs over that tiny frame (partition by
+    coarser calendar units — month — if |days| ever mattered)."""
+    e = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase"))
+    daily = (e.select(F.expr(f"unix_micros(ts) div {_DAY_US}")
+                      .alias("day"), "event_type")
+             .groupBy("day")
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")))
+    w = (Window.orderBy("day")
+         .rangeBetween(-_CORR_WIN, Window.currentRow))
+    m = daily.select(
+        "day", "x", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"))
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("x").cast("bigint").alias("n_clicks"),
+        F.col("y").cast("bigint").alias("n_purchases"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when((varx_n > 0) & (vary_n > 0),
+               F.round(cov_n.cast("double")
+                       / (F.sqrt(varx_n.cast("double"))
+                          * F.sqrt(vary_n.cast("double"))), 6))
+        .alias("corr_7d"))
+
+
 PENDING5: list[tuple[str, str,
                      Callable[[SparkSession, str], DataFrame]]] = [
     ("nation_pair_trade", _Q7_SQL, _q_nation_pair_trade),
@@ -601,4 +688,6 @@ PENDING5: list[tuple[str, str,
     ("basket_pair_support", _BASKET_SQL, _q_basket_pair_support),
     ("events_interpolate_linear", _INTERP_SQL,
      _q_events_interpolate_linear),
+    ("rolling_corr_counts_7d", _ROLLCORR_SQL,
+     _q_rolling_corr_counts_7d),
 ]

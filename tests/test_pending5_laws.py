@@ -18,6 +18,7 @@ from etl_dados_ibge_sp_spark.registry_pending5 import (
     _q_events_interpolate_linear,
     _q_max_concurrent_sessions,
     _q_revenue_apportionment,
+    _q_rolling_corr_counts_7d,
     _q_weighted_median_value,
 )
 from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
@@ -147,6 +148,35 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
     assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
     assert {r.digit for r in rows} <= set(range(1, 10))
+
+
+def test_rolling_corr_matches_bruteforce(spark, sf_dir):
+    """The windowed moment formulation must equal textbook Pearson r
+    computed per trailing 7-day frame in Python (statistics module,
+    independent float path), and must be NULL exactly when either
+    series is constant within the frame."""
+    from math import isclose, sqrt
+
+    rows = _q_rolling_corr_counts_7d(spark, sf_dir).collect()
+    daily = {r.day: (r.n_clicks, r.n_purchases) for r in rows}
+    for r in rows:
+        frame = [daily[d] for d in range(r.day - 6, r.day + 1)
+                 if d in daily]
+        assert len(frame) == r.n_days
+        xs = [x for x, _ in frame]
+        ys = [y for _, y in frame]
+        n = len(frame)
+        vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+        vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+        if vx <= 0 or vy <= 0:
+            assert r.corr_7d is None
+            continue
+        expect = (n * sum(x * y for x, y in frame)
+                  - sum(xs) * sum(ys)) / (sqrt(vx) * sqrt(vy))
+        assert r.corr_7d is not None
+        assert isclose(r.corr_7d, expect, abs_tol=5e-6), \
+            (r.day, r.corr_7d, expect)
+        assert -1.0 <= r.corr_7d <= 1.0
 
 
 def test_basket_pairs_match_bruteforce(spark, sf_dir):
