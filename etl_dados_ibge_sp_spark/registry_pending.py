@@ -1536,6 +1536,16 @@ from .registry_pending5 import PENDING5  # noqa: E402
 
 PENDING.extend(PENDING5)
 
+# Sixth tranche (round 5): containment dedup, concentration /
+# inequality statistics (Gini impurity, Gini coefficient, HHI), CUSUM
+# changepoint, user-journey paths, FK-integrity audit, deadline
+# funnel, discrete gap quantiles, ABC classification, two-sample KS
+# drift, streaming windowed top-k.  Queued last; admits with the rest
+# when round 6 reopens slots.
+from .registry_pending6 import PENDING6  # noqa: E402
+
+PENDING.extend(PENDING6)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable]) -> list[str]:

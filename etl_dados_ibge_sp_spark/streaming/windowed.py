@@ -78,6 +78,51 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def stream_windowed_topk(spark: SparkSession, sf_dir: str,
+                         hours: int = 6, k: int = 3) -> DataFrame:
+    """Streaming top-k event types per tumbling window: the stream
+    maintains only the windowed COUNTS (watermark-bounded state, one
+    row per (window, type) — never a heap of raw events); the rank is
+    a batch window function over the completed sink, which is how a
+    serving layer reads a leaderboard anyway (rank at read time, so
+    late-arriving updates re-rank for free).  Deterministic tie-break
+    (count desc, type asc) makes the result exactly comparable to the
+    batch oracle.  Mirrors the reference's report-over-warehouse read
+    pattern (reference dags/etl_municipios.py:200-215 reads the loaded
+    table back for its summary)."""
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", f"{hours} hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+    qname = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
+    finally:
+        if query.isActive:
+            query.stop()
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (spark.table(qname)
+            .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= k))
+
+
 def stream_windowed_distinct_approx(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Distinct users per tumbling hour per event type with BOUNDED

@@ -146,3 +146,15 @@ def test_fwf_bad_layout_fails_on_driver():
         _parse_colspec("a:5:3:int")
     with pytest.raises(ValueError, match="name:start:end"):
         _parse_colspec("a:1")
+
+
+def test_fwf_rejects_uri_schemes_on_driver(spark):
+    """The reader walks the filesystem with os.listdir/open, so an
+    hdfs:// or s3:// path must fail fast on the driver with a clear
+    message (round-5 ADVICE), not die task-by-task with
+    FileNotFoundError."""
+    register_fwf(spark)
+    with pytest.raises(Exception, match="URI schemes are not supported"):
+        spark.read.format("fwf") \
+            .option("colspec", "a:0:3:int") \
+            .load("s3://bucket/data").collect()

@@ -107,3 +107,19 @@ def test_pq_encode_is_inrow_jvm(spark, sf_dir, pq):
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_pq_train_clamps_k_to_corpus_size(spark, tmp_path):
+    """Fewer corpus vectors than k: the codebooks must clamp to the
+    seed count (round-5 ADVICE) so the in-row argmin probe and the
+    driver update loop agree on the entry count — instead of
+    element_at walking past the end under ANSI mode."""
+    rows = [(i, [float(i), float(-i), 1.0, 0.5] * 2) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    books = pq_train(emb, m=2, k=K, n_iter=1)
+    assert len(books) == 2
+    assert all(len(s) == 5 for s in books)
+    codes = pq_encode(emb, books).collect()
+    for r in codes:
+        assert all(0 <= c < 5 for c in r["codes"])
