@@ -40,6 +40,16 @@ CHECKED = [
     # sorted collect_list concat.
     "events_ohlc_bars",
     "nation_top_customer_csv",
+    # tranche-6 operators whose determinism is non-obvious: top-k /
+    # argmax tie-breaks (paths, CUSUM), order-statistic selection by
+    # rank (gap quantiles), the global cumulative windows (ABC, KS),
+    # and the pair-generating shingle join.
+    "event_path_topk",
+    "cusum_changepoint",
+    "session_gap_stats",
+    "abc_classification",
+    "ks_two_sample_sources",
+    "dedup_containment",
 ]
 
 
