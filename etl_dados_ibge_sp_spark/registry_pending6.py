@@ -245,7 +245,10 @@ def _q_revenue_gini_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), then the rank window partitions BY NATION — ~1/25th
     of customers per partition, no global sort; the final aggregate
     is 25 rows.  Customers with no orders are out of scope (inner
-    join), documented: Gini-of-purchasers."""
+    join), documented: Gini-of-purchasers.  BIGINT headroom: Σi·cents
+    reaches ~1e25 at 1e8 customers × 1e9 cents — past ~1e6 customers
+    per nation, lift the Σi·x accumulator to DECIMAL(38,0) (the HHI
+    second-moment idiom); exact at every test SF as written."""
     o = load_table(spark, sf_dir, "orders", fan_out=False) \
         .select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer") \
@@ -774,7 +777,9 @@ def _q_ks_two_sample_sources(spark: SparkSession,
     (for unbounded-cardinality metrics, bin first; n_chars is
     integer-bounded).  The single-partition window over that reduced
     frame is the documented trade; the totals ride the same window
-    (no extra pass)."""
+    (no extra pass).  BIGINT headroom: |f·n| ≤ n₁·n₂ — exact to ~3e9
+    docs per side; beyond that, the same DECIMAL(38,0) lift as the
+    HHI second moment."""
     d = load_table(spark, sf_dir, "documents")
     c = (d.filter(F.col("source").isin(_KS_SRC_A, _KS_SRC_B))
          .groupBy("n_chars")
