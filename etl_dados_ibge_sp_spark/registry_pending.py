@@ -1546,6 +1546,14 @@ from .registry_pending6 import PENDING6  # noqa: E402
 
 PENDING.extend(PENDING6)
 
+# Seventh tranche (round 5): batch model inference + classifier
+# evaluation (logistic scoring, calibration bins, exact AUC).  Queued
+# last; round 6's 50 slots cover all 40 queued queries, so these admit
+# with the rest.
+from .registry_pending7 import PENDING7  # noqa: E402
+
+PENDING.extend(PENDING7)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable]) -> list[str]:
