@@ -1547,12 +1547,17 @@ from .registry_pending6 import PENDING6  # noqa: E402
 PENDING.extend(PENDING6)
 
 # Seventh tranche (round 5): batch model inference + classifier
-# evaluation (logistic scoring, calibration bins, exact AUC).  Queued
-# last; round 6's 50 slots cover all 40 queued queries, so these admit
-# with the rest.
+# evaluation (logistic scoring, calibration bins, exact AUC).
 from .registry_pending7 import PENDING7  # noqa: E402
 
 PENDING.extend(PENDING7)
+
+# Eighth tranche (round 5): attribution, approximate-FD profiling,
+# seasonal-naive backtest, discrete survival table, LTV cohort
+# triangle.  Tranches 1-7 hold 40; all 45 fit round 6's 50 slots.
+from .registry_pending8 import PENDING8  # noqa: E402
+
+PENDING.extend(PENDING8)
 
 
 def admit(registry: dict, slack: int,

@@ -2,9 +2,9 @@
 classifier-evaluation metrics that close the train/serve loop a
 training-data pipeline runs after curation — score every vector with a
 frozen linear model, summarize calibration, and compute the exact AUC.
-Three queries, queued last; round 6's 50 admission slots cover all 40
-queued queries (tranches 1–6 hold 37), so these admit with the rest
-when the staleness bound extends to 4 rounds.
+Three queries; round 6's 50 admission slots cover the whole queue
+(45 with tranche 8), so these admit with the rest when the staleness
+bound extends to 4 rounds.
 
 Float discipline (the subtlety this tranche exists to pin): the raw
 margin z = w·x + b is a SEQUENTIAL in-row IEEE fold (similarity.dot ==
