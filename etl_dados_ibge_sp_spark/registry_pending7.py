@@ -189,12 +189,17 @@ def _q_classifier_auc_exact(spark: SparkSession,
     scale the standard move is the two-pass histogram AUC (bin z,
     accumulate pos/neg per bin — value_percentiles' approach), which
     converges to exactly this definition.  Everything after the sort
-    is a map-side-combinable aggregate to one row."""
+    is a map-side-combinable aggregate to one row.
+
+    Integer headroom: ``row_number`` is int32, so this exact
+    formulation caps at 2^31-1 ranked rows; ``two_mid`` is summed as
+    bigint (min is cast before the add so min+max cannot wrap at
+    ~2^30 rows).  Beyond that, the histogram AUC is the scale path."""
     z = _z_frame(spark, sf_dir)
     r = z.select("target", "z", "vec_id").withColumn(
         "rn", F.row_number().over(Window.orderBy("z", "vec_id")))
     g = r.groupBy("z").agg(
-        (F.min("rn") + F.max("rn")).alias("two_mid"),
+        (F.min("rn").cast("bigint") + F.max("rn")).alias("two_mid"),
         F.sum("target").cast("bigint").alias("pos_g"))
     s = g.agg(
         F.sum("pos_g").cast("bigint").alias("n_pos"),

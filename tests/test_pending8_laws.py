@@ -14,7 +14,7 @@ import math
 from collections import Counter, defaultdict
 
 import pytest
-from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from etl_dados_ibge_sp_spark.registry_pending8 import (
@@ -30,6 +30,15 @@ from etl_dados_ibge_sp_spark.registry_pending8 import (
 from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
 
 from pyspark.sql import functions as F
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero), matching Spark's
+    ``div`` and DuckDB's ``//`` — Python's ``//`` floors instead,
+    which diverges on negative values (e.g. -15: engines give -2,
+    Python -3).  The brute forces must pin ENGINE semantics."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
 
 
 def _events_rows(spark, sf_dir):
@@ -54,7 +63,9 @@ def test_attribution_matches_brute_force(spark, sf_dir):
                     first_c[hist[0]] += 1
                     last_c[hist[-1]] += 1
                     tot += 1
-            else:
+            elif etype is not None:
+                # NULL touches never earn credit: the query's CASE +
+                # IGNORE NULLS skips them, so the brute force must too.
                 hist.append(etype)
     got = {r.touch_type: r for r in
            _q_attribution_touch_credit(spark, sf_dir).collect()}
@@ -96,7 +107,9 @@ def test_fd_g3_matches_brute_force(spark, sf_dir):
 def test_seasonal_naive_matches_brute_force(spark, sf_dir):
     daily = Counter()
     for r in _events_rows(spark, sf_dir):
-        daily[(r.event_type, r.us // _DAY_US)] += 1
+        if r.event_type is None:
+            continue  # the query's equality self-join drops NULL keys
+        daily[(r.event_type, _tdiv(r.us, _DAY_US))] += 1
     exp = defaultdict(lambda: [0, 0, 0])  # n, abs, bias
     for (etype, day), c in daily.items():
         prev = daily.get((etype, day - 7))
@@ -121,9 +134,9 @@ def _brute_survival(cust_orders):
     for seq in cust_orders.values():
         t1 = seq[0][0]
         if len(seq) >= 2:
-            events[(seq[1][0] - t1) // span] += 1
+            events[_tdiv(seq[1][0] - t1, span)] += 1
         else:
-            censored[(horizon - t1) // span] += 1
+            censored[_tdiv(horizon - t1, span)] += 1
     buckets = sorted(set(events) | set(censored))
     out = {}
     for b in buckets:
