@@ -90,6 +90,72 @@ def read_version(spark: SparkSession, table_dir: str,
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
+def _part_files(vdir: str) -> list[str]:
+    """The snapshot's parquet part files (full paths)."""
+    try:
+        names = os.listdir(vdir)
+    except FileNotFoundError:
+        return []
+    return [os.path.join(vdir, n) for n in names
+            if n.startswith("part-") and n.endswith(".parquet")]
+
+
+def compact(spark: SparkSession, table_dir: str,
+            target_file_bytes: int = 128 << 20,
+            sort_by: list[str] | None = None) -> tuple[int, int, int]:
+    """Rewrite the current snapshot into size-targeted files as a NEW
+    version — the lakehouse OPTIMIZE step.  Incremental and streaming
+    appends (the reference's nightly loads; our `stream_*` sinks)
+    accumulate many small files; at 100 TB small files are the classic
+    scan killer (one task + one open per file, metadata listing grows
+    unbounded), so compaction is as much a part of the table's
+    lifecycle as ``vacuum``.  Returns ``(version, files_before,
+    files_after)``.
+
+    * Output file count = ceil(current bytes / ``target_file_bytes``);
+      without ``sort_by`` the rewrite is a ``coalesce`` — narrow, no
+      shuffle, each output task concatenates whole input files.
+    * With ``sort_by`` the rewrite is a range repartition + in-file
+      sort on those keys, giving non-overlapping per-file min/max
+      ranges so parquet row-group/file skipping can prune scans —
+      the Z-order-lite layout step (`operators/zorder` composes here
+      for multi-key clustering).
+    * Snapshot safety is inherited from :func:`write_version`: the
+      compacted copy is a new ``v=N`` dir and readers follow the
+      manifest, so a crash mid-compaction leaves the table untouched
+      (the orphan is reclaimed by ``vacuum``).  Time travel to the
+      pre-compaction version keeps working until vacuumed.
+    * Fast path: if the current snapshot already meets the file-count
+      target (and no re-clustering was requested), return it unchanged
+      — compaction is idempotent and re-runs don't churn versions.
+
+    Single-writer, like ``vacuum``.  At cluster scale the same routine
+    runs per partition directory with a manifest per table, and the
+    listing moves to the object store's API."""
+    import math
+
+    man = _read_manifest(table_dir)
+    if man["current"] is None:
+        raise FileNotFoundError(f"{table_dir}: no committed version")
+    vdir = os.path.join(table_dir, f"v={man['current']}")
+    files = _part_files(vdir)
+    files_before = len(files)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if files_before <= n_out and sort_by is None:
+        return (man["current"], files_before, files_before)
+    df = spark.read.parquet(vdir)
+    if sort_by:
+        cols = [df[c] for c in sort_by]
+        df = (df.repartitionByRange(n_out, *cols)
+                .sortWithinPartitions(*cols))
+    else:
+        df = df.coalesce(n_out)
+    version = write_version(df, table_dir)
+    files_after = len(_part_files(os.path.join(table_dir, f"v={version}")))
+    return (version, files_before, files_after)
+
+
 def _orphan_versions(table_dir: str, man: dict) -> list[int]:
     """``v=N`` dirs on disk that the manifest does not reference —
     snapshots stranded by a crash between data write and manifest
