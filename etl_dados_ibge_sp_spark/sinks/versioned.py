@@ -156,6 +156,37 @@ def compact(spark: SparkSession, table_dir: str,
     return (version, files_before, files_after)
 
 
+def table_changes(spark: SparkSession, table_dir: str,
+                  from_version: int,
+                  to_version: int | None = None) -> DataFrame:
+    """Row-level diff between two committed snapshots: everything a
+    consumer that last saw ``from_version`` must apply to reach
+    ``to_version`` (default: current).  Returns the table's columns
+    plus ``_change_type`` ('insert' | 'delete'); an updated row
+    appears as a delete of its old form and an insert of its new one.
+
+    This is the incremental-consumption half of the lakehouse pattern:
+    downstream jobs re-process ONLY the delta between the version they
+    checkpointed and the current one, instead of the full 100 TB
+    table.  Computed keylessly with two ``exceptAll`` anti-diffs
+    (multiset semantics: N copies before and M after yields |N-M|
+    change rows), one shuffle each on the full row.  When the table
+    has a primary key, the keyed CDC operators (`cdc_latest_state`,
+    `merge_upsert`) are the cheaper form — this one assumes nothing
+    about the schema.  Both endpoints stay readable because snapshots
+    are immutable until ``vacuum``; diffing across a vacuumed version
+    fails with the same clear error as time travel."""
+    from pyspark.sql import functions as F
+
+    new = read_version(spark, table_dir, version=to_version)
+    old = read_version(spark, table_dir, version=from_version)
+    return (new.exceptAll(old)
+               .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                old.exceptAll(new)
+                   .withColumn("_change_type", F.lit("delete"))))
+
+
 def _orphan_versions(table_dir: str, man: dict) -> list[int]:
     """``v=N`` dirs on disk that the manifest does not reference —
     snapshots stranded by a crash between data write and manifest
