@@ -51,6 +51,31 @@ def _read_manifest(table_dir: str) -> dict:
         return {"current": None, "versions": []}
 
 
+def _dirs_for(man: dict, version: int) -> list[str]:
+    """The snapshot directories a version comprises.  A full write is
+    one dir; an appended version is the previous version's dirs plus
+    one new dir.  Manifests written before the append feature carry no
+    ``dirs`` map — their versions are single-dir by construction."""
+    return man.get("dirs", {}).get(str(version), [f"v={version}"])
+
+
+def _flip_manifest(table_dir: str, man: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic pointer flip
+
+
+def _commit(man: dict, table_dir: str, version: int,
+            dirs: list[str]) -> None:
+    man["current"] = version
+    man["versions"] = sorted(set(man["versions"]) | {version})
+    man.setdefault("dirs", {})[str(version)] = dirs
+    man.setdefault("history", []).append(
+        {"version": version, "ts": time.time()})
+    _flip_manifest(table_dir, man)
+
+
 def write_version(df: DataFrame, table_dir: str) -> int:
     """Write ``df`` as the table's next snapshot and atomically flip
     the manifest to it.  Returns the new version number.
@@ -65,20 +90,67 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     version = (man["current"] or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
-    man["current"] = version
-    man["versions"] = sorted(set(man["versions"]) | {version})
-    man.setdefault("history", []).append(
-        {"version": version, "ts": time.time()})
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(man, fh)
-    os.replace(tmp, _manifest_path(table_dir))  # atomic pointer flip
+    _commit(man, table_dir, version, [f"v={version}"])
     return version
+
+
+def append_version(df: DataFrame, table_dir: str,
+                   batch_id: int | None = None) -> int:
+    """Append ``df`` as the table's next version WITHOUT rewriting the
+    existing data — the lakehouse write path that makes incremental
+    loads O(batch), not O(table), at any scale.  Only the batch's own
+    files are written (into a new ``v=N`` dir); the new version's
+    manifest entry lists the previous version's directories plus the
+    new one, so `read_version` sees the union while every existing
+    file stays byte-identical and time travel to the pre-append
+    version still reads exactly the old file set.
+
+    ``batch_id`` (optional) is recorded in the manifest as
+    ``last_batch_id`` IN THE SAME atomic flip as the data pointer —
+    the transaction-id idempotence pattern: a streaming replay of an
+    already-committed micro-batch is detected by
+    :func:`foreach_batch_appender` and skipped, so crash-replays
+    cannot double rows.
+
+    Compaction (`compact`) folds an append chain's many dirs/files
+    back into one; `vacuum` reference-counts dirs, so retiring an old
+    version never deletes a directory a live version still includes."""
+    os.makedirs(table_dir, exist_ok=True)
+    man = _read_manifest(table_dir)
+    prev = man["current"]
+    version = (prev or 0) + 1
+    vdir = os.path.join(table_dir, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    dirs = (_dirs_for(man, prev) if prev else []) + [f"v={version}"]
+    if batch_id is not None:
+        man["last_batch_id"] = batch_id
+    _commit(man, table_dir, version, dirs)
+    return version
+
+
+def foreach_batch_appender(table_dir: str):
+    """``foreachBatch`` sink function: exactly-once append of each
+    micro-batch to the versioned table.  Spark's checkpoint guarantees
+    at-least-once delivery of each batch id; the manifest's
+    ``last_batch_id`` (committed atomically with the data pointer by
+    :func:`append_version`) turns that into exactly-once — a replayed
+    batch (crash after the append committed but before the stream
+    checkpoint did) is recognized and skipped."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        man = _read_manifest(table_dir)
+        last = man.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed micro-batch
+        append_version(batch_df, table_dir, batch_id=batch_id)
+    return _sink
 
 
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None) -> DataFrame:
-    """Read the current snapshot, or ``version=`` for time travel."""
+    """Read the current snapshot, or ``version=`` for time travel.
+    An appended version is the union of its directories (one
+    multi-path parquet scan — the file list comes from the manifest,
+    never from directory listing)."""
     man = _read_manifest(table_dir)
     v = man["current"] if version is None else version
     if v is None:
@@ -87,7 +159,8 @@ def read_version(spark: SparkSession, table_dir: str,
         raise ValueError(
             f"{table_dir}: version {v} not available "
             f"(have {man['versions']})")
-    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+    return spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in _dirs_for(man, v)])
 
 
 def _part_files(vdir: str) -> list[str]:
@@ -137,14 +210,15 @@ def compact(spark: SparkSession, table_dir: str,
     man = _read_manifest(table_dir)
     if man["current"] is None:
         raise FileNotFoundError(f"{table_dir}: no committed version")
-    vdir = os.path.join(table_dir, f"v={man['current']}")
-    files = _part_files(vdir)
+    vdirs = [os.path.join(table_dir, d)
+             for d in _dirs_for(man, man["current"])]
+    files = [f for d in vdirs for f in _part_files(d)]
     files_before = len(files)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    if files_before <= n_out and sort_by is None:
+    if files_before <= n_out and sort_by is None and len(vdirs) == 1:
         return (man["current"], files_before, files_before)
-    df = spark.read.parquet(vdir)
+    df = spark.read.parquet(*vdirs)
     if sort_by:
         cols = [df[c] for c in sort_by]
         df = (df.repartitionByRange(n_out, *cols)
@@ -187,13 +261,12 @@ def table_changes(spark: SparkSession, table_dir: str,
                    .withColumn("_change_type", F.lit("delete"))))
 
 
-def _orphan_versions(table_dir: str, man: dict) -> list[int]:
-    """``v=N`` dirs on disk that the manifest does not reference —
+def _orphan_dirs(table_dir: str, referenced: set[str]) -> list[str]:
+    """``v=N`` dirs on disk that no manifest version references —
     snapshots stranded by a crash between data write and manifest
     flip.  Invisible to readers, but disk they occupy never comes back
     unless reclaimed (a later write only reuses the number if no
     commit happened in between)."""
-    known = set(man["versions"])
     orphans = []
     try:
         entries = os.listdir(table_dir)
@@ -203,11 +276,11 @@ def _orphan_versions(table_dir: str, man: dict) -> list[int]:
         if not name.startswith("v="):
             continue
         try:
-            v = int(name[2:])
+            int(name[2:])
         except ValueError:
             continue
-        if v not in known:
-            orphans.append(v)
+        if name not in referenced:
+            orphans.append(name)
     return sorted(orphans)
 
 
@@ -218,9 +291,18 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     Mirrors the reference's MAX_HISTORICO retention; removal updates
     the manifest FIRST (readers stop seeing the version) and deletes
     data after — the delete is safe because no manifest references
-    the snapshot anymore.  Single-writer design (like the reference's
-    nightly job): don't run vacuum concurrently with a write, or an
-    in-flight not-yet-committed snapshot would look like an orphan."""
+    the snapshot anymore.
+
+    Directories are REFERENCE-COUNTED across versions: an appended
+    version includes its ancestors' dirs, so retiring an old version
+    only deletes a ``v=N`` dir once no surviving version lists it —
+    retiring the pre-append version of a live chain reclaims nothing
+    (the live version still reads those files), while retiring a
+    superseded chain after a `compact` reclaims the whole chain.
+
+    Single-writer design (like the reference's nightly job): don't run
+    vacuum concurrently with a write, or an in-flight
+    not-yet-committed snapshot would look like an orphan."""
     import shutil
 
     man = _read_manifest(table_dir)
@@ -229,15 +311,18 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     keepers = set(sorted(man["versions"], reverse=True)[:max(keep, 1)])
     keepers.add(man["current"])
     doomed = [v for v in man["versions"] if v not in keepers]
-    doomed += _orphan_versions(table_dir, man)
-    if not doomed:
+    referenced = {d for v in keepers for d in _dirs_for(man, v)}
+    doomed_dirs = {d for v in doomed for d in _dirs_for(man, v)
+                   if d not in referenced}
+    doomed_dirs.update(_orphan_dirs(table_dir, {
+        d for v in man["versions"] for d in _dirs_for(man, v)}))
+    if not doomed and not doomed_dirs:
         return []
     man["versions"] = sorted(keepers)
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(man, fh)
-    os.replace(tmp, _manifest_path(table_dir))
-    for v in doomed:
-        shutil.rmtree(os.path.join(table_dir, f"v={v}"),
-                      ignore_errors=True)
-    return sorted(doomed)
+    if "dirs" in man:
+        man["dirs"] = {str(v): _dirs_for(man, v) for v in keepers}
+    _flip_manifest(table_dir, man)
+    for d in sorted(doomed_dirs):
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    removed = set(doomed) | {int(d[2:]) for d in doomed_dirs}
+    return sorted(removed)

@@ -319,6 +319,42 @@ def streaming_incremental_load(spark: SparkSession, source_dir: str,
             query.stop()
 
 
+def streaming_versioned_load(spark: SparkSession, source_dir: str,
+                             schema, table_dir: str,
+                             checkpoint_dir: str) -> None:
+    """Stream micro-batches into a VERSIONED table: each batch becomes
+    a new appended version (only the batch's files are written —
+    O(batch) per commit at any table size), and the manifest's
+    ``last_batch_id``, committed atomically with the data pointer,
+    upgrades the checkpoint's at-least-once replay into exactly-once —
+    the transaction-id pattern lakehouse sinks use.  Readers get
+    snapshot isolation throughout: a query planned mid-commit sees the
+    previous version, never a half-appended batch.  Compaction and
+    vacuum then run as ordinary table maintenance, fully decoupled
+    from the stream."""
+    from ..sinks.versioned import foreach_batch_appender
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(source_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(foreach_batch_appender(table_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow stream did not finish within 300 s — "
+                "refusing to return a partially-populated sink")
+    finally:
+        if query.isActive:
+            query.stop()
+
+
 def streaming_neardup_load(spark: SparkSession, source_dir: str,
                            schema, warehouse_dir: str, sig_dir: str,
                            checkpoint_dir: str,

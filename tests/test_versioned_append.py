@@ -1,0 +1,132 @@
+"""Laws for the versioned table's append path (sinks/versioned.
+append_version / foreach_batch_appender / streaming_versioned_load):
+append never rewrites existing files, reads union correctly, time
+travel excludes later batches, vacuum reference-counts shared dirs,
+compaction folds an append chain, and batch-id replay is exactly-once
+— end-to-end through a real availableNow stream."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_dados_ibge_sp_spark.sinks.versioned import (append_version,
+                                                     compact,
+                                                     foreach_batch_appender,
+                                                     read_version,
+                                                     table_changes,
+                                                     vacuum,
+                                                     write_version)
+from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+from etl_dados_ibge_sp_spark.streaming.windowed import (
+    streaming_versioned_load)
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders", fan_out=False) \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _file_states(d):
+    return sorted((n, os.path.getsize(os.path.join(d, n)),
+                   os.path.getmtime(os.path.join(d, n)))
+                  for n in os.listdir(d) if n.endswith(".parquet"))
+
+
+def test_append_is_union_and_never_rewrites(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir)
+    a = base.filter("o_orderkey % 2 = 0")
+    b = base.filter("o_orderkey % 2 = 1")
+    assert write_version(a, t) == 1
+    before = _file_states(f"{t}/v=1")
+    assert append_version(b, t) == 2
+    # Existing files are byte-identical: name, size, and mtime.
+    assert _file_states(f"{t}/v=1") == before
+    # The new dir holds ONLY the batch.
+    assert _rowset(spark.read.parquet(f"{t}/v=2")) == _rowset(b)
+    # Current = union; time travel excludes the appended batch.
+    assert _rowset(read_version(spark, t)) == _rowset(a.unionAll(b))
+    assert _rowset(read_version(spark, t, version=1)) == _rowset(a)
+    # table_changes across the append is exactly the batch.
+    ch = table_changes(spark, t, 1)
+    assert ch.filter("_change_type = 'delete'").count() == 0
+    assert _rowset(ch.drop("_change_type")) == _rowset(b)
+
+
+def test_vacuum_reference_counts_shared_dirs(spark, sf_dir, tmp_path):
+    """Retiring the pre-append version must NOT delete its dir while
+    the live chain still lists it; after a compact supersedes the
+    chain, vacuum reclaims every chain dir."""
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir).limit(50)
+    write_version(base, t)
+    append_version(base.limit(10), t)
+    n_total = 60
+    assert vacuum(t, keep=1) == [1]          # version 1 retired...
+    assert os.path.isdir(f"{t}/v=1")         # ...but its dir survives
+    assert read_version(spark, t).count() == n_total
+    v, _, _ = compact(spark, t)              # fold chain into v=3
+    assert v == 3
+    removed = vacuum(t, keep=1)
+    assert removed == [1, 2]                 # now both dirs reclaimed
+    assert not os.path.isdir(f"{t}/v=1")
+    assert not os.path.isdir(f"{t}/v=2")
+    assert read_version(spark, t).count() == n_total
+
+
+def test_compact_folds_append_chain(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir)
+    write_version(base.filter("o_orderkey % 3 = 0"), t)
+    append_version(base.filter("o_orderkey % 3 = 1"), t)
+    append_version(base.filter("o_orderkey % 3 = 2"), t)
+    before = _rowset(read_version(spark, t))
+    v, n_before, n_after = compact(spark, t)
+    assert v == 4
+    assert n_after <= n_before
+    assert _rowset(read_version(spark, t)) == before
+    assert before == _rowset(base)
+
+
+def test_batch_id_replay_is_skipped(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sink = foreach_batch_appender(t)
+    one = spark.createDataFrame([(1, "a")], "k int, v string")
+    two = spark.createDataFrame([(2, "b")], "k int, v string")
+    sink(one, 0)
+    sink(one, 0)  # crash-replay of the same micro-batch
+    assert read_version(spark, t).count() == 1
+    sink(two, 1)
+    assert read_version(spark, t).count() == 2
+    sink(two, 1)  # replay after a later commit: still skipped
+    assert read_version(spark, t).count() == 2
+
+
+def test_streaming_exactly_once_end_to_end(spark, sf_dir, tmp_path):
+    """A real availableNow stream appends one version per micro-batch;
+    re-running the stream over the same source with the SAME
+    checkpoint adds nothing, and with a FRESH checkpoint (the
+    worst-case total replay) the manifest batch-id guard still holds
+    the table at exactly one copy."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    base = _orders(spark, sf_dir).limit(100)
+    base.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    schema = spark.read.parquet(src).schema
+
+    streaming_versioned_load(spark, src, schema, t, ck1)
+    n = base.count()
+    assert read_version(spark, t).count() == n
+    assert _rowset(read_version(spark, t)) == _rowset(base)
+
+    streaming_versioned_load(spark, src, schema, t, ck1)  # same ckpt
+    assert read_version(spark, t).count() == n
+    streaming_versioned_load(spark, src, schema, t, ck2)  # full replay
+    assert read_version(spark, t).count() == n
