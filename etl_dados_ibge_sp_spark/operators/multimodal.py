@@ -476,7 +476,7 @@ def encode_avi(df: DataFrame, id_col: str = "doc_id",
                               0, 0, frame_size, 0, 0, 0, 0, w, h))
 
         def make_avi(doc: int) -> bytes:
-            nf = doc % 4 + 2  # = avi_n_frames, inlined for pickling
+            nf = avi_n_frames(doc)
             strl = b"LIST" + struct.pack(
                 "<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
             avih = (b"avih" + struct.pack("<I", 56)
@@ -505,12 +505,21 @@ def encode_avi(df: DataFrame, id_col: str = "doc_id",
 def _parse_avi(b: bytes):
     """Canonical RIFF/AVI walk (LIST recursion, word-aligned chunks,
     unknown/JUNK chunks skipped): returns ``(width, height, frames)``
-    where frames is the list of raw DIB chunk bodies IN ORDER — no
-    pixel decoding, so a sampler touches only the frames it keeps.
-    Only 24-bit BI_RGB video is supported (the uncompressed profile);
-    anything else raises ``ValueError`` rather than mis-decoding.
+    where frames is a list of ``(offset, length)`` spans of the VIDEO
+    stream's DIB chunk bodies IN ORDER — offsets only, no pixel bytes
+    touched, so a sampler decodes only the frames it keeps.
 
-    Module-level (shared by both kernels below): worker resolution is
+    Spec coverage beyond the happy path: the video stream is the strl
+    whose strh says ``fccType == 'vids'`` (an accompanying audio strl
+    must not clobber strf — a WAVEFORMATEX would misread as bit
+    depth); movi chunks are matched by THAT stream's 2-digit number
+    (``NNdb``/``NNdc``), so a second stream's chunks are never mixed
+    in; and ``LIST 'rec '`` interleave groups (VfW's CD-ROM layout)
+    are recursed into.  Only 24-bit BI_RGB video is supported (the
+    uncompressed profile); anything else raises ``ValueError`` rather
+    than mis-decoding.
+
+    Module-level (shared by the kernels below): worker resolution is
     guaranteed by ``session._ship_package`` (addPyFile of this
     package), the same mechanism every registered query relies on."""
     import struct as _struct
@@ -525,6 +534,16 @@ def _parse_avi(b: bytes):
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     avih, strf, frames = None, None, []
+    stream_no, vids_no = 0, None
+
+    def walk_movi(pos: int, end: int) -> None:
+        prefix = b"%02d" % vids_no
+        for cid2, s2, l2 in chunks(pos, end):
+            if cid2 == b"LIST" and b[s2:s2 + 4] == b"rec ":
+                walk_movi(s2 + 4, s2 + l2)
+            elif cid2[:2] == prefix and cid2[2:4] in (b"db", b"dc"):
+                frames.append((s2, l2))
+
     for cid, s, ln in chunks(12, len(b)):
         if cid != b"LIST":
             continue
@@ -534,13 +553,16 @@ def _parse_avi(b: bytes):
                 if cid2 == b"avih":
                     avih = b[s2:s2 + l2]
                 elif cid2 == b"LIST" and b[s2:s2 + 4] == b"strl":
+                    is_vids = False
                     for cid3, s3, l3 in chunks(s2 + 4, s2 + l2):
-                        if cid3 == b"strf":
+                        if cid3 == b"strh":
+                            is_vids = b[s3:s3 + 4] == b"vids"
+                        elif cid3 == b"strf" and is_vids and vids_no is None:
                             strf = b[s3:s3 + l3]
-        elif ltype == b"movi":
-            for cid2, s2, l2 in chunks(s + 4, s + ln):
-                if cid2[2:4] in (b"db", b"dc"):
-                    frames.append(b[s2:s2 + l2])
+                            vids_no = stream_no
+                    stream_no += 1
+        elif ltype == b"movi" and vids_no is not None:
+            walk_movi(s + 4, s + ln)
     if avih is None or strf is None or not frames:
         raise ValueError("missing hdrl or movi content")
     w, h = _struct.unpack("<II", avih[32:40])
@@ -551,12 +573,14 @@ def _parse_avi(b: bytes):
     return int(w), int(h), frames
 
 
-def _dib_rgb(frame: bytes, w: int, h: int):
-    """One bottom-up BGR stride-padded DIB body -> (h, w, 3) int64
-    RGB array (top-down)."""
+def _dib_rgb(b: bytes, span: tuple[int, int], w: int, h: int):
+    """One bottom-up BGR stride-padded DIB body at ``span=(offset,
+    length)`` -> (h, w, 3) int64 RGB array (top-down).  frombuffer
+    with an offset keeps the read zero-copy until the dtype cast —
+    unsampled frames' bytes are never materialized."""
     import numpy as _np
     stride = (w * 3 + 3) // 4 * 4
-    a = _np.frombuffer(frame, _np.uint8, count=stride * h)
+    a = _np.frombuffer(b, _np.uint8, count=stride * h, offset=span[0])
     a = a.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
     return a[::-1, :, ::-1].astype(_np.int64)  # flip rows, BGR -> RGB
 
@@ -574,8 +598,9 @@ def decode_avi(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, frames = _parse_avi(bytes(b))
-                sums = sum(_dib_rgb(f, w, h).sum(axis=(0, 1))
+                raw = bytes(b)
+                w, h, frames = _parse_avi(raw)
+                sums = sum(_dib_rgb(raw, f, w, h).sum(axis=(0, 1))
                            for f in frames)
                 rows.append((int(i), len(frames), w, h,
                              int(sums[0]), int(sums[1]), int(sums[2])))
@@ -602,9 +627,10 @@ def frame_sample_avi(df: DataFrame, every: int = 2,
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, frames = _parse_avi(bytes(b))
+                raw = bytes(b)
+                w, h, frames = _parse_avi(raw)
                 for f in range(0, len(frames), every):
-                    s = _dib_rgb(frames[f], w, h).sum(axis=(0, 1))
+                    s = _dib_rgb(raw, frames[f], w, h).sum(axis=(0, 1))
                     rows.append((int(i), f,
                                  int(s[0]), int(s[1]), int(s[2])))
             yield _pd.DataFrame(

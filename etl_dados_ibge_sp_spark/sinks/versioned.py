@@ -52,11 +52,28 @@ def _read_manifest(table_dir: str) -> dict:
 
 
 def _dirs_for(man: dict, version: int) -> list[str]:
-    """The snapshot directories a version comprises.  A full write is
-    one dir; an appended version is the previous version's dirs plus
-    one new dir.  Manifests written before the append feature carry no
+    """The snapshot directories a version comprises, oldest first.  A
+    full write is one materialized dir list; an appended version is
+    stored as ``{"base": parent, "add": "v=N"}`` — one entry per
+    version, so a B-batch append chain keeps the manifest O(B), not
+    O(B²) — and resolved here by walking the parent chain.  ``vacuum``
+    materializes survivors' lists so retired ancestors' entries can be
+    dropped.  Manifests written before the append feature carry no
     ``dirs`` map — their versions are single-dir by construction."""
-    return man.get("dirs", {}).get(str(version), [f"v={version}"])
+    dirs_map = man.get("dirs", {})
+    adds: list[str] = []
+    v = version
+    while True:
+        e = dirs_map.get(str(v))
+        if e is None:
+            base = [f"v={v}"]
+            break
+        if isinstance(e, list):
+            base = e
+            break
+        adds.append(e["add"])
+        v = e["base"]
+    return base + adds[::-1]
 
 
 def _flip_manifest(table_dir: str, man: dict) -> None:
@@ -67,7 +84,7 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
 
 
 def _commit(man: dict, table_dir: str, version: int,
-            dirs: list[str]) -> None:
+            dirs: list[str] | dict) -> None:
     man["current"] = version
     man["versions"] = sorted(set(man["versions"]) | {version})
     man.setdefault("dirs", {})[str(version)] = dirs
@@ -95,22 +112,26 @@ def write_version(df: DataFrame, table_dir: str) -> int:
 
 
 def append_version(df: DataFrame, table_dir: str,
-                   batch_id: int | None = None) -> int:
+                   batch_id: int | None = None,
+                   writer_id: str = "default") -> int:
     """Append ``df`` as the table's next version WITHOUT rewriting the
     existing data — the lakehouse write path that makes incremental
     loads O(batch), not O(table), at any scale.  Only the batch's own
     files are written (into a new ``v=N`` dir); the new version's
-    manifest entry lists the previous version's directories plus the
-    new one, so `read_version` sees the union while every existing
+    manifest entry records ``{base: previous, add: new dir}`` (one
+    entry per version — the manifest stays O(versions) however long
+    the chain), so `read_version` sees the union while every existing
     file stays byte-identical and time travel to the pre-append
     version still reads exactly the old file set.
 
-    ``batch_id`` (optional) is recorded in the manifest as
-    ``last_batch_id`` IN THE SAME atomic flip as the data pointer —
+    ``batch_id`` (optional) is recorded in the manifest under
+    ``txn[writer_id]`` IN THE SAME atomic flip as the data pointer —
     the transaction-id idempotence pattern: a streaming replay of an
     already-committed micro-batch is detected by
     :func:`foreach_batch_appender` and skipped, so crash-replays
-    cannot double rows.
+    cannot double rows.  Transactions are scoped PER WRITER so two
+    independent streams feeding one table never skip each other's
+    batch numbers.
 
     Compaction (`compact`) folds an append chain's many dirs/files
     back into one; `vacuum` reference-counts dirs, so retiring an old
@@ -121,27 +142,39 @@ def append_version(df: DataFrame, table_dir: str,
     version = (prev or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
-    dirs = (_dirs_for(man, prev) if prev else []) + [f"v={version}"]
+    dirs = ({"base": prev, "add": f"v={version}"} if prev
+            else [f"v={version}"])
     if batch_id is not None:
-        man["last_batch_id"] = batch_id
+        man.setdefault("txn", {})[writer_id] = batch_id
     _commit(man, table_dir, version, dirs)
     return version
 
 
-def foreach_batch_appender(table_dir: str):
+def foreach_batch_appender(table_dir: str, writer_id: str = "default"):
     """``foreachBatch`` sink function: exactly-once append of each
     micro-batch to the versioned table.  Spark's checkpoint guarantees
     at-least-once delivery of each batch id; the manifest's
-    ``last_batch_id`` (committed atomically with the data pointer by
-    :func:`append_version`) turns that into exactly-once — a replayed
-    batch (crash after the append committed but before the stream
-    checkpoint did) is recognized and skipped."""
+    ``txn[writer_id]`` watermark (committed atomically with the data
+    pointer by :func:`append_version`) turns that into exactly-once —
+    a replayed batch (crash after the append committed but before the
+    stream checkpoint did) is recognized and skipped.
+
+    ``writer_id`` must be STABLE for the life of one logical stream
+    (and unique across streams sharing a table): the guard compares
+    this writer's own batch numbering only.  The standard lakehouse
+    caveat applies — resetting the checkpoint restarts batch numbering
+    at 0, which the watermark then treats as already-seen; that is
+    exactly-once only if the source file set is unchanged since batch
+    0 (a grown source re-batches differently and new files could land
+    under already-committed ids).  To reprocess a changed source,
+    use a new writer_id against a fresh/rebuilt table."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         man = _read_manifest(table_dir)
-        last = man.get("last_batch_id")
+        last = man.get("txn", {}).get(writer_id)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed micro-batch
-        append_version(batch_df, table_dir, batch_id=batch_id)
+        append_version(batch_df, table_dir, batch_id=batch_id,
+                       writer_id=writer_id)
     return _sink
 
 

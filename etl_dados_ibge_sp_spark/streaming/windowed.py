@@ -321,17 +321,21 @@ def streaming_incremental_load(spark: SparkSession, source_dir: str,
 
 def streaming_versioned_load(spark: SparkSession, source_dir: str,
                              schema, table_dir: str,
-                             checkpoint_dir: str) -> None:
+                             checkpoint_dir: str,
+                             writer_id: str = "default") -> None:
     """Stream micro-batches into a VERSIONED table: each batch becomes
     a new appended version (only the batch's files are written —
     O(batch) per commit at any table size), and the manifest's
-    ``last_batch_id``, committed atomically with the data pointer,
-    upgrades the checkpoint's at-least-once replay into exactly-once —
-    the transaction-id pattern lakehouse sinks use.  Readers get
-    snapshot isolation throughout: a query planned mid-commit sees the
-    previous version, never a half-appended batch.  Compaction and
-    vacuum then run as ordinary table maintenance, fully decoupled
-    from the stream."""
+    per-writer batch watermark, committed atomically with the data
+    pointer, upgrades the checkpoint's at-least-once replay into
+    exactly-once — the transaction-id pattern lakehouse sinks use.
+    ``writer_id`` must be stable for this logical stream and unique
+    among streams sharing the table; see
+    ``sinks.versioned.foreach_batch_appender`` for the
+    checkpoint-reset caveat.  Readers get snapshot isolation
+    throughout: a query planned mid-commit sees the previous version,
+    never a half-appended batch.  Compaction and vacuum then run as
+    ordinary table maintenance, fully decoupled from the stream."""
     from ..sinks.versioned import foreach_batch_appender
 
     stream = (
@@ -340,7 +344,8 @@ def streaming_versioned_load(spark: SparkSession, source_dir: str,
         .parquet(source_dir)
     )
     query = (
-        stream.writeStream.foreachBatch(foreach_batch_appender(table_dir))
+        stream.writeStream
+        .foreachBatch(foreach_batch_appender(table_dir, writer_id))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

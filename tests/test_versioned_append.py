@@ -108,6 +108,44 @@ def test_batch_id_replay_is_skipped(spark, tmp_path):
     assert read_version(spark, t).count() == 2
 
 
+def test_txn_guard_is_writer_scoped(spark, tmp_path):
+    """Two independent writers share one table: writer B's batch 0
+    must append even though writer A already committed batch 5 —
+    a table-global watermark would wrongly skip it."""
+    t = str(tmp_path / "tbl")
+    a = foreach_batch_appender(t, writer_id="stream-a")
+    b = foreach_batch_appender(t, writer_id="stream-b")
+    row = spark.createDataFrame([(1, "x")], "k int, v string")
+    for bid in range(6):
+        a(row, bid)
+    b(row, 0)
+    assert read_version(spark, t).count() == 7
+    b(row, 0)  # writer B's own replay is still skipped
+    a(row, 5)  # and so is writer A's
+    assert read_version(spark, t).count() == 7
+
+
+def test_manifest_stays_linear_in_appends(spark, tmp_path):
+    """An appended version's manifest entry is a constant-size parent
+    pointer, not a re-listing of the whole ancestor chain — B appends
+    cost O(B) manifest, not O(B²)."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    row = spark.createDataFrame([(1, "x")], "k int, v string")
+    write_version(row, t)
+    for _ in range(9):
+        append_version(row, t)
+    man = json.load(open(os.path.join(t, "_manifest.json")))
+    for v, entry in man["dirs"].items():
+        if isinstance(entry, list):
+            assert len(entry) == 1  # only full writes are materialized
+        else:
+            assert set(entry) == {"base", "add"}
+    assert read_version(spark, t).count() == 10
+    assert read_version(spark, t, version=4).count() == 4
+
+
 def test_streaming_exactly_once_end_to_end(spark, sf_dir, tmp_path):
     """A real availableNow stream appends one version per micro-batch;
     re-running the stream over the same source with the SAME
