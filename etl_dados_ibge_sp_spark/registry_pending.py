@@ -1554,10 +1554,18 @@ PENDING.extend(PENDING7)
 
 # Eighth tranche (round 5): attribution, approximate-FD profiling,
 # seasonal-naive backtest, discrete survival table, LTV cohort
-# triangle.  Tranches 1-7 hold 40; all 45 fit round 6's 50 slots.
+# triangle.
 from .registry_pending8 import PENDING8  # noqa: E402
 
 PENDING.extend(PENDING8)
+
+# Ninth tranche (round 5): the video modality — RIFF/AVI codec
+# queries with closed-form oracles, completing the PPM/WAV/AVI set.
+# Tranches 1-8 hold 45; all 47 fit round 6's 50 slots, and
+# N = 150 + 47 = 197 stays within the 4-round rotation bound (≤ 200).
+from .registry_pending9 import PENDING9  # noqa: E402
+
+PENDING.extend(PENDING9)
 
 
 def admit(registry: dict, slack: int,
