@@ -178,6 +178,49 @@ def foreach_batch_appender(table_dir: str, writer_id: str = "default"):
     return _sink
 
 
+def merge_version(spark: SparkSession, table_dir: str,
+                  updates: DataFrame, keys: list[str],
+                  deletes: DataFrame | None = None) -> int:
+    """MERGE INTO for the versioned table, copy-on-write: matched rows
+    are replaced by their ``updates`` row, unmatched update rows are
+    inserted, and rows whose key appears in ``deletes`` (a keys-only
+    frame) are removed — committed as one new version, so readers see
+    the pre-merge or post-merge table, never a mix, and the pre-merge
+    version stays time-travelable.
+
+    Executed as the tag-union + per-key ``max_by`` shape (the scale
+    form `merge_upsert` pins against its full-outer-join oracle,
+    registry_ext2.py: one map-side-combinable aggregate instead of
+    shuffling snapshot against delta as a join); deletes are one
+    anti-join on distinct keys.  ``updates`` must match the table's
+    schema and carry at most one row per key (MERGE's own
+    well-formedness rule); a key in both ``updates`` and ``deletes``
+    is deleted.
+
+    Copy-on-write at version granularity is the honest minimal form —
+    a format with file-level manifests rewrites only the files whose
+    keys matched; same commit protocol, finer unit.  Returns the new
+    version number."""
+    from pyspark.sql import functions as F
+
+    target = read_version(spark, table_dir)
+    others = [c for c in target.columns if c not in keys]
+
+    def tag(df: DataFrame, pri: int) -> DataFrame:
+        return df.select(*keys, F.struct(*others).alias("_row"),
+                         F.lit(pri).alias("_pri"))
+
+    merged = (tag(target, 0).unionByName(tag(updates, 1))
+              .groupBy(*keys)
+              .agg(F.max_by("_row", "_pri").alias("_row"))
+              .select(*keys, "_row.*")
+              .select(*target.columns))  # original column order
+    if deletes is not None:
+        merged = merged.join(deletes.select(*keys).distinct(),
+                             on=keys, how="left_anti")
+    return write_version(merged, table_dir)
+
+
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None) -> DataFrame:
     """Read the current snapshot, or ``version=`` for time travel.
