@@ -1,0 +1,101 @@
+"""Model-based randomized test of the versioned table's FULL
+lifecycle: a seeded walk over write/append/merge/compact/vacuum ops is
+checked after every step against a pure-Python model (dict of version
+-> row multiset).  Catches interaction bugs no single-op law can see —
+e.g. merge after an append chain, vacuum after compact after merge,
+dir reference counts across arbitrary histories."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from etl_dados_ibge_sp_spark.sinks.versioned import (append_version,
+                                                     compact,
+                                                     merge_version,
+                                                     read_version,
+                                                     vacuum,
+                                                     write_version)
+
+KEYS = range(10)
+
+
+def _rows(rng, n):
+    ks = rng.sample(list(KEYS), min(n, len(KEYS)))
+    return [(k, rng.randrange(100)) for k in ks]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(None, None)],
+                                 "k int, v int").filter("k is not null")
+
+
+def _multiset(df):
+    return Counter((r.k, r.v) for r in df.collect())
+
+
+def test_lifecycle_random_walk_matches_model(spark, tmp_path):
+    rng = random.Random(20260815)
+    t = str(tmp_path / "tbl")
+    model: dict[int, Counter] = {}
+    current = None
+
+    def check(version=None):
+        v = current if version is None else version
+        assert _multiset(read_version(spark, t, version=version)) == \
+            model[v], f"divergence at version {v}"
+
+    # Seed the table.
+    rows = _rows(rng, 5)
+    current = write_version(_df(spark, rows), t)
+    model[current] = Counter(rows)
+    check()
+
+    for step in range(18):
+        op = rng.choice(["write", "append", "merge", "merge_del",
+                         "compact", "vacuum"])
+        if op == "write":
+            rows = _rows(rng, rng.randrange(1, 8))
+            current = write_version(_df(spark, rows), t)
+            model[current] = Counter(rows)
+        elif op == "append":
+            rows = _rows(rng, rng.randrange(1, 5))
+            prev = model[current]
+            current = append_version(_df(spark, rows), t)
+            model[current] = prev + Counter(rows)
+        elif op in ("merge", "merge_del"):
+            ups = _rows(rng, rng.randrange(1, 6))
+            dels = ([(k,) for k in
+                     rng.sample(list(KEYS), rng.randrange(1, 4))]
+                    if op == "merge_del" else None)
+            state = {k: v for k, v in sorted(model[current].elements())}
+            # The model only covers key-unique tables; skip the merge
+            # if the current version carries duplicate keys (legal for
+            # the table, out of MERGE's contract).
+            if sum(model[current].values()) != len(state):
+                continue
+            current = merge_version(
+                spark, t, _df(spark, ups), keys=["k"],
+                deletes=_df(spark, [(k, 0) for (k,) in dels])
+                if dels else None)
+            state.update(dict(ups))
+            for (k,) in dels or []:
+                state.pop(k, None)
+            model[current] = Counter(state.items())
+        elif op == "compact":
+            v, _, _ = compact(spark, t, target_file_bytes=1 << 30)
+            if v != current:  # folded an append chain into a new ver
+                model[v] = model[current]
+                current = v
+        elif op == "vacuum":
+            keep = rng.randrange(1, 4)
+            vacuum(t, keep=keep)
+            live = sorted(model, reverse=True)[:max(keep, 1)]
+            model = {v: m for v, m in model.items()
+                     if v in live or v == current}
+        check()
+
+    # Full-history check: every surviving version still reads exactly
+    # its model multiset (time travel across the whole walk).
+    for v in model:
+        check(version=v)
