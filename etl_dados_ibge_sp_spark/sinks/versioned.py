@@ -84,13 +84,43 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
 
 
 def _commit(man: dict, table_dir: str, version: int,
-            dirs: list[str] | dict) -> None:
+            dirs: list[str] | dict, schema_json: str,
+            op: str) -> None:
     man["current"] = version
     man["versions"] = sorted(set(man["versions"]) | {version})
     man.setdefault("dirs", {})[str(version)] = dirs
+    man.setdefault("schema", {})[str(version)] = schema_json
     man.setdefault("history", []).append(
-        {"version": version, "ts": time.time()})
+        {"version": version, "ts": time.time(), "op": op})
     _flip_manifest(table_dir, man)
+
+
+def _merged_schema(man: dict, prev: int | None, df: DataFrame):
+    """Schema evolution on append, the lakehouse way: the new
+    version's schema is the previous version's fields (order kept)
+    plus the batch's new fields appended — old files simply read the
+    added columns as null.  A same-name field with a DIFFERENT type is
+    rejected up front (silent coercion corrupts; an explicit cast in
+    the batch is the fix)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    stored = man.get("schema", {}).get(str(prev))
+    if prev is None or stored is None:  # new table / legacy manifest
+        return df.schema
+    old = StructType.fromJson(_json.loads(stored))
+    by_name = {f.name: f for f in old.fields}
+    for f in df.schema.fields:
+        have = by_name.get(f.name)
+        if have is not None and have.dataType != f.dataType:
+            raise ValueError(
+                f"append schema conflict on '{f.name}': table has "
+                f"{have.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()} — cast the batch "
+                "explicitly")
+    new_fields = [f for f in df.schema.fields if f.name not in by_name]
+    return StructType(old.fields + new_fields)
 
 
 def write_version(df: DataFrame, table_dir: str) -> int:
@@ -107,7 +137,8 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     version = (man["current"] or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
-    _commit(man, table_dir, version, [f"v={version}"])
+    _commit(man, table_dir, version, [f"v={version}"],
+            df.schema.json(), op="write")
     return version
 
 
@@ -139,6 +170,7 @@ def append_version(df: DataFrame, table_dir: str,
     os.makedirs(table_dir, exist_ok=True)
     man = _read_manifest(table_dir)
     prev = man["current"]
+    schema = _merged_schema(man, prev, df)  # validates BEFORE writing
     version = (prev or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
@@ -146,7 +178,7 @@ def append_version(df: DataFrame, table_dir: str,
             else [f"v={version}"])
     if batch_id is not None:
         man.setdefault("txn", {})[writer_id] = batch_id
-    _commit(man, table_dir, version, dirs)
+    _commit(man, table_dir, version, dirs, schema.json(), op="append")
     return version
 
 
@@ -227,6 +259,10 @@ def read_version(spark: SparkSession, table_dir: str,
     An appended version is the union of its directories (one
     multi-path parquet scan — the file list comes from the manifest,
     never from directory listing)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
     man = _read_manifest(table_dir)
     v = man["current"] if version is None else version
     if v is None:
@@ -235,8 +271,24 @@ def read_version(spark: SparkSession, table_dir: str,
         raise ValueError(
             f"{table_dir}: version {v} not available "
             f"(have {man['versions']})")
-    return spark.read.parquet(
-        *[os.path.join(table_dir, d) for d in _dirs_for(man, v)])
+    paths = [os.path.join(table_dir, d) for d in _dirs_for(man, v)]
+    stored = man.get("schema", {}).get(str(v))
+    reader = spark.read
+    if stored is not None:
+        # The version's schema comes from the manifest (committed with
+        # the data pointer), not from merging file footers: appended
+        # files missing later-added columns read them as null, and the
+        # scan needs no footer listing — the Delta-log pattern.
+        reader = reader.schema(StructType.fromJson(_json.loads(stored)))
+    return reader.parquet(*paths)
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """The table's commit log (DESCRIBE HISTORY): one dict per commit
+    — version, timestamp, op (write/append) — straight from the
+    manifest.  Retired versions keep their history rows (an audit
+    trail survives vacuum; only data and per-version metadata go)."""
+    return list(_read_manifest(table_dir).get("history", []))
 
 
 def _part_files(vdir: str) -> list[str]:
@@ -397,6 +449,9 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     man["versions"] = sorted(keepers)
     if "dirs" in man:
         man["dirs"] = {str(v): _dirs_for(man, v) for v in keepers}
+    if "schema" in man:
+        man["schema"] = {str(v): s for v, s in man["schema"].items()
+                         if int(v) in keepers}
     _flip_manifest(table_dir, man)
     for d in sorted(doomed_dirs):
         shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)

@@ -146,6 +146,53 @@ def test_manifest_stays_linear_in_appends(spark, tmp_path):
     assert read_version(spark, t, version=4).count() == 4
 
 
+def test_append_schema_evolution(spark, tmp_path):
+    """Appending a batch with a NEW column evolves the table schema
+    (old fields first, new appended); files written before the column
+    existed read it as null via the manifest-stored schema — no
+    footer merging.  Time travel to the pre-evolution version shows
+    the old schema."""
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    append_version(spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double"), t)
+    cur = read_version(spark, t)
+    assert cur.columns == ["k", "v", "score"]
+    got = {r.k: r.score for r in cur.collect()}
+    assert got == {1: None, 2: 9.5}
+    assert read_version(spark, t, version=1).columns == ["k", "v"]
+
+
+def test_append_type_conflict_fails_before_writing(spark, tmp_path):
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    with pytest.raises(ValueError, match="schema conflict on 'v'"):
+        append_version(spark.createDataFrame([(2, 3.0)],
+                                             "k int, v double"), t)
+    # Nothing committed, no orphan dir left behind.
+    assert read_version(spark, t).count() == 1
+    assert not os.path.isdir(f"{t}/v=2")
+
+
+def test_table_history_survives_vacuum(spark, tmp_path):
+    from etl_dados_ibge_sp_spark.sinks.versioned import table_history
+
+    t = str(tmp_path / "tbl")
+    row = spark.createDataFrame([(1, "a")], "k int, v string")
+    write_version(row, t)
+    append_version(row, t)
+    write_version(row, t)
+    vacuum(t, keep=1)
+    hist = table_history(t)
+    assert [h["op"] for h in hist] == ["write", "append", "write"]
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert all("ts" in h for h in hist)
+
+
 def test_streaming_exactly_once_end_to_end(spark, sf_dir, tmp_path):
     """A real availableNow stream appends one version per micro-batch;
     re-running the stream over the same source with the SAME
