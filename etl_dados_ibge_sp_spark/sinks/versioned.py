@@ -254,16 +254,30 @@ def merge_version(spark: SparkSession, table_dir: str,
 
 
 def read_version(spark: SparkSession, table_dir: str,
-                 version: int | None = None) -> DataFrame:
-    """Read the current snapshot, or ``version=`` for time travel.
-    An appended version is the union of its directories (one
-    multi-path parquet scan — the file list comes from the manifest,
-    never from directory listing)."""
+                 version: int | None = None,
+                 as_of_ts: float | None = None) -> DataFrame:
+    """Read the current snapshot, ``version=`` for VERSION AS OF time
+    travel, or ``as_of_ts=`` (unix seconds) for TIMESTAMP AS OF — the
+    newest version committed at or before that instant, resolved from
+    the manifest's commit log.  An appended version is the union of
+    its directories (one multi-path parquet scan — the file list comes
+    from the manifest, never from directory listing)."""
     import json as _json
 
     from pyspark.sql.types import StructType
 
     man = _read_manifest(table_dir)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ts=, not both")
+        eligible = [h["version"] for h in man.get("history", [])
+                    if h["ts"] <= as_of_ts and h["version"]
+                    in man["versions"]]
+        if not eligible:
+            raise ValueError(
+                f"{table_dir}: no version committed at or before "
+                f"{as_of_ts} (or it was vacuumed)")
+        version = max(eligible)
     v = man["current"] if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table_dir}: no committed version")
@@ -303,7 +317,8 @@ def _part_files(vdir: str) -> list[str]:
 
 def compact(spark: SparkSession, table_dir: str,
             target_file_bytes: int = 128 << 20,
-            sort_by: list[str] | None = None) -> tuple[int, int, int]:
+            sort_by: list[str] | None = None,
+            zorder_by: list[str] | None = None) -> tuple[int, int, int]:
     """Rewrite the current snapshot into size-targeted files as a NEW
     version — the lakehouse OPTIMIZE step.  Incremental and streaming
     appends (the reference's nightly loads; our `stream_*` sinks)
@@ -318,9 +333,11 @@ def compact(spark: SparkSession, table_dir: str,
       shuffle, each output task concatenates whole input files.
     * With ``sort_by`` the rewrite is a range repartition + in-file
       sort on those keys, giving non-overlapping per-file min/max
-      ranges so parquet row-group/file skipping can prune scans —
-      the Z-order-lite layout step (`operators/zorder` composes here
-      for multi-key clustering).
+      ranges so parquet row-group/file skipping can prune scans.
+      ``zorder_by`` is the multi-dimensional form: cluster by the
+      Morton key over several numeric columns
+      (`operators/layout.zorder_layout`), so per-file min/max stays
+      tight on EVERY listed column at once.
     * Snapshot safety is inherited from :func:`write_version`: the
       compacted copy is a new ``v=N`` dir and readers follow the
       manifest, so a crash mid-compaction leaves the table untouched
@@ -344,10 +361,14 @@ def compact(spark: SparkSession, table_dir: str,
     files_before = len(files)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    if files_before <= n_out and sort_by is None and len(vdirs) == 1:
+    if (files_before <= n_out and sort_by is None
+            and zorder_by is None and len(vdirs) == 1):
         return (man["current"], files_before, files_before)
-    df = spark.read.parquet(*vdirs)
-    if sort_by:
+    df = read_version(spark, table_dir)
+    if zorder_by:
+        from ..operators.layout import zorder_layout
+        df = zorder_layout(df, zorder_by, n_out).drop("zkey")
+    elif sort_by:
         cols = [df[c] for c in sort_by]
         df = (df.repartitionByRange(n_out, *cols)
                 .sortWithinPartitions(*cols))
