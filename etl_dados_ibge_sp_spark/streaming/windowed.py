@@ -43,7 +43,47 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(stream)
 
 
-def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+STATE_PARTITIONS = 8
+
+
+def _run_to_completion(spark: SparkSession, writer,
+                       state_partitions: int | None) -> None:
+    """Start a stream and run its availableNow trigger to completion
+    under a bounded STATE-PARTITION count.
+
+    A stateful query's shuffle-partition count is a capacity
+    parameter, not the batch shuffle default: Spark bakes it into the
+    state checkpoint at first run, and every run instantiates one
+    state store per partition per stateful operator (a stream-stream
+    join holds four).  Sized to expected key cardinality/throughput it
+    is pure win — measured at sf0.1, the interval join completes in
+    6.4 s at 32 partitions and 2.4 s at 8 with identical results; the
+    difference is store setup, not work.  At cluster scale pick
+    hundreds; these bounded test streams default to
+    ``STATE_PARTITIONS``.  The session conf is restored afterwards —
+    for a real long-lived stream the checkpoint, not the session, owns
+    the value."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+    try:
+        query = writer.start()
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "availableNow stream did not finish within 300 s — "
+                    "refusing to return a partially-populated sink")
+        finally:
+            if query.isActive:
+                query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def stream_windowed_event_agg(spark: SparkSession, sf_dir: str,
+                              state_partitions: int = STATE_PARTITIONS
+                              ) -> DataFrame:
     """Tumbling 1-hour window aggregation over the event stream,
     run to completion with availableNow; returns the final table
     (equals the batch windowed agg — the parity oracle)."""
@@ -65,21 +105,15 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
 
 
 def stream_windowed_topk(spark: SparkSession, sf_dir: str,
-                         hours: int = 6, k: int = 3) -> DataFrame:
+                         hours: int = 6, k: int = 3,
+                         state_partitions: int = STATE_PARTITIONS
+                         ) -> DataFrame:
     """Streaming top-k event types per tumbling window: the stream
     maintains only the windowed COUNTS (watermark-bounded state, one
     row per (window, type) — never a heap of raw events); the rank is
@@ -106,16 +140,8 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str,
         agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     w = Window.partitionBy("window_start").orderBy(
         F.desc("n_events"), F.asc("event_type"))
     return (spark.table(qname)
@@ -123,8 +149,9 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str,
             .filter(F.col("rnk") <= k))
 
 
-def stream_windowed_distinct_approx(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
+def stream_windowed_distinct_approx(
+        spark: SparkSession, sf_dir: str,
+        state_partitions: int = STATE_PARTITIONS) -> DataFrame:
     """Distinct users per tumbling hour per event type with BOUNDED
     streaming state: ``approx_count_distinct`` (HLL++) keeps one
     fixed-size sketch per (window, type) group instead of the exact
@@ -157,16 +184,8 @@ def stream_windowed_distinct_approx(spark: SparkSession,
         agg.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
 
 
@@ -205,8 +224,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
-def stream_stream_interval_join(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
+def stream_stream_interval_join(
+        spark: SparkSession, sf_dir: str,
+        state_partitions: int = STATE_PARTITIONS) -> DataFrame:
     """Stream-stream inner join with an event-time interval bound:
     each purchase joins every click by the same user in the 6 hours
     leading up to it.
@@ -250,16 +270,8 @@ def stream_stream_interval_join(spark: SparkSession,
         joined.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
 
 
@@ -462,7 +474,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity gap
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str,
-                      watermark: str = "0 seconds") -> DataFrame:
+                      watermark: str = "0 seconds",
+                      state_partitions: int = STATE_PARTITIONS
+                      ) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState`` (Arrow-batched, event-time timeouts).
 
@@ -530,22 +544,16 @@ def stream_sessionize(spark: SparkSession, sf_dir: str,
         out.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str,
                     keys: list[str] | None = None,
-                    watermark: str = "1 day") -> DataFrame:
+                    watermark: str = "1 day",
+                    state_partitions: int = STATE_PARTITIONS
+                    ) -> DataFrame:
     """Streaming restatement of J2: drop duplicate events by key with
     bounded state (dropDuplicatesWithinWatermark), run to completion;
     returns the deduplicated rows."""
@@ -562,16 +570,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
         deduped.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
 
 
@@ -580,7 +580,9 @@ ANOMALY_MIN_N = 8
 ANOMALY_Z2 = 4  # z^2 for |z| > 2
 
 
-def stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_rolling_anomaly(
+        spark: SparkSession, sf_dir: str,
+        state_partitions: int = STATE_PARTITIONS) -> DataFrame:
     """Streaming trailing-window z-score anomaly detection via
     ``applyInPandasWithState`` — the streaming restatement of the
     batch ``events_rolling_anomaly`` query, sharing its EXACT integer
@@ -659,24 +661,24 @@ def stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
 
 
-def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_incremental_agg(
+        spark: SparkSession, sf_dir: str,
+        state_partitions: int | None = None) -> DataFrame:
     """Streaming incremental aggregate maintenance: the per-customer
     order aggregate maintained across micro-batches by partial-state
     merge (operators/incremental), exactly the nightly-delta pattern
     run as a stream.
+
+    ``state_partitions`` defaults to None (session value), unlike the
+    stateful streams: this stream is STATELESS (foreachBatch) — its
+    shuffles are batch jobs inside ``upsert`` where the session's full
+    parallelism helps, and there are no per-partition state stores to
+    amortize (measured: 8 partitions is ~20% slower here).
 
     The input is staged as FOUR parquet fragments and read with
     ``maxFilesPerTrigger=1``, so availableNow genuinely processes four
@@ -722,15 +724,8 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         query = (stream.writeStream.foreachBatch(upsert)
                  .option("checkpointLocation",
                          os.path.join(stage, "ckpt"))
-                 .trigger(availableNow=True).start())
-        try:
-            if not query.awaitTermination(300):
-                raise TimeoutError(
-                    "availableNow stream did not finish within 300 s — "
-                    "refusing to return a partially-populated state")
-        finally:
-            if query.isActive:
-                query.stop()
+                 .trigger(availableNow=True))
+        _run_to_completion(spark, query, state_partitions)
         if not versions:
             raise RuntimeError("stream produced no batches")
         final = finalize(spark.read.parquet(versions[-1]))
@@ -744,7 +739,9 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def stream_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_decay_sum(
+        spark: SparkSession, sf_dir: str,
+        state_partitions: int = STATE_PARTITIONS) -> DataFrame:
     """Streaming restatement of the batch ``events_decay_sum`` query
     (registry_pending2.decay_sum_frame): per-user EWMA (alpha=1/2)
     over the trailing 8 events as an ``applyInPandasWithState``
@@ -811,14 +808,6 @@ def stream_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
