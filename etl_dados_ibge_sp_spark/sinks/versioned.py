@@ -95,13 +95,18 @@ def _commit(man: dict, table_dir: str, version: int,
     _flip_manifest(table_dir, man)
 
 
-def _merged_schema(man: dict, prev: int | None, df: DataFrame):
+def _merged_schema(man: dict, prev: int | None, df: DataFrame,
+                   merge_schema: bool):
     """Schema evolution on append, the lakehouse way: the new
     version's schema is the previous version's fields (order kept)
     plus the batch's new fields appended — old files simply read the
-    added columns as null.  A same-name field with a DIFFERENT type is
-    rejected up front (silent coercion corrupts; an explicit cast in
-    the batch is the fix)."""
+    added columns as null.  Evolution is OPT-IN (``merge_schema``),
+    exactly like Delta's mergeSchema: by default a batch carrying a
+    column the table doesn't have is rejected, because the most common
+    cause is a typo'd column name that would otherwise silently
+    null-fill the real column forever.  A same-name field with a
+    DIFFERENT type is always rejected (silent coercion corrupts; an
+    explicit cast in the batch is the fix)."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -120,12 +125,23 @@ def _merged_schema(man: dict, prev: int | None, df: DataFrame):
                 f"{f.dataType.simpleString()} — cast the batch "
                 "explicitly")
     new_fields = [f for f in df.schema.fields if f.name not in by_name]
+    if new_fields and not merge_schema:
+        raise ValueError(
+            "append adds columns "
+            f"{[f.name for f in new_fields]} the table schema lacks; "
+            "pass merge_schema=True to evolve the schema (the default "
+            "rejects, which catches typo'd column names)")
     return StructType(old.fields + new_fields)
 
 
-def write_version(df: DataFrame, table_dir: str) -> int:
+def write_version(df: DataFrame, table_dir: str,
+                  op: str = "write") -> int:
     """Write ``df`` as the table's next snapshot and atomically flip
-    the manifest to it.  Returns the new version number.
+    the manifest to it.  Returns the new version number.  ``op`` is
+    what the commit log records — callers committing on behalf of a
+    higher-level operation (merge, compact) pass their own name so
+    ``table_history`` can tell a destructive overwrite from table
+    maintenance.
 
     Failure safety: the snapshot directory is fully written BEFORE the
     manifest flip; a crash mid-write leaves an orphan ``v=N`` dir that
@@ -138,13 +154,14 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     vdir = os.path.join(table_dir, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
     _commit(man, table_dir, version, [f"v={version}"],
-            df.schema.json(), op="write")
+            df.schema.json(), op=op)
     return version
 
 
 def append_version(df: DataFrame, table_dir: str,
                    batch_id: int | None = None,
-                   writer_id: str = "default") -> int:
+                   writer_id: str = "default",
+                   merge_schema: bool = False) -> int:
     """Append ``df`` as the table's next version WITHOUT rewriting the
     existing data — the lakehouse write path that makes incremental
     loads O(batch), not O(table), at any scale.  Only the batch's own
@@ -170,7 +187,8 @@ def append_version(df: DataFrame, table_dir: str,
     os.makedirs(table_dir, exist_ok=True)
     man = _read_manifest(table_dir)
     prev = man["current"]
-    schema = _merged_schema(man, prev, df)  # validates BEFORE writing
+    # Validates BEFORE writing; new columns need merge_schema=True.
+    schema = _merged_schema(man, prev, df, merge_schema)
     version = (prev or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
@@ -225,9 +243,16 @@ def merge_version(spark: SparkSession, table_dir: str,
     registry_ext2.py: one map-side-combinable aggregate instead of
     shuffling snapshot against delta as a join); deletes are one
     anti-join on distinct keys.  ``updates`` must match the table's
-    schema and carry at most one row per key (MERGE's own
-    well-formedness rule); a key in both ``updates`` and ``deletes``
-    is deleted.
+    schema; a key in both ``updates`` and ``deletes`` is deleted.
+
+    MERGE's well-formedness rule — at most one row per key on BOTH
+    sides — is ENFORCED, not assumed: the winner selection keeps one
+    row per key, so a duplicate-key table (legal for appends) or a
+    duplicate-key update set would silently lose rows the merge was
+    never asked to touch.  Both sides are checked in one cheap
+    keys-only aggregate each and a violation raises before anything
+    is written (ANSI MERGE raises on the update side for the same
+    reason).
 
     Copy-on-write at version granularity is the honest minimal form —
     a format with file-level manifests rewrites only the files whose
@@ -237,6 +262,16 @@ def merge_version(spark: SparkSession, table_dir: str,
 
     target = read_version(spark, table_dir)
     others = [c for c in target.columns if c not in keys]
+
+    for side, df in (("table", target), ("updates", updates)):
+        dup = (df.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            k = tuple(dup[0][c] for c in keys)
+            raise ValueError(
+                f"merge_version: {side} has multiple rows for key "
+                f"{k}; MERGE requires key-unique sides (deduplicate "
+                "or compact first)")
 
     def tag(df: DataFrame, pri: int) -> DataFrame:
         return df.select(*keys, F.struct(*others).alias("_row"),
@@ -250,7 +285,7 @@ def merge_version(spark: SparkSession, table_dir: str,
     if deletes is not None:
         merged = merged.join(deletes.select(*keys).distinct(),
                              on=keys, how="left_anti")
-    return write_version(merged, table_dir)
+    return write_version(merged, table_dir, op="merge")
 
 
 def read_version(spark: SparkSession, table_dir: str,
@@ -366,6 +401,11 @@ def compact(spark: SparkSession, table_dir: str,
         return (man["current"], files_before, files_before)
     df = read_version(spark, table_dir)
     if zorder_by:
+        if "zkey" in df.columns:
+            raise ValueError(
+                "compact(zorder_by=...): the table already has a "
+                "'zkey' column, which the Morton layout would "
+                "overwrite and drop — rename it first")
         from ..operators.layout import zorder_layout
         df = zorder_layout(df, zorder_by, n_out).drop("zkey")
     elif sort_by:
@@ -374,7 +414,7 @@ def compact(spark: SparkSession, table_dir: str,
                 .sortWithinPartitions(*cols))
     else:
         df = df.coalesce(n_out)
-    version = write_version(df, table_dir)
+    version = write_version(df, table_dir, op="compact")
     files_after = len(_part_files(os.path.join(table_dir, f"v={version}")))
     return (version, files_before, files_after)
 

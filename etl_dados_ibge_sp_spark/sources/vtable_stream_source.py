@@ -62,16 +62,30 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
     def _delta_dirs(self, start_v: int, end_v: int) -> list[str]:
         """Snapshot dirs added between two versions — defined only
         when the older version's dir list is a prefix of the newer's
-        (pure appends).  Anything else is a rewrite: fail clearly."""
+        (pure appends).  Anything else is a rewrite: fail clearly.
+
+        The checkpointed start version may have been RETIRED by
+        vacuum while its dirs live on (reference-counted by the
+        current chain) — the delta is still derivable: on a pure
+        append chain every dir's number equals the version that added
+        it, so start's dir list is exactly end's dirs numbered
+        <= start_v.  If none qualify, a rewrite replaced the chain
+        (rewrites start a fresh dir numbered > start_v) and we fail
+        rather than re-emit the whole table."""
         man = _read_manifest(self.table_dir)
         end_dirs = _dirs_for(man, end_v)
-        start_dirs = _dirs_for(man, start_v) if start_v else []
-        if end_dirs[:len(start_dirs)] != start_dirs:
+        if not start_v:
+            return end_dirs
+        if start_v in man["versions"]:
+            start_dirs = _dirs_for(man, start_v)
+        else:  # vacuumed checkpoint version: reconstruct by number
+            start_dirs = [d for d in end_dirs if int(d[2:]) <= start_v]
+        if not start_dirs or end_dirs[:len(start_dirs)] != start_dirs:
             raise ValueError(
                 f"vtable: versions {start_v}..{end_v} of "
                 f"{self.table_dir} are not append-only (a rewrite — "
-                "write_version/compact/merge — intervened); restart "
-                "the consumer from a fresh checkpoint")
+                "an op='write'/'compact'/'merge' commit — intervened); "
+                "restart the consumer from a fresh checkpoint")
         return end_dirs[len(start_dirs):]
 
     def _rows(self, dirs: list[str]) -> list[tuple]:

@@ -211,16 +211,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError(
-                "availableNow stream did not finish within 300 s — "
-                "refusing to return a partially-populated sink")
-    finally:
-        if query.isActive:
-            query.stop()
+    # state_partitions=None: stateless broadcast join, no state stores
+    # to bound; keep the session's parallelism.
+    _run_to_completion(spark, query, None)
     return spark.table(qname)
 
 

@@ -53,6 +53,44 @@ def test_merge_matches_brute_force(spark, sf_dir, tmp_path):
                (r.o_orderkey for r in target.collect()))
 
 
+def test_merge_rejects_duplicate_keys_either_side(spark, tmp_path):
+    """The winner selection keeps one row per key, so duplicate-key
+    inputs would silently lose rows — MERGE's well-formedness rule is
+    enforced on BOTH sides, and a violation commits nothing."""
+    import pytest
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import (append_version,
+                                                         table_history)
+
+    t = str(tmp_path / "tbl")
+    one = spark.createDataFrame([(1, "a")], "k int, v string")
+    write_version(one, t)
+    append_version(one, t)  # duplicate key 1 in the TABLE
+    ups = spark.createDataFrame([(2, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="table has multiple rows"):
+        merge_version(spark, t, ups, keys=["k"])
+
+    t2 = str(tmp_path / "tbl2")
+    write_version(one, t2)
+    with pytest.raises(ValueError, match="updates has multiple rows"):
+        merge_version(spark, t2, ups.unionAll(ups), keys=["k"])
+    # Nothing was committed by the failed merges.
+    assert [h["op"] for h in table_history(t)] == ["write", "append"]
+    assert [h["op"] for h in table_history(t2)] == ["write"]
+
+
+def test_merge_records_op_in_history(spark, tmp_path):
+    from etl_dados_ibge_sp_spark.sinks.versioned import table_history
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    merge_version(spark, t,
+                  spark.createDataFrame([(2, "b")], "k int, v string"),
+                  keys=["k"])
+    assert [h["op"] for h in table_history(t)] == ["write", "merge"]
+
+
 def test_merge_without_deletes_is_pure_upsert(spark, tmp_path):
     t = str(tmp_path / "tbl")
     target = spark.createDataFrame(

@@ -152,11 +152,20 @@ def test_append_schema_evolution(spark, tmp_path):
     existed read it as null via the manifest-stored schema — no
     footer merging.  Time travel to the pre-evolution version shows
     the old schema."""
+    import pytest
+
     t = str(tmp_path / "tbl")
     write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
                   t)
-    append_version(spark.createDataFrame(
-        [(2, "b", 9.5)], "k int, v string, score double"), t)
+    widened = spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double")
+    # Evolution is opt-in (the Delta mergeSchema contract): the
+    # default rejects, catching typo'd column names, and commits
+    # nothing.
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        append_version(widened, t)
+    assert read_version(spark, t).columns == ["k", "v"]
+    append_version(widened, t, merge_schema=True)
     cur = read_version(spark, t)
     assert cur.columns == ["k", "v", "score"]
     got = {r.k: r.score for r in cur.collect()}

@@ -69,9 +69,9 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path):
                      rng.sample(list(KEYS), rng.randrange(1, 4))]
                     if op == "merge_del" else None)
             state = {k: v for k, v in sorted(model[current].elements())}
-            # The model only covers key-unique tables; skip the merge
-            # if the current version carries duplicate keys (legal for
-            # the table, out of MERGE's contract).
+            # merge_version ENFORCES key-unique sides (it raises on a
+            # duplicate-key table, which appends legally create), so
+            # the walk only merges when the contract holds.
             if sum(model[current].values()) != len(state):
                 continue
             current = merge_version(

@@ -60,9 +60,32 @@ def test_schema_evolution_nullfills_new_column(spark, tmp_path):
     write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
                   t)
     append_version(spark.createDataFrame(
-        [(2, "b", 7.5)], "k int, v string, score double"), t)
+        [(2, "b", 7.5)], "k int, v string, score double"), t,
+        merge_schema=True)
     got = _run_once(spark, t, str(tmp_path / "ckpt"))
     assert got == [(1, "a", None), (2, "b", 7.5)]
+
+
+def test_vacuumed_checkpoint_version_still_tails(spark, tmp_path):
+    """Vacuum may RETIRE the consumer's checkpointed version while its
+    dirs live on (reference-counted by the current chain); the source
+    must reconstruct the delta instead of crying 'rewrite'."""
+    from etl_dados_ibge_sp_spark.sinks.versioned import vacuum
+
+    register_vtable(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    append_version(spark.createDataFrame([(2, "b")],
+                                         "k int, v string"), t)
+    assert _run_once(spark, t, ckpt) == [(1, "a"), (2, "b")]  # ckpt@2
+    append_version(spark.createDataFrame([(3, "c")],
+                                         "k int, v string"), t)
+    append_version(spark.createDataFrame([(4, "d")],
+                                         "k int, v string"), t)
+    vacuum(t, keep=2)  # retires versions 1 and 2; their dirs live on
+    assert _run_once(spark, t, ckpt) == [(3, "c"), (4, "d")]
 
 
 def test_rewrite_fails_stream_clearly(spark, tmp_path):
