@@ -85,14 +85,29 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
 
 def _commit(man: dict, table_dir: str, version: int,
             dirs: list[str] | dict, schema_json: str,
-            op: str) -> None:
+            op: str, rows_written: int) -> None:
     man["current"] = version
     man["versions"] = sorted(set(man["versions"]) | {version})
     man.setdefault("dirs", {})[str(version)] = dirs
     man.setdefault("schema", {})[str(version)] = schema_json
     man.setdefault("history", []).append(
-        {"version": version, "ts": time.time(), "op": op})
+        {"version": version, "ts": time.time(), "op": op,
+         "rows_written": rows_written})
     _flip_manifest(table_dir, man)
+
+
+def _write_snapshot(df: DataFrame, vdir: str) -> int:
+    """Write one snapshot dir, returning the row count gathered IN
+    THE SAME job via the Observation API (`sinks/observed` pattern) —
+    the commit log gets per-commit row counts with zero extra scans,
+    the observability the reference logs around every load."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")) \
+        .write.mode("overwrite").parquet(vdir)
+    return int(obs.get["n"])
 
 
 def _merged_schema(man: dict, prev: int | None, df: DataFrame,
@@ -152,9 +167,9 @@ def write_version(df: DataFrame, table_dir: str,
     man = _read_manifest(table_dir)
     version = (man["current"] or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
-    df.write.mode("overwrite").parquet(vdir)
+    n = _write_snapshot(df, vdir)
     _commit(man, table_dir, version, [f"v={version}"],
-            df.schema.json(), op=op)
+            df.schema.json(), op=op, rows_written=n)
     return version
 
 
@@ -191,12 +206,13 @@ def append_version(df: DataFrame, table_dir: str,
     schema = _merged_schema(man, prev, df, merge_schema)
     version = (prev or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
-    df.write.mode("overwrite").parquet(vdir)
+    n = _write_snapshot(df, vdir)
     dirs = ({"base": prev, "add": f"v={version}"} if prev
             else [f"v={version}"])
     if batch_id is not None:
         man.setdefault("txn", {})[writer_id] = batch_id
-    _commit(man, table_dir, version, dirs, schema.json(), op="append")
+    _commit(man, table_dir, version, dirs, schema.json(), op="append",
+            rows_written=n)
     return version
 
 

@@ -200,6 +200,9 @@ def test_table_history_survives_vacuum(spark, tmp_path):
     assert [h["op"] for h in hist] == ["write", "append", "write"]
     assert [h["version"] for h in hist] == [1, 2, 3]
     assert all("ts" in h for h in hist)
+    # Per-commit row counts ride the write job (Observation API —
+    # zero extra scans), giving the commit log load observability.
+    assert [h["rows_written"] for h in hist] == [1, 1, 1]
 
 
 def test_streaming_exactly_once_end_to_end(spark, sf_dir, tmp_path):
