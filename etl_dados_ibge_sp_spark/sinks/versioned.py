@@ -85,29 +85,41 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
 
 def _commit(man: dict, table_dir: str, version: int,
             dirs: list[str] | dict, schema_json: str,
-            op: str, rows_written: int) -> None:
+            op: str, rows_written: int,
+            partition_by: list[str] | None = None) -> None:
     man["current"] = version
     man["versions"] = sorted(set(man["versions"]) | {version})
     man.setdefault("dirs", {})[str(version)] = dirs
     man.setdefault("schema", {})[str(version)] = schema_json
+    if partition_by:
+        man.setdefault("partition_by", {})[str(version)] = partition_by
     man.setdefault("history", []).append(
         {"version": version, "ts": time.time(), "op": op,
          "rows_written": rows_written})
     _flip_manifest(table_dir, man)
 
 
-def _write_snapshot(df: DataFrame, vdir: str) -> int:
-    """Write one snapshot dir, returning the row count gathered IN
-    THE SAME job via the Observation API (`sinks/observed` pattern) —
-    the commit log gets per-commit row counts with zero extra scans,
-    the observability the reference logs around every load."""
+def _write_snapshot(df: DataFrame, vdir: str,
+                    partition_by: list[str] | None = None) -> int:
+    """Write one snapshot dir (hive-partitioned when ``partition_by``
+    is given), returning the row count gathered IN THE SAME job via
+    the Observation API (`sinks/observed` pattern) — the commit log
+    gets per-commit row counts with zero extra scans, the
+    observability the reference logs around every load."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     obs = Observation()
-    df.observe(obs, F.count(F.lit(1)).alias("n")) \
-        .write.mode("overwrite").parquet(vdir)
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")) \
+        .write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
     return int(obs.get["n"])
+
+
+def _partition_by_for(man: dict, version: int | None) -> list[str]:
+    return man.get("partition_by", {}).get(str(version), [])
 
 
 def _merged_schema(man: dict, prev: int | None, df: DataFrame,
@@ -150,7 +162,8 @@ def _merged_schema(man: dict, prev: int | None, df: DataFrame,
 
 
 def write_version(df: DataFrame, table_dir: str,
-                  op: str = "write") -> int:
+                  op: str = "write",
+                  partition_by: list[str] | None = None) -> int:
     """Write ``df`` as the table's next snapshot and atomically flip
     the manifest to it.  Returns the new version number.  ``op`` is
     what the commit log records — callers committing on behalf of a
@@ -167,9 +180,10 @@ def write_version(df: DataFrame, table_dir: str,
     man = _read_manifest(table_dir)
     version = (man["current"] or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
-    n = _write_snapshot(df, vdir)
+    n = _write_snapshot(df, vdir, partition_by)
     _commit(man, table_dir, version, [f"v={version}"],
-            df.schema.json(), op=op, rows_written=n)
+            df.schema.json(), op=op, rows_written=n,
+            partition_by=partition_by)
     return version
 
 
@@ -206,13 +220,14 @@ def append_version(df: DataFrame, table_dir: str,
     schema = _merged_schema(man, prev, df, merge_schema)
     version = (prev or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
-    n = _write_snapshot(df, vdir)
+    pb = _partition_by_for(man, prev)  # appends inherit partitioning
+    n = _write_snapshot(df, vdir, pb)
     dirs = ({"base": prev, "add": f"v={version}"} if prev
             else [f"v={version}"])
     if batch_id is not None:
         man.setdefault("txn", {})[writer_id] = batch_id
     _commit(man, table_dir, version, dirs, schema.json(), op="append",
-            rows_written=n)
+            rows_written=n, partition_by=pb)
     return version
 
 
@@ -301,7 +316,10 @@ def merge_version(spark: SparkSession, table_dir: str,
     if deletes is not None:
         merged = merged.join(deletes.select(*keys).distinct(),
                              on=keys, how="left_anti")
-    return write_version(merged, table_dir, op="merge")
+    man = _read_manifest(table_dir)
+    return write_version(merged, table_dir, op="merge",
+                         partition_by=_partition_by_for(
+                             man, man["current"]))
 
 
 def read_version(spark: SparkSession, table_dir: str,
@@ -338,14 +356,38 @@ def read_version(spark: SparkSession, table_dir: str,
             f"(have {man['versions']})")
     paths = [os.path.join(table_dir, d) for d in _dirs_for(man, v)]
     stored = man.get("schema", {}).get(str(v))
-    reader = spark.read
-    if stored is not None:
-        # The version's schema comes from the manifest (committed with
-        # the data pointer), not from merging file footers: appended
-        # files missing later-added columns read them as null, and the
-        # scan needs no footer listing — the Delta-log pattern.
-        reader = reader.schema(StructType.fromJson(_json.loads(stored)))
-    return reader.parquet(*paths)
+    schema = (StructType.fromJson(_json.loads(stored))
+              if stored is not None else None)
+
+    def scan(*ps: str) -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            # The version's schema comes from the manifest (committed
+            # with the data pointer), not from merging file footers:
+            # appended files missing later-added columns read them as
+            # null, and the scan needs no footer listing — the
+            # Delta-log pattern.
+            reader = reader.schema(schema)
+        out = reader.parquet(*ps)
+        if schema is not None and out.columns != schema.fieldNames():
+            # A hive-partitioned scan surfaces partition columns last
+            # regardless of the declared order; restore the table's
+            # committed column order (a zero-cost projection).
+            out = out.select(*schema.fieldNames())
+        return out
+
+    if len(paths) > 1 and _partition_by_for(man, v):
+        # Hive-partitioned append chain: the sibling v=N roots would
+        # parse as a partition layer in one multi-path scan
+        # (CONFLICTING_DIRECTORY_STRUCTURES), so scan each root
+        # separately — discovery and partition pruning stay local to
+        # each root — and union.  compact folds the chain back to the
+        # single-scan fast path.
+        out = scan(paths[0])
+        for pth in paths[1:]:
+            out = out.unionByName(scan(pth))
+        return out
+    return scan(*paths)
 
 
 def table_history(table_dir: str) -> list[dict]:
@@ -357,13 +399,13 @@ def table_history(table_dir: str) -> list[dict]:
 
 
 def _part_files(vdir: str) -> list[str]:
-    """The snapshot's parquet part files (full paths)."""
-    try:
-        names = os.listdir(vdir)
-    except FileNotFoundError:
-        return []
-    return [os.path.join(vdir, n) for n in names
-            if n.startswith("part-") and n.endswith(".parquet")]
+    """The snapshot's parquet part files (full paths), recursing into
+    hive partition subdirectories."""
+    out = []
+    for root, _dirs, names in os.walk(vdir):
+        out += [os.path.join(root, n) for n in names
+                if n.startswith("part-") and n.endswith(".parquet")]
+    return out
 
 
 def compact(spark: SparkSession, table_dir: str,
@@ -430,7 +472,9 @@ def compact(spark: SparkSession, table_dir: str,
                 .sortWithinPartitions(*cols))
     else:
         df = df.coalesce(n_out)
-    version = write_version(df, table_dir, op="compact")
+    version = write_version(df, table_dir, op="compact",
+                            partition_by=_partition_by_for(
+                                man, man["current"]))
     files_after = len(_part_files(os.path.join(table_dir, f"v={version}")))
     return (version, files_before, files_after)
 

@@ -101,12 +101,12 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
         out: list[tuple] = []
         for d in dirs:
             vdir = os.path.join(self.table_dir, d)
-            for name in sorted(os.listdir(vdir)):
-                if not name.endswith(".parquet"):
-                    continue
-                tbl = pq.read_table(os.path.join(vdir, name))
-                for row in tbl.to_pylist():
-                    out.append(tuple(row.get(f) for f in self.fields))
+            # Whole-dir dataset read: pyarrow discovers hive partition
+            # subdirs (partition columns come back as real columns),
+            # and flat dirs read identically.
+            tbl = pq.read_table(vdir)
+            for row in tbl.to_pylist():
+                out.append(tuple(row.get(f) for f in self.fields))
         return out
 
     def read(self, start: dict):
