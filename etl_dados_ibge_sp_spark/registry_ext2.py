@@ -790,20 +790,37 @@ def q_text_source_roundtrip(spark, sf_dir):
          .alias("n_tok"))
 
 
-@register("sketch_cardinality", sql=None)
+@register("sketch_cardinality", sql="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS within_bounds
+FROM events GROUP BY event_type
+""")
 def q_sketch_cardinality(spark, sf_dir):
     """HyperLogLog++ cardinality sketches vs exact distinct counts —
     the 100-TB path for COUNT(DISTINCT): the sketch is fixed-size,
     map-side combinable, and mergeable across partitions/days, where
-    exact distinct shuffles every key.  No SQL oracle (the sketch
-    estimate is engine-specific); the <=5% relative-error law vs the
-    exact column is pinned by pytest."""
+    exact distinct shuffles every key.  The raw estimate is
+    engine-specific (DuckDB has no HLL++ with Spark's register
+    layout), so the CHECKED value is the deterministic error contract:
+    ``within_bounds`` = 1 iff the rsd=0.02 sketch lands within 5% of
+    the exact count (2.5 sigma; deterministic for fixed input — HLL++
+    has no RNG) — compared three-way against the oracle's literal 1
+    alongside the exact counts.  The tighter-path law (estimate within
+    bounds at every sf) is additionally pinned by
+    tests/test_round3_ops.py."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.02)
              .alias("approx_users"),
              F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users"))
+            .cast("bigint").alias("within_bounds"))
     )
 
 
