@@ -18,24 +18,40 @@ breaks delta-derivability, and the source fails with a clear error
 telling the consumer to restart from a fresh checkpoint — silent
 re-emission or skipping would corrupt downstream state.
 
-Driver-side reader (`SimpleDataSourceStreamReader`) by design: a CDC
-tail reads one batch's worth of new files per trigger, which is
-driver-feasible at any table size because the unit of work is the
-DELTA, never the table.  The schema comes from the manifest (the
-same committed-with-the-pointer schema `read_version` uses) — columns
-added by schema evolution read as NULL from pre-evolution batches.
-Local/shared-filesystem paths only, like `sources/fwf_source`.
+Scale design — EXECUTOR-side reads: the default reader is a full
+``DataSourceStreamReader`` whose driver role is manifest planning
+only (list the delta's parquet files, one ``InputPartition`` per
+file); the file bytes are read by executors as Arrow record batches.
+At 100 TB one appended version IS a daily partition — potentially
+TBs — so the delta must scale out like any other scan; the number of
+FILES per version is manifest-sized (thousands), which is all the
+driver ever holds.  Schema evolution null-fills on the executor (a
+pre-evolution file simply lacks the new column), and hive-partition
+directory values are re-injected from the file path, typed via the
+manifest schema.
+
+A driver-side ``SimpleDataSourceStreamReader`` fallback remains
+available via ``.option("reader", "simple")`` for tiny
+control-plane tables where per-partition task overhead exceeds the
+delta itself.  Local/shared-filesystem paths only, like
+`sources/fwf_source`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.errors import PySparkNotImplementedError
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import StructType
 
 from ..sinks.versioned import _dirs_for, _read_manifest
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _table_schema(table_dir: str) -> StructType:
@@ -51,7 +67,140 @@ def _table_schema(table_dir: str) -> StructType:
     return StructType.fromJson(json.loads(stored))
 
 
+def _delta_dirs(table_dir: str, start_v: int, end_v: int) -> list[str]:
+    """Snapshot dirs added between two versions — defined only when
+    the older version's dir list is a prefix of the newer's (pure
+    appends).  Anything else is a rewrite: fail clearly.
+
+    The checkpointed start version may have been RETIRED by vacuum
+    while its dirs live on (reference-counted by the current chain) —
+    the delta is still derivable: on a pure append chain every dir's
+    number equals the version that added it, so start's dir list is
+    exactly end's dirs numbered <= start_v.  If none qualify, a
+    rewrite replaced the chain (rewrites start a fresh dir numbered
+    > start_v) and we fail rather than re-emit the whole table."""
+    man = _read_manifest(table_dir)
+    end_dirs = _dirs_for(man, end_v)
+    if not start_v:
+        return end_dirs
+    if start_v in man["versions"]:
+        start_dirs = _dirs_for(man, start_v)
+    else:  # vacuumed checkpoint version: reconstruct by number
+        start_dirs = [d for d in end_dirs if int(d[2:]) <= start_v]
+    if not start_dirs or end_dirs[:len(start_dirs)] != start_dirs:
+        raise ValueError(
+            f"vtable: versions {start_v}..{end_v} of "
+            f"{table_dir} are not append-only (a rewrite — "
+            "an op='write'/'compact'/'merge' commit — intervened); "
+            "restart the consumer from a fresh checkpoint")
+    return end_dirs[len(start_dirs):]
+
+
+def _parquet_files(vdir: str) -> list[tuple[str, dict[str, str | None]]]:
+    """(file path, hive partition values) for every data file under a
+    snapshot dir — flat dirs yield an empty hive dict; hive layouts
+    (``p=.../part-*.parquet``) yield the decoded path values.  Sorted
+    for deterministic partition planning."""
+    out: list[tuple[str, dict[str, str | None]]] = []
+    for root, dirs, files in os.walk(vdir):
+        dirs.sort()
+        rel = os.path.relpath(root, vdir)
+        hive: dict[str, str | None] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, _, v = seg.partition("=")
+                hive[k] = (None if v == _HIVE_NULL
+                           else urllib.parse.unquote(v))
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append((os.path.join(root, f), hive))
+    return out
+
+
+class VTableFilePartition(InputPartition):
+    """One delta parquet file = one task (the planning unit a
+    manifest-based source hands Spark; splitting by row group would
+    be the next refinement at very large files)."""
+
+    def __init__(self, path: str, hive: dict[str, str | None]):
+        self.path = path
+        self.hive = hive
+
+
+class VTablePartitionedStreamReader(DataSourceStreamReader):
+    """Default reader: driver plans per-file partitions from the
+    manifest; executors read the parquet bytes (Arrow batches)."""
+
+    def __init__(self, table_dir: str, schema: StructType):
+        self.table_dir = table_dir
+        # Pickled to executors with the reader: keep it a plain string.
+        self.schema_json = schema.json()
+
+    # -- driver-side planning ------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        man = _read_manifest(self.table_dir)
+        return {"version": int(man["current"] or 0)}
+
+    def partitions(self, start: dict, end: dict):
+        start_v, end_v = start["version"], end["version"]
+        if end_v <= start_v:
+            return []
+        parts = []
+        for d in _delta_dirs(self.table_dir, start_v, end_v):
+            vdir = os.path.join(self.table_dir, d)
+            for path, hive in _parquet_files(vdir):
+                parts.append(VTableFilePartition(path, hive))
+        return parts
+
+    # -- executor-side read --------------------------------------------
+    def read(self, partition: VTableFilePartition):
+        """Runs on an executor python worker: streams the one file's
+        row groups as Arrow batches aligned to the table schema —
+        missing columns (schema evolution) null-fill, hive path
+        values re-materialize as typed constant columns.  Driver
+        memory never sees row data."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = StructType.fromJson(json.loads(self.schema_json))
+        target = to_arrow_schema(schema)
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            names = batch.schema.names
+            cols = []
+            for field in target:
+                if field.name in names:
+                    col = batch.column(names.index(field.name))
+                    cols.append(col.cast(field.type))
+                elif field.name in partition.hive:
+                    v = partition.hive[field.name]
+                    if v is None:
+                        cols.append(pa.nulls(n, field.type))
+                    else:
+                        cols.append(
+                            pa.array([v] * n, pa.string())
+                            .cast(field.type))
+                else:  # added after this file was written: null-fill
+                    cols.append(pa.nulls(n, field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing to ack
+
+
 class VTableStreamReader(SimpleDataSourceStreamReader):
+    """Fallback driver-side reader (``.option("reader", "simple")``):
+    correct at any table size because the unit is one delta, but it
+    materializes that delta in driver memory — only for tiny
+    control-plane tables."""
+
     def __init__(self, table_dir: str, schema: StructType):
         self.table_dir = table_dir
         self.fields = [f.name for f in schema.fields]
@@ -59,43 +208,12 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": 0}
 
-    def _delta_dirs(self, start_v: int, end_v: int) -> list[str]:
-        """Snapshot dirs added between two versions — defined only
-        when the older version's dir list is a prefix of the newer's
-        (pure appends).  Anything else is a rewrite: fail clearly.
-
-        The checkpointed start version may have been RETIRED by
-        vacuum while its dirs live on (reference-counted by the
-        current chain) — the delta is still derivable: on a pure
-        append chain every dir's number equals the version that added
-        it, so start's dir list is exactly end's dirs numbered
-        <= start_v.  If none qualify, a rewrite replaced the chain
-        (rewrites start a fresh dir numbered > start_v) and we fail
-        rather than re-emit the whole table."""
-        man = _read_manifest(self.table_dir)
-        end_dirs = _dirs_for(man, end_v)
-        if not start_v:
-            return end_dirs
-        if start_v in man["versions"]:
-            start_dirs = _dirs_for(man, start_v)
-        else:  # vacuumed checkpoint version: reconstruct by number
-            start_dirs = [d for d in end_dirs if int(d[2:]) <= start_v]
-        if not start_dirs or end_dirs[:len(start_dirs)] != start_dirs:
-            raise ValueError(
-                f"vtable: versions {start_v}..{end_v} of "
-                f"{self.table_dir} are not append-only (a rewrite — "
-                "an op='write'/'compact'/'merge' commit — intervened); "
-                "restart the consumer from a fresh checkpoint")
-        return end_dirs[len(start_dirs):]
-
     def _rows(self, dirs: list[str]) -> list[tuple]:
         # Materialized, not a generator: Spark's simple-reader
         # wrapper both next()s the returned iterator AND copy.copy()s
         # it into its prefetch cache, so `read` must hand back
         # iter(list) — a list_iterator is copyable (via __reduce__)
-        # where a generator is not.  Materializing is the simple
-        # reader's documented driver-prefetch contract, and the unit
-        # is one delta (the new batch), never the table.
+        # where a generator is not.
         import pyarrow.parquet as pq
 
         out: list[tuple] = []
@@ -115,12 +233,13 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
         start_v = start["version"]
         if end_v <= start_v:
             return iter([]), start
-        return (iter(self._rows(self._delta_dirs(start_v, end_v))),
+        return (iter(self._rows(
+                    _delta_dirs(self.table_dir, start_v, end_v))),
                 {"version": end_v})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows(self._delta_dirs(start["version"],
-                                                end["version"])))
+        return iter(self._rows(_delta_dirs(
+            self.table_dir, start["version"], end["version"])))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint; nothing to ack
@@ -142,6 +261,17 @@ class VTableDataSource(DataSource):
                 f"vtable: {path!r} — URI schemes are not supported; "
                 "this source reads local/shared-filesystem paths only")
         return _table_schema(path)
+
+    def streamReader(self, schema: StructType):
+        if self.options.get("reader", "").lower() == "simple":
+            # Raising the NotImplemented marker makes Spark's
+            # _streamReader helper fall back to simpleStreamReader —
+            # the sanctioned opt-out mechanism.
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"})
+        return VTablePartitionedStreamReader(self.options["path"],
+                                             schema)
 
     def simpleStreamReader(self, schema: StructType):
         return VTableStreamReader(self.options["path"], schema)
