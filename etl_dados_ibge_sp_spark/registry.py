@@ -998,7 +998,8 @@ def _load_extensions() -> None:
         slack = max(0,
                     _stale_bound(current_round)
                     * registry_pending.DRIVER_ROW_BUDGET - len(REGISTRY))
-    registry_pending.admit(REGISTRY, slack, register)
+    registry_pending.admit(REGISTRY, slack, register,
+                           current_round=current_round)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1015,6 +1016,8 @@ def all_queries_with_pending() -> dict[
     from . import registry_pending
     out = dict(all_queries())
     for name, _sql, fn in registry_pending.PENDING:
+        out.setdefault(name, fn)
+    for _minr, name, _sql, fn in registry_pending.PENDING_GATED:
         out.setdefault(name, fn)
     return out
 

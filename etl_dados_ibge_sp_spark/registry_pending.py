@@ -1568,8 +1568,58 @@ from .registry_pending9 import PENDING9  # noqa: E402
 PENDING.extend(PENDING9)
 
 
+# --------------------------------------------------------------------------
+# ROUND-GATED tranche: entries that must NOT be admitted before a
+# given round even if slack exists.  Round 6's 50-row budget is
+# exactly consumed by the 49-query round-5 backlog plus the
+# newly-oracled sketch_cardinality (the round-5 verdict's freeze), so
+# anything registered in round 6 would displace a never-verified row.
+# --------------------------------------------------------------------------
+
+def _q_lakehouse_incremental_loop(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The full lakehouse loop as one checked query (plans/
+    lakehouse_loop): events arrive at a versioned raw table in three
+    batches (b = event_id % 3), an exactly-once vtable stream consumes
+    them across two availableNow runs, each micro-batch MERGEs
+    latest-per-user into a keyed state table, each merge's
+    table_changes CDC delta maintains a per-event_type aggregate —
+    and the oracle is the BATCH RESTATEMENT of that aggregate, so the
+    driver's hash check IS the delta-view-maintenance identity."""
+    import tempfile
+
+    from .plans.lakehouse_loop import incremental_loop
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "ts")
+    return incremental_loop(spark, ev,
+                            tempfile.mkdtemp(prefix="lh_loop_"))
+
+
+_LOOP_SQL = """
+WITH w AS (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id
+               ORDER BY event_id % 3 DESC, epoch_us(ts) DESC,
+                        event_id DESC) AS rn
+    FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM w WHERE rn = 1
+GROUP BY event_type
+"""
+
+# (earliest admission round, name, oracle_sql, fn)
+PENDING_GATED: list[tuple[int, str, str,
+                          Callable[[SparkSession, str], DataFrame]]] = [
+    (7, "lakehouse_incremental_loop", _LOOP_SQL,
+     _q_lakehouse_incremental_loop),
+]
+
+
 def admit(registry: dict, slack: int,
-          register_fn: Callable[[str, str | None], Callable]) -> list[str]:
+          register_fn: Callable[[str, str | None], Callable],
+          current_round: int | None = None) -> list[str]:
     """Register up to ``slack`` pending queries, in list order.
 
     ``registry._load_extensions`` computes the slack: zero-displacement
@@ -1578,9 +1628,17 @@ def admit(registry: dict, slack: int,
     rotation still re-verifies every query within 3 rounds.  Each
     admitted query consumes one slot.  Returns the admitted names
     (idempotent: an admitted query is skipped by the ``in registry``
-    check on later calls)."""
+    check on later calls).
+
+    ``current_round`` additionally unlocks ``PENDING_GATED`` entries
+    whose earliest admission round has arrived; without it (older
+    callers, unit harnesses) gated entries stay queued."""
+    candidates = list(PENDING)
+    for min_round, name, sql, fn in PENDING_GATED:
+        if current_round is not None and current_round >= min_round:
+            candidates.append((name, sql, fn))
     admitted: list[str] = []
-    for name, sql, fn in PENDING:
+    for name, sql, fn in candidates:
         if slack <= 0:
             break
         if name in registry:

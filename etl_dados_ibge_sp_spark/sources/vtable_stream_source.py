@@ -277,6 +277,49 @@ class VTableDataSource(DataSource):
         return VTableStreamReader(self.options["path"], schema)
 
 
+def _ship_package(spark) -> None:
+    """Make this source work from Spark's OUT-OF-PROCESS python
+    workers (the streaming source runner and executor read() workers)
+    under a FOREIGN driver session — the verification driver, or any
+    spark-submit whose cwd isn't the repo.  Those workers' PYTHONPATH
+    knows nothing about the repo, and cloudpickle serializes the
+    DataSource class BY REFERENCE by default, so they would fail to
+    import it.  Two layers:
+
+    - ``addPyFile`` a zip of the package — the standard cluster
+      deployment path (what a 1000-executor job distributes); covers
+      executor task workers.
+    - register this module (and the manifest helpers it closes over)
+      for cloudpickle BY-VALUE serialization — the streaming source
+      runner subprocess does not receive pyFiles includes in Spark
+      4.1, so the pickled DataSource must be self-contained.  Both
+      modules only reference pyspark + stdlib, so the embedded code
+      has no further repo dependencies."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..sinks import versioned
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(versioned)
+
+    sc = spark.sparkContext
+    if getattr(sc, "_vtable_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="vtable_pkg_"), "pkg"),
+        "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir))
+    sc.addPyFile(zip_path)
+    sc._vtable_pkg_shipped = True
+
+
 def register_vtable(spark) -> None:
     """Register the vtable streaming format on this session."""
+    _ship_package(spark)
     spark.dataSource.register(VTableDataSource)

@@ -29,7 +29,9 @@ reg = set(registry.REGISTRY)
 from etl_dados_ibge_sp_spark.session import tune_for_oracle  # noqa: E402
 failed = []
 n = 0
-for name, sql, fn in RP.PENDING:
+queue = list(RP.PENDING) + [(nm, sql, fn)
+                            for _minr, nm, sql, fn in RP.PENDING_GATED]
+for name, sql, fn in queue:
     if name in reg:
         continue
     n += 1
