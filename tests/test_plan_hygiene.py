@@ -26,8 +26,12 @@ QUERIES = all_queries_with_pending()
 # Streaming queries execute a real availableNow run when the callable
 # is invoked — they are covered by their own tests and their plan is
 # the inner batch plan anyway; building them here would re-run streams
-# ~10x for no new evidence.
-_SKIP = tuple(n for n in QUERIES if n.startswith("stream_"))
+# ~10x for no new evidence.  The lakehouse loop likewise runs its
+# whole stream-merge pipeline on invocation (its returned plan is a
+# trivial local-relation aggregate; the real plans are law-tested in
+# tests/test_lakehouse_loop.py).
+_SKIP = tuple(n for n in QUERIES if n.startswith("stream_")) \
+    + ("lakehouse_incremental_loop",)
 
 
 @pytest.mark.parametrize("name",
@@ -56,3 +60,48 @@ def test_physical_plan_hygiene(name, spark, sf_dir):
         assert "Scan parquet" in below or "LocalTableScan" in below \
             or "Scan ExistingRDD" in below, \
             f"{name}: RoundRobin reshuffle not at a scan:\n{below}"
+
+
+# ----------------------------------------------------------------------
+# Shuffle-count pins for the most expensive queries (round-6 verdict
+# ask #8): a plan regression that adds an Exchange to one of these
+# should fail CI immediately instead of waiting for the bench gate.
+# Bounds are the plan_audit-measured shuffle counts (formatted-explain
+# "(N) Exchange" headers — true shuffles only, broadcast exchanges and
+# cached-subtree internals excluded, same metric as PLANS.md) in a
+# fresh session at the test scale.  Upper bounds: an optimizer or
+# cache reuse that REMOVES a shuffle never fails them.
+# ----------------------------------------------------------------------
+
+_MAX_SHUFFLES = {
+    "dedup_incremental_load": 10,
+    "dedup_containment": 11,
+    "bloom_filter_join": 2,
+    "weighted_median_value": 3,
+    "dedup_minhash_lsh": 7,
+    "corpus_curate": 8,
+    "profile_tables": 8,
+    "events_interpolate_linear": 5,
+    "basket_pair_support": 2,
+    "nation_pair_trade": 1,
+    "fuzzy_join_names_k2": 4,
+    "nation_pagerank": 5,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MAX_SHUFFLES))
+def test_shuffle_count_pinned(name, spark, sf_dir):
+    import contextlib
+    import io
+    import re
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles <= _MAX_SHUFFLES[name], (
+        f"{name}: {shuffles} shuffles, audited bound is "
+        f"{_MAX_SHUFFLES[name]} — a plan regression added an "
+        f"Exchange; see PLANS.md §{name}\n{plan[:2000]}")
