@@ -35,6 +35,14 @@ available via ``.option("reader", "simple")`` for tiny
 control-plane tables where per-partition task overhead exceeds the
 delta itself.  Local/shared-filesystem paths only, like
 `sources/fwf_source`.
+
+The format is also a STREAMING SINK (``writeStream.format("vtable")``,
+see :class:`VTableStreamWriter`): executors stage each task's Arrow
+batches as parquet, the driver commit moves them into a new version
+and records the micro-batch id in the manifest's per-writer ``txn``
+ledger in the same atomic flip — exactly-once appends, so
+``vtable -> transform -> vtable`` pipelines chain with no foreachBatch
+shim and no duplicate rows across checkpoint replays.
 """
 
 from __future__ import annotations
@@ -43,13 +51,19 @@ import json
 import os
 import urllib.parse
 
+from dataclasses import dataclass, field
+
 from pyspark.errors import PySparkNotImplementedError
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+from pyspark.sql.datasource import (DataSource,
+                                    DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader,
                                     InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
-from ..sinks.versioned import _dirs_for, _read_manifest
+from ..sinks.versioned import (_commit, _dirs_for, _merged_schema,
+                               _partition_by_for, _read_manifest)
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -120,23 +134,36 @@ def _parquet_files(vdir: str) -> list[tuple[str, dict[str, str | None]]]:
 
 
 class VTableFilePartition(InputPartition):
-    """One delta parquet file = one task (the planning unit a
-    manifest-based source hands Spark; splitting by row group would
-    be the next refinement at very large files)."""
+    """One delta parquet file — or one ROW GROUP of it — per task.
+    ``row_groups=None`` means the whole file; files larger than the
+    reader's ``split_bytes`` are split into one partition per row
+    group so a skewed delta (one huge file) still scales out."""
 
-    def __init__(self, path: str, hive: dict[str, str | None]):
+    def __init__(self, path: str, hive: dict[str, str | None],
+                 row_groups: list[int] | None = None):
         self.path = path
         self.hive = hive
+        self.row_groups = row_groups
 
 
 class VTablePartitionedStreamReader(DataSourceStreamReader):
-    """Default reader: driver plans per-file partitions from the
-    manifest; executors read the parquet bytes (Arrow batches)."""
+    """Default reader: driver plans per-file (or per-row-group, above
+    ``split_bytes``) partitions from the manifest; executors read the
+    parquet bytes (Arrow batches)."""
 
-    def __init__(self, table_dir: str, schema: StructType):
+    # Files at/above this size split into per-row-group partitions:
+    # one cheap driver-side stat per file decides; only files that
+    # split pay a footer read.  128 MiB matches Spark's
+    # files.maxPartitionBytes default.
+    DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+    def __init__(self, table_dir: str, schema: StructType,
+                 split_bytes: int | None = None):
         self.table_dir = table_dir
         # Pickled to executors with the reader: keep it a plain string.
         self.schema_json = schema.json()
+        self.split_bytes = (self.DEFAULT_SPLIT_BYTES
+                            if split_bytes is None else split_bytes)
 
     # -- driver-side planning ------------------------------------------
     def initialOffset(self) -> dict:
@@ -154,7 +181,13 @@ class VTablePartitionedStreamReader(DataSourceStreamReader):
         for d in _delta_dirs(self.table_dir, start_v, end_v):
             vdir = os.path.join(self.table_dir, d)
             for path, hive in _parquet_files(vdir):
-                parts.append(VTableFilePartition(path, hive))
+                if os.path.getsize(path) >= self.split_bytes:
+                    import pyarrow.parquet as pq
+                    n = pq.ParquetFile(path).metadata.num_row_groups
+                    parts.extend(VTableFilePartition(path, hive, [g])
+                                 for g in range(n))
+                else:
+                    parts.append(VTableFilePartition(path, hive))
         return parts
 
     # -- executor-side read --------------------------------------------
@@ -171,7 +204,7 @@ class VTablePartitionedStreamReader(DataSourceStreamReader):
         schema = StructType.fromJson(json.loads(self.schema_json))
         target = to_arrow_schema(schema)
         pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches():
+        for batch in pf.iter_batches(row_groups=partition.row_groups):
             n = batch.num_rows
             names = batch.schema.names
             cols = []
@@ -245,6 +278,108 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; nothing to ack
 
 
+@dataclass
+class VTableCommitMessage(WriterCommitMessage):
+    files: list = field(default_factory=list)  # staged parquet paths
+    rows: int = 0
+
+
+class VTableStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("vtable")`` — exactly-once streaming
+    APPEND into a versioned table, completing the loop natively (no
+    foreachBatch shim): executors write each task's Arrow batches as
+    one parquet file into ``_staging/``, and the driver's commit()
+    moves the staged files into a new ``v=N`` dir and flips the
+    manifest with the micro-batch id recorded under
+    ``txn[writer_id]`` IN THE SAME atomic flip — the transaction-id
+    idempotence pattern `sinks/versioned.foreach_batch_appender`
+    uses, so a checkpoint replay of an already-committed batch drops
+    its staged files and appends nothing.
+
+    Failure safety mirrors write_version: data files are fully
+    staged (then moved, same filesystem) BEFORE the manifest flip;
+    an abort or a crash leaves orphans in ``_staging/`` that no
+    manifest references — harmless, rewritten by the replay, and
+    removable at any time.  Append-only by construction (overwrite
+    mode is refused) and flat layouts only: a hive-partitioned table
+    must keep using foreach_batch_appender, which inherits the
+    table's partition_by."""
+
+    def __init__(self, table_dir: str, schema: StructType,
+                 writer_id: str = "stream",
+                 merge_schema: bool = False):
+        self.table_dir = table_dir
+        self.schema_json = schema.json()
+        self.writer_id = writer_id
+        self.merge_schema = merge_schema
+
+    # -- executor side ---------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return VTableCommitMessage()
+        staging = os.path.join(self.table_dir, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging,
+                            f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return VTableCommitMessage(files=[path],
+                                   rows=sum(b.num_rows
+                                            for b in batches))
+
+    # -- driver side -----------------------------------------------------
+    def _staged(self, messages) -> tuple[list[str], int]:
+        files = [f for m in messages if m is not None for f in m.files]
+        rows = sum(m.rows for m in messages if m is not None)
+        return files, rows
+
+    def commit(self, messages, batchId: int) -> None:
+        staged, rows = self._staged(messages)
+        man = _read_manifest(self.table_dir)
+        last = man.get("txn", {}).get(self.writer_id)
+        if last is not None and batchId <= last:
+            for f in staged:  # replayed batch: already committed
+                os.remove(f)
+            return
+        if not staged:
+            return  # empty batch: no version, nothing to make idempotent
+        prev = man["current"]
+        if _partition_by_for(man, prev):
+            raise ValueError(
+                f"vtable sink: {self.table_dir} is hive-partitioned; "
+                "this sink writes flat snapshots — use "
+                "sinks.versioned.foreach_batch_appender instead")
+        import types as _types
+
+        batch_schema = StructType.fromJson(json.loads(self.schema_json))
+        schema = _merged_schema(man, prev,
+                                _types.SimpleNamespace(schema=batch_schema),
+                                self.merge_schema)
+        version = (prev or 0) + 1
+        vdir = os.path.join(self.table_dir, f"v={version}")
+        os.makedirs(vdir, exist_ok=True)
+        for f in staged:
+            os.replace(f, os.path.join(vdir, os.path.basename(f)))
+        dirs = ({"base": prev, "add": f"v={version}"} if prev
+                else [f"v={version}"])
+        man.setdefault("txn", {})[self.writer_id] = batchId
+        _commit(man, self.table_dir, version, dirs, schema.json(),
+                op="append", rows_written=rows)
+
+    def abort(self, messages, batchId: int) -> None:
+        staged, _rows = self._staged(messages)
+        for f in staged:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+
+
 class VTableDataSource(DataSource):
     """``format("vtable")`` — see module docstring for the contract."""
 
@@ -270,11 +405,25 @@ class VTableDataSource(DataSource):
             raise PySparkNotImplementedError(
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader"})
-        return VTablePartitionedStreamReader(self.options["path"],
-                                             schema)
+        split = self.options.get("split_bytes")
+        return VTablePartitionedStreamReader(
+            self.options["path"], schema,
+            split_bytes=int(split) if split is not None else None)
 
     def simpleStreamReader(self, schema: StructType):
         return VTableStreamReader(self.options["path"], schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "vtable sink is append-only (outputMode append); a "
+                "rewrite is a batch operation — use "
+                "sinks.versioned.write_version")
+        return VTableStreamWriter(
+            self.options["path"], schema,
+            writer_id=self.options.get("writer_id", "stream"),
+            merge_schema=str(self.options.get("merge_schema", "false"))
+            .lower() == "true")
 
 
 def _ship_package(spark) -> None:

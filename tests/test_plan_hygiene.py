@@ -84,7 +84,10 @@ _MAX_SHUFFLES = {
     "events_interpolate_linear": 5,
     "basket_pair_support": 2,
     "nation_pair_trade": 1,
-    "fuzzy_join_names_k2": 4,
+    # fuzzy_join_names_k2 deliberately NOT pinned: its physical shape
+    # depends on which session-memoized frames earlier tests left
+    # cached (4 shuffles fresh, 7 when the q-gram block frames are
+    # cache-substituted), so a fixed bound flaps with test order.
     "nation_pagerank": 5,
 }
 

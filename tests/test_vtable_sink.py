@@ -1,0 +1,156 @@
+"""Laws for the vtable STREAMING SINK (writeStream.format("vtable")):
+exactly-once appends across checkpointed runs (table-to-table native
+copy), replayed-batch idempotence, abort cleanup, append-only refusal
+of overwrite, and schema handling on first write / evolution."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_dados_ibge_sp_spark.sinks.versioned import (append_version,
+                                                     read_version,
+                                                     table_history,
+                                                     write_version)
+from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+    VTableStreamWriter, register_vtable)
+
+
+def _copy_once(spark, src, dst, ckpt):
+    q = (spark.readStream.format("vtable").option("path", src).load()
+         .writeStream.format("vtable").option("path", dst)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def _rows(spark, table):
+    return sorted(tuple(r) for r in read_version(spark, table).collect())
+
+
+def test_table_to_table_copy_exactly_once(spark, tmp_path):
+    """The loop fully native: vtable source -> vtable sink, resumed
+    across runs of one checkpoint, copies every appended version
+    exactly once — including the first write CREATING the sink table
+    (schema from the stream)."""
+    register_vtable(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "k int, v string"), src)
+    _copy_once(spark, src, dst, ckpt)
+    assert _rows(spark, dst) == [(1, "a"), (2, "b")]
+    # Idle run: no new versions on src -> none on dst.
+    v = len(table_history(dst))
+    _copy_once(spark, src, dst, ckpt)
+    assert len(table_history(dst)) == v
+    # Two appends while the consumer is down -> ONE dst append, rows
+    # exactly once.
+    append_version(spark.createDataFrame([(3, "c")], "k int, v string"),
+                   src)
+    append_version(spark.createDataFrame([(4, "d")], "k int, v string"),
+                   src)
+    _copy_once(spark, src, dst, ckpt)
+    assert _rows(spark, dst) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    ops = [h["op"] for h in table_history(dst)]
+    assert ops == ["append", "append"]
+    # The txn ledger carries the writer id and the last batch id.
+    from etl_dados_ibge_sp_spark.sinks.versioned import _read_manifest
+    assert "stream" in _read_manifest(dst)["txn"]
+
+
+def test_replayed_batch_appends_nothing(spark, tmp_path):
+    """Unit law for the commit protocol: committing the same batchId
+    twice (a checkpoint replay) drops the staged files and leaves the
+    table untouched."""
+    import pyarrow as pa
+
+    from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+        VTableCommitMessage)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t = str(tmp_path / "tbl")
+    schema_df = spark.createDataFrame([(1, "a")], "k int, v string")
+    w = VTableStreamWriter(t, schema_df.schema)
+    # Real micro-batches arrive typed to the stream's schema; build the
+    # rigged batch the same way.
+    batch = pa.RecordBatch.from_pylist([{"k": 1, "v": "a"}],
+                                       schema=to_arrow_schema(
+                                           schema_df.schema))
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=0)
+    assert _rows(spark, t) == [(1, "a")]
+    # Replay: stage again (a replayed task reruns write()), commit the
+    # SAME batch id -> staged file removed, no new version.
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=0)
+    assert _rows(spark, t) == [(1, "a")]
+    assert len(table_history(t)) == 1
+    assert not os.path.exists(msg2.files[0])
+    # Failed-task slot: a None message must not break commit.
+    msg3 = w.write(iter([batch]))
+    w.commit([msg3, None, VTableCommitMessage()], batchId=1)
+    assert _rows(spark, t) == [(1, "a"), (1, "a")]
+
+
+def test_abort_cleans_staging(spark, tmp_path):
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1, "a")], "k int, v string").schema
+    w = VTableStreamWriter(t, schema)
+    msg = w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 1, "v": "a"}], schema=to_arrow_schema(schema))]))
+    assert os.path.exists(msg.files[0])
+    w.abort([msg, None], batchId=0)
+    assert not os.path.exists(msg.files[0])
+    assert not os.path.exists(os.path.join(t, "_manifest.json"))
+
+
+def test_overwrite_mode_refused(spark, tmp_path):
+    register_vtable(spark)
+    src = str(tmp_path / "src")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  src)
+    q = (spark.readStream.format("vtable").option("path", src).load()
+         .writeStream.format("vtable")
+         .option("path", str(tmp_path / "dst"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("complete"))
+    with pytest.raises(Exception):
+        q.trigger(availableNow=True).start().awaitTermination(60)
+
+
+def test_sink_schema_mismatch_and_evolution(spark, tmp_path):
+    """Second micro-batch with a new column: refused by default,
+    null-filled evolution with .option('merge_schema', 'true') — the
+    same opt-in contract as append_version."""
+    import pyarrow as pa
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    write_version(base, t)
+    wider = spark.createDataFrame([(2, "b", 7.5)],
+                                  "k int, v string, score double")
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    wide_batch = pa.RecordBatch.from_pylist(
+        [{"k": 2, "v": "b", "score": 7.5}],
+        schema=to_arrow_schema(wider.schema))
+    strict = VTableStreamWriter(t, wider.schema)
+    msg = strict.write(iter([wide_batch]))
+    with pytest.raises(ValueError, match="merge_schema"):
+        strict.commit([msg], batchId=0)
+    evolving = VTableStreamWriter(t, wider.schema, merge_schema=True)
+    msg = evolving.write(iter([wide_batch]))
+    evolving.commit([msg], batchId=0)
+    assert _rows(spark, t) == [(1, "a", None), (2, "b", 7.5)]

@@ -199,3 +199,66 @@ def test_stream_hive_partitioned_table(spark, tmp_path):
     append_version(spark.createDataFrame([(3, "c", 10)],
                                          "k int, v string, p int"), t)
     assert _run_once(spark, t, ckpt) == [(3, "c", 10)]
+
+
+def test_large_file_splits_per_row_group(spark, tmp_path):
+    """A delta file at/above split_bytes plans one partition per ROW
+    GROUP (a skewed delta — one huge file — still scales out), and
+    the split partitions read back exactly the whole file's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+        VTableDataSource, VTablePartitionedStreamReader, _parquet_files)
+
+    t = str(tmp_path / "tbl")
+    write_version(
+        spark.range(10).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .coalesce(1), t)
+    # Rewrite the single part file with 5 row groups (same rows —
+    # snapshots are plain parquet, so this is byte-level test rigging,
+    # not an API violation).
+    [(path, _hive)] = _parquet_files(str(tmp_path / "tbl" / "v=1"))
+    pq.write_table(pq.read_table(path), path, row_group_size=2)
+
+    schema = VTableDataSource({"path": t}).schema()
+    # Threshold above the file size: no split, one partition.
+    whole = VTablePartitionedStreamReader(t, schema, split_bytes=1 << 30)
+    assert len(whole.partitions({"version": 0}, {"version": 1})) == 1
+    # Threshold of 1 byte: every file splits per row group.
+    split = VTablePartitionedStreamReader(t, schema, split_bytes=1)
+    parts = split.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 5
+    assert sorted({p.path for p in parts}) == [path]
+    rows = sorted(
+        (r for p in parts
+         for b in split.read(p)
+         for r in pa.Table.from_batches([b]).to_pylist()),
+        key=lambda r: r["k"])
+    assert rows == [{"k": i, "v": str(i)} for i in range(10)]
+
+
+def test_split_bytes_option_end_to_end(spark, tmp_path):
+    """The stream with .option('split_bytes', '1') (force per-row-group
+    tasks) returns exactly the same rows as the unsplit default."""
+    register_vtable(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.range(50).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    write_version(df, t)
+    rows: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        rows.extend(tuple(r) for r in batch_df.collect())
+
+    q = (spark.readStream.format("vtable").option("path", t)
+         .option("split_bytes", "1").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert sorted(rows) == [(i, str(i)) for i in range(50)]
