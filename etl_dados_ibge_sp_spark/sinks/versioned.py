@@ -565,6 +565,14 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
                    if d not in referenced}
     doomed_dirs.update(_orphan_dirs(table_dir, {
         d for v in man["versions"] for d in _dirs_for(man, v)}))
+    # Staged-but-never-committed files from a crashed/aborted
+    # streaming-sink batch (sources/vtable_stream_source
+    # .VTableStreamWriter): nothing references _staging — the sink
+    # moves files OUT on commit — so under the same single-writer
+    # contract everything left inside is reclaimable.
+    staging = os.path.join(table_dir, "_staging")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
     if not doomed and not doomed_dirs:
         return []
     man["versions"] = sorted(keepers)

@@ -158,16 +158,22 @@ class VTablePartitionedStreamReader(DataSourceStreamReader):
     DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 
     def __init__(self, table_dir: str, schema: StructType,
-                 split_bytes: int | None = None):
+                 split_bytes: int | None = None,
+                 starting_version: int = 1):
         self.table_dir = table_dir
         # Pickled to executors with the reader: keep it a plain string.
         self.schema_json = schema.json()
         self.split_bytes = (self.DEFAULT_SPLIT_BYTES
                             if split_bytes is None else split_bytes)
+        self.starting_version = starting_version
 
     # -- driver-side planning ------------------------------------------
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # A NEW checkpoint starts consuming at starting_version
+        # (inclusive, default 1 = the whole table) — the Delta
+        # startingVersion idiom for subscribing only to changes from
+        # now on without replaying history.
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         man = _read_manifest(self.table_dir)
@@ -234,12 +240,14 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
     materializes that delta in driver memory — only for tiny
     control-plane tables."""
 
-    def __init__(self, table_dir: str, schema: StructType):
+    def __init__(self, table_dir: str, schema: StructType,
+                 starting_version: int = 1):
         self.table_dir = table_dir
         self.fields = [f.name for f in schema.fields]
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": self.starting_version - 1}
 
     def _rows(self, dirs: list[str]) -> list[tuple]:
         # Materialized, not a generator: Spark's simple-reader
@@ -408,10 +416,15 @@ class VTableDataSource(DataSource):
         split = self.options.get("split_bytes")
         return VTablePartitionedStreamReader(
             self.options["path"], schema,
-            split_bytes=int(split) if split is not None else None)
+            split_bytes=int(split) if split is not None else None,
+            starting_version=int(self.options.get("starting_version",
+                                                  1)))
 
     def simpleStreamReader(self, schema: StructType):
-        return VTableStreamReader(self.options["path"], schema)
+        return VTableStreamReader(
+            self.options["path"], schema,
+            starting_version=int(self.options.get("starting_version",
+                                                  1)))
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:

@@ -262,3 +262,68 @@ def test_split_bytes_option_end_to_end(spark, tmp_path):
         if q.isActive:
             q.stop()
     assert sorted(rows) == [(i, str(i)) for i in range(50)]
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    """.option('starting_version', N): a NEW checkpoint begins at
+    version N inclusive (Delta's startingVersion idiom) — history
+    before N is never emitted, later appends still tail."""
+    register_vtable(spark)
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    append_version(spark.createDataFrame([(2, "b")], "k int, v string"),
+                   t)
+    append_version(spark.createDataFrame([(3, "c")], "k int, v string"),
+                   t)
+    rows: list[tuple] = []
+
+    def run(ckpt):
+        def sink(batch_df, _bid):
+            rows.extend(tuple(r) for r in batch_df.collect())
+        q = (spark.readStream.format("vtable").option("path", t)
+             .option("starting_version", "2").load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    assert sorted(rows) == [(2, "b"), (3, "c")]
+    # The option only seeds NEW checkpoints; the existing one resumes
+    # from its own offset.
+    append_version(spark.createDataFrame([(4, "d")], "k int, v string"),
+                   t)
+    rows.clear()
+    run(ckpt)
+    assert rows == [(4, "d")]
+
+
+def test_vacuum_sweeps_staging_orphans(spark, tmp_path):
+    """Files staged by a crashed streaming-sink batch are reclaimed by
+    vacuum (nothing references _staging; commit moves files out)."""
+    import os
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import vacuum
+    from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+        VTableStreamWriter)
+
+    t = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1, "a")], "k int, v string").schema
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    w = VTableStreamWriter(t, schema)
+    msg = w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 9, "v": "z"}], schema=to_arrow_schema(schema))]))
+    assert os.path.exists(msg.files[0])  # crash: staged, never committed
+    vacuum(t, keep=5)
+    assert not os.path.exists(os.path.join(t, "_staging"))
