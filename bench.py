@@ -196,6 +196,11 @@ def main() -> None:
             "apart with scan-bound controls moving only 1.2x — "
             "treat a flag on such a query as noise unless it "
             "reproduces at host_factor ~1.0",
+            "round-6 closure of the round-5 watch items: "
+            "heavy_hitter_tokens and dedup_simhash (1.40x/1.42x in "
+            "r05's full-suite run) re-measured 0.99x and 1.08x on "
+            "solo min-of-3 at host_factor 1.0 — concurrent-session "
+            "contention, not plan changes; pins untouched",
         ],
         "queries": timings,
         "baseline_delta": deltas,
