@@ -102,10 +102,24 @@ def _delta_dirs(table_dir: str, start_v: int, end_v: int) -> list[str]:
     else:  # vacuumed checkpoint version: reconstruct by number
         start_dirs = [d for d in end_dirs if int(d[2:]) <= start_v]
     if not start_dirs or end_dirs[:len(start_dirs)] != start_dirs:
+        # One rewrite shape IS still delta-derivable: a COMPACTION
+        # preserves exactly the rows of the version it folded (the
+        # lakehouse dataChange=false idiom), so a consumer fully
+        # caught up through K-1 resumes across op='compact' at K —
+        # the delta is the dirs appended after the compacted dir.
+        # Any other shape (a later compaction folding versions the
+        # consumer never saw, a merge, a plain overwrite) mixes
+        # unseen rows into a folded file and must still fail.
+        k = start_v + 1
+        if (any(h.get("version") == k and h.get("op") == "compact"
+                for h in man.get("history", []))
+                and end_dirs and end_dirs[0] == f"v={k}"):
+            return end_dirs[1:]
         raise ValueError(
             f"vtable: versions {start_v}..{end_v} of "
-            f"{table_dir} are not append-only (a rewrite — "
-            "an op='write'/'compact'/'merge' commit — intervened); "
+            f"{table_dir} are not append-only (a rewrite — an "
+            "op='write'/'merge' commit, or a compaction folding "
+            "versions this consumer had not yet read — intervened); "
             "restart the consumer from a fresh checkpoint")
     return end_dirs[len(start_dirs):]
 

@@ -327,3 +327,47 @@ def test_vacuum_sweeps_staging_orphans(spark, tmp_path):
     assert os.path.exists(msg.files[0])  # crash: staged, never committed
     vacuum(t, keep=5)
     assert not os.path.exists(os.path.join(t, "_staging"))
+
+
+def test_stream_survives_compaction_when_caught_up(spark, tmp_path):
+    """Compaction preserves rows (dataChange=false in lakehouse
+    terms): a consumer fully caught up through the folded version
+    resumes across op='compact' and receives only post-compaction
+    appends, exactly once."""
+    from etl_dados_ibge_sp_spark.sinks.versioned import compact
+
+    register_vtable(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    append_version(spark.createDataFrame([(2, "b")], "k int, v string"),
+                   t)
+    assert _run_once(spark, t, ckpt) == [(1, "a"), (2, "b")]  # ckpt@2
+    compact(spark, t)                                         # v3
+    append_version(spark.createDataFrame([(3, "c")], "k int, v string"),
+                   t)                                         # v4
+    assert _run_once(spark, t, ckpt) == [(3, "c")]
+    # And the checkpoint keeps tailing normally afterwards.
+    append_version(spark.createDataFrame([(4, "d")], "k int, v string"),
+                   t)
+    assert _run_once(spark, t, ckpt) == [(4, "d")]
+
+
+def test_compaction_folding_unseen_versions_still_fails(spark, tmp_path):
+    """If the compaction folded a version the consumer never read,
+    those rows are mixed into the folded file — the stream must fail,
+    not skip or re-emit."""
+    from etl_dados_ibge_sp_spark.sinks.versioned import compact
+
+    register_vtable(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                  t)
+    assert _run_once(spark, t, ckpt) == [(1, "a")]  # ckpt@1
+    append_version(spark.createDataFrame([(2, "b")], "k int, v string"),
+                   t)                               # v2: never consumed
+    compact(spark, t)                               # v3 folds v2's rows
+    with pytest.raises(Exception, match="not append-only"):
+        _run_once(spark, t, ckpt)
