@@ -13,10 +13,13 @@ the versions committed since its checkpoint, the streaming form of
 
 Semantics mirror the real lakehouse streaming sources: the table must
 be APPEND-ONLY between the offsets read (each new version = previous
-dirs + one new dir).  A rewrite (`write_version`, compaction, merge)
-breaks delta-derivability, and the source fails with a clear error
-telling the consumer to restart from a fresh checkpoint — silent
-re-emission or skipping would corrupt downstream state.
+dirs + one new dir), with one sanctioned exception — a COMPACTION the
+consumer is fully caught up to is row-preserving (dataChange=false)
+and the stream resumes across it.  Any other rewrite
+(`write_version`, merge, a compaction folding unread versions) breaks
+delta-derivability, and the source fails with a clear error telling
+the consumer to restart from a fresh checkpoint — silent re-emission
+or skipping would corrupt downstream state.
 
 Scale design — EXECUTOR-side reads: the default reader is a full
 ``DataSourceStreamReader`` whose driver role is manifest planning
@@ -322,10 +325,18 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
     staged (then moved, same filesystem) BEFORE the manifest flip;
     an abort or a crash leaves orphans in ``_staging/`` that no
     manifest references — harmless, rewritten by the replay, and
-    removable at any time.  Append-only by construction (overwrite
+    reclaimed by ``vacuum``.  Append-only by construction (overwrite
     mode is refused) and flat layouts only: a hive-partitioned table
     must keep using foreach_batch_appender, which inherits the
-    table's partition_by."""
+    table's partition_by.
+
+    The txn ledger is scoped by ``writer_id`` (option, default
+    "stream") and batch ids restart at 0 for every new checkpoint —
+    so a consumer that DELETES its checkpoint and re-streams into a
+    table it already fed MUST pass a fresh ``writer_id`` (or the old
+    ledger will treat the first batches as replays and skip them).
+    Same contract as Delta's txn appId; foreach_batch_appender
+    shares it."""
 
     def __init__(self, table_dir: str, schema: StructType,
                  writer_id: str = "stream",
@@ -364,10 +375,23 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
         staged, rows = self._staged(messages)
         man = _read_manifest(self.table_dir)
         last = man.get("txn", {}).get(self.writer_id)
-        if last is not None and batchId <= last:
+        if last is not None and batchId == last:
             for f in staged:  # replayed batch: already committed
                 os.remove(f)
             return
+        if last is not None and batchId < last:
+            # A legitimate checkpoint replay only re-delivers the LAST
+            # batch (commits are sequential); an earlier id means a
+            # DIFFERENT checkpoint is feeding a ledger it does not own
+            # (deleted/fresh checkpoint, same writer_id) — skipping
+            # would silently drop data, so fail loudly instead.
+            for f in staged:
+                os.remove(f)
+            raise ValueError(
+                f"vtable sink: batch {batchId} is behind writer "
+                f"{self.writer_id!r}'s ledger ({last}) on "
+                f"{self.table_dir} — a new checkpoint must use a "
+                "fresh writer_id option")
         if not staged:
             return  # empty batch: no version, nothing to make idempotent
         prev = man["current"]

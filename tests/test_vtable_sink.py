@@ -154,3 +154,32 @@ def test_sink_schema_mismatch_and_evolution(spark, tmp_path):
     msg = evolving.write(iter([wide_batch]))
     evolving.commit([msg], batchId=0)
     assert _rows(spark, t) == [(1, "a", None), (2, "b", 7.5)]
+
+
+def test_foreign_checkpoint_ledger_mismatch_fails(spark, tmp_path):
+    """A batch id BEHIND the ledger is not a replay (legitimate
+    replays only re-deliver the last batch): it means a fresh
+    checkpoint is feeding a ledger it does not own — silent skipping
+    would drop data, so commit fails naming the fix."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1, "a")], "k int, v string").schema
+    arrow = to_arrow_schema(schema)
+    w = VTableStreamWriter(t, schema)
+    w.commit([w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 1, "v": "a"}], schema=arrow)]))], batchId=0)
+    w.commit([w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 2, "v": "b"}], schema=arrow)]))], batchId=1)
+    msg = w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 9, "v": "z"}], schema=arrow)]))
+    with pytest.raises(ValueError, match="fresh writer_id"):
+        w.commit([msg], batchId=0)
+    assert not os.path.exists(msg.files[0])  # staged file still swept
+    # A fresh writer_id resumes cleanly on its own ledger.
+    w2 = VTableStreamWriter(t, schema, writer_id="stream-2")
+    w2.commit([w2.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 9, "v": "z"}], schema=arrow)]))], batchId=0)
+    assert _rows(spark, t) == [(1, "a"), (2, "b"), (9, "z")]
