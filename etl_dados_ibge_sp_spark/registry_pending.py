@@ -1609,11 +1609,62 @@ FROM w WHERE rn = 1
 GROUP BY event_type
 """
 
+def _q_vtable_sink_roundtrip(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Native lakehouse streaming I/O end to end, hash-checked: the
+    events table becomes a versioned raw table, a `format("vtable")`
+    source → `format("vtable")` SINK stream copies it table-to-table
+    (executor-side reads, staged-parquet exactly-once writes, txn
+    ledger), and the aggregate over the COPY must equal the oracle's
+    aggregate over the original — any duplicated, dropped, or
+    corrupted row changes the hash."""
+    import os
+    import tempfile
+
+    from .sinks.versioned import read_version, write_version
+    from .sources.vtable_stream_source import register_vtable
+
+    register_vtable(spark)
+    work = tempfile.mkdtemp(prefix="vsink_rt_")
+    src, dst = os.path.join(work, "src"), os.path.join(work, "dst")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    write_version(ev, src)
+    q = (spark.readStream.format("vtable").option("path", src).load()
+         .writeStream.format("vtable").option("path", dst)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    try:
+        assert q.awaitTermination(300), "vtable roundtrip stream hung"
+    finally:
+        if q.isActive:
+            q.stop()
+    return (read_version(spark, dst)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users"),
+                 F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                 F.sum("ts_us").cast("bigint").alias("sum_ts_us")))
+
+
+_VSINK_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+FROM events GROUP BY event_type
+"""
+
 # (earliest admission round, name, oracle_sql, fn)
 PENDING_GATED: list[tuple[int, str, str,
                           Callable[[SparkSession, str], DataFrame]]] = [
     (7, "lakehouse_incremental_loop", _LOOP_SQL,
      _q_lakehouse_incremental_loop),
+    (7, "vtable_sink_roundtrip", _VSINK_SQL, _q_vtable_sink_roundtrip),
 ]
 
 
