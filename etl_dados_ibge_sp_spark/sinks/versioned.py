@@ -71,9 +71,38 @@ def _dirs_for(man: dict, version: int) -> list[str]:
         if isinstance(e, list):
             base = e
             break
-        adds.append(e["add"])
+        if e["add"] is not None:  # delete versions add no dir
+            adds.append(e["add"])
         v = e["base"]
     return base + adds[::-1]
+
+
+def _deletes_for(man: dict, version: int) -> list[tuple[int, str]]:
+    """(delete version, predicate) pairs live at ``version``, walking
+    the same base-pointer chain as ``_dirs_for`` — a rewrite (write /
+    compact / merge) starts a fresh chain, so its materialized
+    snapshot (which already excludes deleted rows) naturally resets
+    the predicate set.  Entries are stored per delete commit as a
+    string; vacuum materializes survivors' CUMULATIVE pair lists
+    (same pattern as dirs), so retiring the delete version never
+    resurrects its rows."""
+    dels = man.get("deletes", {})
+    if not dels:
+        return []
+    dirs_map = man.get("dirs", {})
+    out: set[tuple[int, str]] = set()
+    v = version
+    while True:
+        e = dels.get(str(v))
+        if isinstance(e, str):
+            out.add((v, e))
+        elif isinstance(e, list):
+            out.update((int(d), p) for d, p in e)
+        entry = dirs_map.get(str(v))
+        if entry is None or isinstance(entry, list):
+            break
+        v = entry["base"]
+    return sorted(out)
 
 
 def _flip_manifest(table_dir: str, man: dict) -> None:
@@ -322,6 +351,48 @@ def merge_version(spark: SparkSession, table_dir: str,
                              man, man["current"]))
 
 
+def delete_where(spark: SparkSession, table_dir: str,
+                 predicate: str) -> int:
+    """Merge-on-read DELETE — O(1) at any table size: commits a new
+    version whose manifest entry carries the SAME data dirs plus a
+    deletion PREDICATE; not one data byte is rewritten, and
+    `read_version` applies ``NOT (predicate)`` at scan time (pushed
+    into the parquet scan by Catalyst).  At 100 TB this is the only
+    viable DELETE: copy-on-write (`merge_version` with deletes) would
+    rewrite the whole snapshot to drop a few rows.
+
+    Era semantics match SQL DELETE: the predicate applies only to
+    rows that existed when the delete committed — a row APPENDED
+    later survives even if it matches (each data dir is filtered only
+    by deletes committed after it).  The pre-delete version stays
+    time-travelable, `table_changes` across the delete emits the
+    removed rows as CDC deletes, `compact` materializes survivors and
+    folds the predicates away, and vacuum keeps retired chains'
+    predicates effective.  The vtable STREAM source fails on a delete
+    in its range (a row-append stream cannot represent removals).
+
+    The predicate is validated against the current schema before the
+    commit (analysis-time, no scan).  Returns the new version."""
+    from pyspark.sql import functions as F
+
+    man = _read_manifest(table_dir)
+    prev = man["current"]
+    if prev is None:
+        raise FileNotFoundError(
+            f"{table_dir}: no committed version to delete from")
+    # Analysis-time validation: resolves columns/types, scans nothing.
+    read_version(spark, table_dir).filter(F.expr(predicate))
+    version = prev + 1
+    man.setdefault("deletes", {})[str(version)] = predicate
+    schema_json = man.get("schema", {}).get(str(prev))
+    if schema_json is None:
+        schema_json = read_version(spark, table_dir).schema.json()
+    _commit(man, table_dir, version, {"base": prev, "add": None},
+            schema_json, op="delete", rows_written=0,
+            partition_by=_partition_by_for(man, prev))
+    return version
+
+
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
                  as_of_ts: float | None = None) -> DataFrame:
@@ -376,6 +447,37 @@ def read_version(spark: SparkSession, table_dir: str,
             out = out.select(*schema.fieldNames())
         return out
 
+    deletes = _deletes_for(man, v)
+    if deletes:
+        # Merge-on-read: each data dir is filtered by NOT(pred) for
+        # every delete committed AFTER the dir was added (dir number =
+        # the version that added it), so later appends survive older
+        # predicates — SQL DELETE era semantics.  Dirs sharing an
+        # applicable-predicate set scan together; filters are plain
+        # Catalyst expressions, so pushdown into the parquet scan is
+        # preserved.  compact() restores the single-scan fast path
+        # and folds the predicates away.
+        from pyspark.sql import functions as F
+
+        split_hive = len(paths) > 1 and _partition_by_for(man, v)
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for d, pth in zip(_dirs_for(man, v), paths):
+            preds = tuple(p for dv, p in deletes if int(d[2:]) < dv)
+            groups.setdefault(preds, []).append(pth)
+        out = None
+        for preds, ps in groups.items():
+            part = (scan(ps[0]) if split_hive else scan(*ps))
+            if split_hive:
+                for pth in ps[1:]:
+                    part = part.unionByName(scan(pth))
+            for p in preds:
+                # SQL DELETE three-valued logic: a NULL predicate does
+                # not match, so the row SURVIVES — coalesce before
+                # negating, or filter(~p) would drop NULL rows too.
+                part = part.filter(~F.coalesce(F.expr(p),
+                                               F.lit(False)))
+            out = part if out is None else out.unionByName(part)
+        return out
     if len(paths) > 1 and _partition_by_for(man, v):
         # Hive-partitioned append chain: the sibling v=N roots would
         # parse as a partition layer in one multi-path scan
@@ -576,6 +678,14 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     if not doomed and not doomed_dirs:
         return []
     man["versions"] = sorted(keepers)
+    if "deletes" in man:
+        # Materialize each survivor's CUMULATIVE predicate set BEFORE
+        # the dirs map collapses (the chain walk needs base pointers);
+        # a retired delete version's predicate must keep applying to
+        # the live chain, or vacuum would resurrect its rows.
+        man["deletes"] = {
+            str(v): [[d, p] for d, p in _deletes_for(man, v)]
+            for v in keepers if _deletes_for(man, v)}
     if "dirs" in man:
         man["dirs"] = {str(v): _dirs_for(man, v) for v in keepers}
     if "schema" in man:

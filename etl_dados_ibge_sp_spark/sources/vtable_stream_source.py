@@ -65,8 +65,9 @@ from pyspark.sql.datasource import (DataSource,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
 
-from ..sinks.versioned import (_commit, _dirs_for, _merged_schema,
-                               _partition_by_for, _read_manifest)
+from ..sinks.versioned import (_commit, _deletes_for, _dirs_for,
+                               _merged_schema, _partition_by_for,
+                               _read_manifest)
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -97,6 +98,21 @@ def _delta_dirs(table_dir: str, start_v: int, end_v: int) -> list[str]:
     rewrite replaced the chain (rewrites start a fresh dir numbered
     > start_v) and we fail rather than re-emit the whole table."""
     man = _read_manifest(table_dir)
+    if _deletes_for(man, end_v):
+        # The stream reads data files RAW (executors never evaluate
+        # delete predicates), so live merge-on-read deletes would
+        # resurrect removed rows — and a delete inside the consumed
+        # range can't be represented as appended rows at all.  Live
+        # predicates at end_v cover both cases: a compaction clears
+        # them by materializing survivors (and the compact-survival
+        # rule below only lets a consumer cross it when fully caught
+        # up, so no consumer can straddle the delete itself).
+        raise ValueError(
+            f"vtable: {table_dir} has live merge-on-read DELETE "
+            f"predicates at version {end_v}; a row-append stream "
+            "cannot represent removals — consume deletes via "
+            "table_changes, or compact and restart the consumer "
+            "from a fresh checkpoint")
     end_dirs = _dirs_for(man, end_v)
     if not start_v:
         return end_dirs
