@@ -112,10 +112,31 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
     os.replace(tmp, _manifest_path(table_dir))  # atomic pointer flip
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed since this operation read the
+    manifest — the table moved under us and flipping would silently
+    discard that commit (a lost update)."""
+
+
 def _commit(man: dict, table_dir: str, version: int,
             dirs: list[str] | dict, schema_json: str,
             op: str, rows_written: int,
             partition_by: list[str] | None = None) -> None:
+    # Lost-update DETECTION (not serialization): every commit targets
+    # version = prev+1, so the manifest on disk must still be at
+    # version-1 right before the flip.  This catches the accidental
+    # two-writers case with a clear error instead of silently
+    # discarding the other writer's commit; a narrow read-check-flip
+    # race remains, so the operating contract stays single-writer per
+    # table (a put-if-absent commit marker is the object-store-native
+    # upgrade path).
+    on_disk = _read_manifest(table_dir)["current"]
+    expected = version - 1 if version > 1 else None
+    if on_disk != expected:
+        raise ConcurrentWriteError(
+            f"{table_dir}: manifest moved to version {on_disk} while "
+            f"this {op} (targeting {version}) was in flight — "
+            "re-read the table and retry the operation")
     man["current"] = version
     man["versions"] = sorted(set(man["versions"]) | {version})
     man.setdefault("dirs", {})[str(version)] = dirs

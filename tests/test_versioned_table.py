@@ -94,3 +94,28 @@ def test_vacuum_reclaims_crash_orphans(spark, sf_dir, tmp_path):
     # Committed versions under the keep horizon are untouched.
     assert read_version(spark, t).count() == 7
     assert read_version(spark, t, version=1).count() == 7
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Lost-update detection: a second writer committing between this
+    writer's manifest read and flip raises ConcurrentWriteError
+    instead of silently discarding the other commit."""
+    import pytest
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.write_version(df, t)
+
+    # Simulate writer A reading the manifest, then writer B committing.
+    man_a = V._read_manifest(t)
+    V.append_version(df, t)  # writer B wins version 2
+    with pytest.raises(V.ConcurrentWriteError, match="in flight"):
+        V._commit(man_a, t, (man_a["current"] or 0) + 1,
+                  [f"v={man_a['current'] + 1}"], df.schema.json(),
+                  op="append", rows_written=1)
+    # The table is untouched by the failed flip.
+    assert V._read_manifest(t)["current"] == 2
+    assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
+        == [(1, "a"), (1, "a")]
