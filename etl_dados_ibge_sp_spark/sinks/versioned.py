@@ -113,23 +113,69 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed since this operation read the
-    manifest — the table moved under us and flipping would silently
-    discard that commit (a lost update)."""
+    """Another writer claimed this version — committing would silently
+    discard their work (a lost update).  Re-read the table and retry;
+    the retried operation targets the next free version."""
+
+
+def _commits_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_commits")
+
+
+def _roll_forward(table_dir: str) -> None:
+    """Complete any crashed winner's commit: a marker for version
+    current+1 holds the FULL new manifest (written atomically via
+    link-from-temp), so any later writer can finish the flip the
+    winner never performed — the 'helping' pattern; flipping twice to
+    identical content is idempotent.  Markers at or below current
+    already flipped: sweep them."""
+    cdir = _commits_dir(table_dir)
+    try:
+        names = os.listdir(cdir)
+    except FileNotFoundError:
+        return
+    for name in sorted(names):
+        if not name.endswith(".json") or name.startswith("."):
+            continue
+        v = int(name[:-5])
+        cur = _read_manifest(table_dir)["current"] or 0
+        path = os.path.join(cdir, name)
+        if v == cur + 1:
+            with open(path) as fh:
+                _flip_manifest(table_dir, json.load(fh))
+        if v <= cur + 1:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass  # a concurrent helper swept it first
+
+
+def _writer_manifest(table_dir: str) -> dict:
+    """The manifest as a WRITER must read it: crashed claims rolled
+    forward first, so the new commit targets the true next version.
+    Read-only paths keep using ``_read_manifest`` (they must not
+    write)."""
+    _roll_forward(table_dir)
+    return _read_manifest(table_dir)
 
 
 def _commit(man: dict, table_dir: str, version: int,
             dirs: list[str] | dict, schema_json: str,
             op: str, rows_written: int,
             partition_by: list[str] | None = None) -> None:
-    # Lost-update DETECTION (not serialization): every commit targets
-    # version = prev+1, so the manifest on disk must still be at
-    # version-1 right before the flip.  This catches the accidental
-    # two-writers case with a clear error instead of silently
-    # discarding the other writer's commit; a narrow read-check-flip
-    # race remains, so the operating contract stays single-writer per
-    # table (a put-if-absent commit marker is the object-store-native
-    # upgrade path).
+    # Serialized commit protocol (the lakehouse-log shape on a POSIX
+    # filesystem): finish any crashed winner first, verify the
+    # manifest is still at version-1, CLAIM the version by creating
+    # `_commits/<version>.json` put-if-absent (os.link from a temp
+    # file — atomic, content-complete), then flip the manifest and
+    # sweep the marker.  Exactly one of two racing writers wins the
+    # link; the loser gets ConcurrentWriteError and retries at the
+    # next version.  A crash after claim and before flip is rolled
+    # forward by the next writer from the marker's full manifest; a
+    # crash after flip leaves a stale marker the next roll-forward
+    # sweeps.  (On an object store, the link becomes the store's
+    # put-if-absent.)
+    _roll_forward(table_dir)
     on_disk = _read_manifest(table_dir)["current"]
     expected = version - 1 if version > 1 else None
     if on_disk != expected:
@@ -146,7 +192,27 @@ def _commit(man: dict, table_dir: str, version: int,
     man.setdefault("history", []).append(
         {"version": version, "ts": time.time(), "op": op,
          "rows_written": rows_written})
+
+    cdir = _commits_dir(table_dir)
+    os.makedirs(cdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".tmp-")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(man, fh)
+    marker = os.path.join(cdir, f"{version}.json")
+    try:
+        os.link(tmp, marker)  # atomic put-if-absent WITH full content
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {version} already claimed by "
+            f"another writer — re-read the table and retry "
+            f"this {op}") from None
+    finally:
+        os.unlink(tmp)
     _flip_manifest(table_dir, man)
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass  # a concurrent roll-forward helper swept it
 
 
 def _write_snapshot(df: DataFrame, vdir: str,
@@ -227,7 +293,7 @@ def write_version(df: DataFrame, table_dir: str,
     write overwrites it (same version number), and ``vacuum`` reclaims
     it — never a corrupt current version."""
     os.makedirs(table_dir, exist_ok=True)
-    man = _read_manifest(table_dir)
+    man = _writer_manifest(table_dir)
     version = (man["current"] or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     n = _write_snapshot(df, vdir, partition_by)
@@ -264,7 +330,7 @@ def append_version(df: DataFrame, table_dir: str,
     back into one; `vacuum` reference-counts dirs, so retiring an old
     version never deletes a directory a live version still includes."""
     os.makedirs(table_dir, exist_ok=True)
-    man = _read_manifest(table_dir)
+    man = _writer_manifest(table_dir)
     prev = man["current"]
     # Validates BEFORE writing; new columns need merge_schema=True.
     schema = _merged_schema(man, prev, df, merge_schema)
@@ -300,7 +366,7 @@ def foreach_batch_appender(table_dir: str, writer_id: str = "default"):
     under already-committed ids).  To reprocess a changed source,
     use a new writer_id against a fresh/rebuilt table."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        man = _read_manifest(table_dir)
+        man = _writer_manifest(table_dir)
         last = man.get("txn", {}).get(writer_id)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed micro-batch
@@ -366,7 +432,7 @@ def merge_version(spark: SparkSession, table_dir: str,
     if deletes is not None:
         merged = merged.join(deletes.select(*keys).distinct(),
                              on=keys, how="left_anti")
-    man = _read_manifest(table_dir)
+    man = _writer_manifest(table_dir)
     return write_version(merged, table_dir, op="merge",
                          partition_by=_partition_by_for(
                              man, man["current"]))
@@ -396,7 +462,7 @@ def delete_where(spark: SparkSession, table_dir: str,
     commit (analysis-time, no scan).  Returns the new version."""
     from pyspark.sql import functions as F
 
-    man = _read_manifest(table_dir)
+    man = _writer_manifest(table_dir)
     prev = man["current"]
     if prev is None:
         raise FileNotFoundError(
@@ -568,7 +634,7 @@ def compact(spark: SparkSession, table_dir: str,
     listing moves to the object store's API."""
     import math
 
-    man = _read_manifest(table_dir)
+    man = _writer_manifest(table_dir)
     if man["current"] is None:
         raise FileNotFoundError(f"{table_dir}: no committed version")
     vdirs = [os.path.join(table_dir, d)
@@ -677,7 +743,7 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     not-yet-committed snapshot would look like an orphan."""
     import shutil
 
-    man = _read_manifest(table_dir)
+    man = _writer_manifest(table_dir)
     if man["current"] is None:
         return []
     keepers = set(sorted(man["versions"], reverse=True)[:max(keep, 1)])
@@ -696,6 +762,15 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     staging = os.path.join(table_dir, "_staging")
     if os.path.isdir(staging):
         shutil.rmtree(staging, ignore_errors=True)
+    # Crashed commit-claim temp files (never linked): reclaimable under
+    # the same contract.  Real markers are rolled forward by the next
+    # commit, never vacuumed blindly.
+    try:
+        for name in os.listdir(_commits_dir(table_dir)):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(_commits_dir(table_dir), name))
+    except FileNotFoundError:
+        pass
     if not doomed and not doomed_dirs:
         return []
     man["versions"] = sorted(keepers)

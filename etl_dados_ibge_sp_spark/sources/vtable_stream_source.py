@@ -67,7 +67,7 @@ from pyspark.sql.types import StructType
 
 from ..sinks.versioned import (_commit, _deletes_for, _dirs_for,
                                _merged_schema, _partition_by_for,
-                               _read_manifest)
+                               _read_manifest, _writer_manifest)
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -389,7 +389,7 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         staged, rows = self._staged(messages)
-        man = _read_manifest(self.table_dir)
+        man = _writer_manifest(self.table_dir)
         last = man.get("txn", {}).get(self.writer_id)
         if last is not None and batchId == last:
             for f in staged:  # replayed batch: already committed

@@ -119,3 +119,66 @@ def test_concurrent_commit_detected(spark, tmp_path):
     assert V._read_manifest(t)["current"] == 2
     assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
         == [(1, "a"), (1, "a")]
+
+
+def test_commit_claim_race_one_winner(spark, tmp_path):
+    """Two writers both based on version N racing for N+1: exactly one
+    creates the put-if-absent marker; the loser raises instead of
+    silently discarding the winner's commit."""
+    import pytest
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.write_version(df, t)
+
+    import copy
+    man_a = copy.deepcopy(V._read_manifest(t))
+    man_b = copy.deepcopy(man_a)
+    args = ([f"v=2"], df.schema.json())
+    V._commit(man_a, t, 2, *args, op="append", rows_written=1)
+    with pytest.raises(V.ConcurrentWriteError):
+        V._commit(man_b, t, 2, *args, op="append", rows_written=1)
+    assert V._read_manifest(t)["current"] == 2
+
+
+def test_crashed_claim_rolls_forward(spark, tmp_path):
+    """A winner that crashed AFTER claiming its marker but BEFORE the
+    manifest flip: the next writer completes the flip from the
+    marker's full manifest (helping), then commits its own version on
+    top — the crashed commit's data becomes visible, nothing is
+    lost."""
+    import copy
+    import json
+    import os
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.write_version(df, t)                       # v1
+
+    # Hand-craft the crash: build v2's manifest + data dir exactly as
+    # append_version would, write the MARKER, but never flip.
+    spark.createDataFrame([(2, "b")], "k int, v string") \
+        .coalesce(1).write.parquet(os.path.join(t, "v=2"))
+    man2 = copy.deepcopy(V._read_manifest(t))
+    man2["current"] = 2
+    man2["versions"] = [1, 2]
+    man2.setdefault("dirs", {})["2"] = {"base": 1, "add": "v=2"}
+    man2.setdefault("schema", {})["2"] = man2["schema"]["1"]
+    man2.setdefault("history", []).append(
+        {"version": 2, "ts": 0.0, "op": "append", "rows_written": 1})
+    os.makedirs(V._commits_dir(t), exist_ok=True)
+    with open(os.path.join(V._commits_dir(t), "2.json"), "w") as fh:
+        json.dump(man2, fh)
+    assert V._read_manifest(t)["current"] == 1  # crash state
+
+    # Next writer rolls v2 forward, then lands v3.
+    V.append_version(spark.createDataFrame([(3, "c")],
+                                           "k int, v string"), t)
+    assert V._read_manifest(t)["current"] == 3
+    assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+    assert os.listdir(V._commits_dir(t)) == []  # markers swept
