@@ -1,5 +1,5 @@
 """Model-based randomized test of the versioned table's FULL
-lifecycle: a seeded walk over write/append/merge/compact/vacuum ops is
+lifecycle: a seeded walk over write/append/merge/delete/compact/vacuum ops is
 checked after every step against a pure-Python model (dict of version
 -> row multiset).  Catches interaction bugs no single-op law can see —
 e.g. merge after an append chain, vacuum after compact after merge,
@@ -10,8 +10,11 @@ from __future__ import annotations
 import random
 from collections import Counter
 
+import pytest
+
 from etl_dados_ibge_sp_spark.sinks.versioned import (append_version,
                                                      compact,
+                                                     delete_where,
                                                      merge_version,
                                                      read_version,
                                                      vacuum,
@@ -34,8 +37,9 @@ def _multiset(df):
     return Counter((r.k, r.v) for r in df.collect())
 
 
-def test_lifecycle_random_walk_matches_model(spark, tmp_path):
-    rng = random.Random(20260815)
+@pytest.mark.parametrize("seed", [20260815, 6021023])
+def test_lifecycle_random_walk_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
     t = str(tmp_path / "tbl")
     model: dict[int, Counter] = {}
     current = None
@@ -51,9 +55,9 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path):
     model[current] = Counter(rows)
     check()
 
-    for step in range(18):
+    for step in range(24):
         op = rng.choice(["write", "append", "merge", "merge_del",
-                         "compact", "vacuum"])
+                         "compact", "vacuum", "delete", "delete"])
         if op == "write":
             rows = _rows(rng, rng.randrange(1, 8))
             current = write_version(_df(spark, rows), t)
@@ -82,6 +86,23 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path):
             for (k,) in dels or []:
                 state.pop(k, None)
             model[current] = Counter(state.items())
+        elif op == "delete":
+            # Merge-on-read predicate delete: the model removes the
+            # matching rows from the CURRENT multiset; later appends
+            # re-adding matching rows exercise the era semantics
+            # (the walk's append steps compose on the post-delete
+            # model, exactly like the engine's per-dir filters).
+            if rng.random() < 0.5:
+                cut = rng.randrange(len(KEYS))
+                pred, fn = f"k >= {cut}", (lambda kv, c=cut:
+                                           kv[0] >= c)
+            else:
+                cut = rng.randrange(100)
+                pred, fn = f"v < {cut}", (lambda kv, c=cut: kv[1] < c)
+            prevm = model[current]
+            current = delete_where(spark, t, pred)
+            model[current] = Counter({kv: c for kv, c in prevm.items()
+                                      if not fn(kv)})
         elif op == "compact":
             v, _, _ = compact(spark, t, target_file_bytes=1 << 30)
             if v != current:  # folded an append chain into a new ver
