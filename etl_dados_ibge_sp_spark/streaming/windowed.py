@@ -805,3 +805,111 @@ def stream_decay_sum(
     )
     _run_to_completion(spark, query, state_partitions)
     return spark.table(qname)
+
+
+def stream_sessionize_tws(spark: SparkSession, sf_dir: str,
+                          watermark: str = "0 seconds",
+                          state_partitions: int = STATE_PARTITIONS
+                          ) -> DataFrame:
+    """The sessionizer on Spark 4's NEW arbitrary-state API
+    (``transformWithStateInPandas`` — the successor the docs steer
+    stateful pipelines toward): identical semantics to
+    :func:`stream_sessionize`, restated as a ``StatefulProcessor``
+    with a typed ValueState and an event-time TIMER per user instead
+    of GroupState + setTimeoutTimestamp.  The parity law
+    (tests/test_tws_sessionize.py) pins row-identical output against
+    the applyInPandasWithState form, so either implementation can
+    carry the pipeline — the migration path is proven, not assumed.
+
+    Same scale shape: one shuffle on user_id, per-user state bounded
+    to the single open session, timers close idle sessions when the
+    watermark passes (state never grows with history).
+
+    Environment gate: transformWithState's driver worker speaks a
+    protobuf control protocol, so ``google.protobuf`` must be
+    installed (it ships with any real Spark 4 distro's
+    requirements).  Where it is absent the function raises
+    ImportError up front with the dependency named, and the parity
+    test skips — the implementation itself is complete."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf "
+            "package (pip install protobuf) — its driver worker "
+            "speaks a protobuf control protocol; use "
+            "stream_sessionize (applyInPandasWithState) on "
+            "environments without it") from ex
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    gap_us = SESSION_GAP_US
+
+    class SessionProcessor(StatefulProcessor):
+        # Self-contained (imports inside methods): cloudpickle ships
+        # the class by value to worker pythons.
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.open = handle.getValueState(
+                "open", "start_us bigint, end_us bigint, n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            us = sorted(t for p in rows for t in p["us"].tolist())
+            cur = (tuple(self.open.get())
+                   if self.open.exists() else None)
+            closed = []
+            for t in us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            self.open.update(cur)
+            # One live timer per user at session_end + gap: replace
+            # whatever was armed before.
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(cur[1] // 1000 + gap_us // 1000)
+            if closed:
+                yield _pd.DataFrame(
+                    [{"user_id": key[0], "start_us": s, "end_us": e,
+                      "n_events": n} for s, e, n in closed])
+
+        def handleExpiredTimer(self, key, timer_values,
+                               expired_timer_info):
+            import pandas as _pd
+
+            if self.open.exists():
+                s, e, n = self.open.get()
+                self.open.clear()
+                yield _pd.DataFrame(
+                    {"user_id": [key[0]], "start_us": [s],
+                     "end_us": [e], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=("user_id bigint, start_us bigint, "
+                          "end_us bigint, n_events bigint"),
+        outputMode="append",
+        timeMode="eventTime",
+    )
+    qname = f"stream_sess_tws_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _run_to_completion(spark, query, state_partitions)
+    return spark.table(qname)
