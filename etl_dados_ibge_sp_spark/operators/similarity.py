@@ -650,3 +650,66 @@ def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
         F.round(2.0 - 2.0 * dot(F.col("__nv"), qlit), 6)
          .alias("l2sq_dist"))
     return exact.orderBy(F.asc("l2sq_dist"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   k: int = 8, n_iter: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and comparing
+    pairs ONLY within a cluster — the scale trick that makes
+    embedding dedup tractable where the corpus-quadratic cosine
+    matrix is not.  Returns the KEPT rows (id, cluster, centroid
+    similarity).
+
+    Policy per the paper: within each k-means cluster, any item whose
+    cosine to a HIGHER-PRIORITY cluster-mate reaches ``threshold`` is
+    dropped, where priority = (closer to the cluster centroid, then
+    lower id) — so every duplicate group keeps exactly its most
+    prototypical member, deterministically (centroid similarities are
+    rounded to 6 dp before comparison so float noise cannot flip the
+    order; ``kmeans_fit`` itself is bit-deterministic).
+
+    Scale shape: the centroid fit is the documented kmeans_fit cost;
+    assignment is one narrow broadcast-argmax scan; the only shuffle
+    is the per-cluster self-join, quadratic in CLUSTER size, never in
+    corpus size — at 100 TB pick k so clusters fit the pair budget
+    (the paper uses k ~ √n·c) and pre-partition by cluster id so each
+    joins co-located.  Cross-cluster near-duplicates are missed BY
+    DESIGN (the paper's recall trade-off); compose with
+    ``embed_near_dup_pairs`` when that tail matters."""
+    cents = kmeans_fit(emb, k=k, n_iter=n_iter,
+                       id_col=id_col, vec_col=vec_col)
+    cb = _codebook_2d_lit(cents)
+    dots = F.transform(cb, lambda c: dot(F.col("__v"), c))
+    assigned = (
+        with_l2_normalized(
+            emb.select(F.col(id_col), F.col(vec_col)), vec_col, "__v")
+        .select(F.col(id_col), "__v",
+                nearest_centroid(F.col("__v"), cents).alias("cluster"),
+                F.round(F.array_max(dots), 6).alias("centroid_sim"))
+    )
+    a = assigned.select(F.col(id_col).alias("__ida"),
+                        F.col("__v").alias("__va"),
+                        F.col("cluster"),
+                        F.col("centroid_sim").alias("__pa"))
+    b = assigned.select(F.col(id_col).alias("__idb"),
+                        F.col("__v").alias("__vb"),
+                        F.col("cluster"),
+                        F.col("centroid_sim").alias("__pb"))
+    beaten = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") != F.col("__idb"))
+        # b loses to a when a is strictly higher priority...
+        .filter((F.col("__pa") > F.col("__pb"))
+                | ((F.col("__pa") == F.col("__pb"))
+                   & (F.col("__ida") < F.col("__idb"))))
+        # ...and they are semantic duplicates.
+        .filter(F.round(dot(F.col("__va"), F.col("__vb")), 6)
+                >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (assigned.join(beaten, id_col, "left_anti")
+            .select(id_col, "cluster", "centroid_sim"))

@@ -1,0 +1,85 @@
+"""Laws for SemDeDup (operators/similarity.semantic_dedup): planted
+duplicate groups keep exactly their most-prototypical member, k=1
+equals the brute-force global rule, the run is deterministic, and the
+real embeddings table shrinks sanely."""
+
+from __future__ import annotations
+
+import math
+
+from etl_dados_ibge_sp_spark.operators.similarity import semantic_dedup
+from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _planted(spark):
+    """Two well-separated clusters; each contains a duplicate group
+    (cosine ~1 within the group) plus a singleton."""
+    rows = [
+        # cluster around +x: dup group {1, 2, 3} + singleton 4
+        (1, _unit([1.0, 0.01, 0.0])),
+        (2, _unit([1.0, 0.011, 0.0])),
+        (3, _unit([1.0, 0.009, 0.0])),
+        (4, _unit([0.8, 0.6, 0.0])),        # same region, not a dup
+        # cluster around +y: dup group {5, 6} + singleton 7
+        (5, _unit([0.01, 1.0, 0.0])),
+        (6, _unit([0.009, 1.0, 0.0])),
+        (7, _unit([0.0, 0.75, 0.66])),
+    ]
+    return spark.createDataFrame(rows,
+                                 "vec_id bigint, embedding array<double>")
+
+
+def test_planted_groups_keep_one_prototype(spark):
+    emb = _planted(spark)
+    kept = semantic_dedup(emb, threshold=0.999, k=2, n_iter=4)
+    ids = sorted(r.vec_id for r in kept.collect())
+    # Exactly one survivor per dup group, singletons untouched.
+    assert len({1, 2, 3} & set(ids)) == 1
+    assert len({5, 6} & set(ids)) == 1
+    assert {4, 7} <= set(ids)
+    assert len(ids) == 4
+
+
+def test_k1_equals_bruteforce_global_rule(spark):
+    emb = _planted(spark)
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(emb, threshold=0.999, k=1)
+                  .collect())
+    # Brute force: priority = (cos to global centroid desc, id asc);
+    # drop anything with a higher-priority mate at >= threshold.
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    mean = [sum(v[d] for v in rows.values()) / len(rows)
+            for d in range(3)]
+    mean = _unit(mean)
+
+    def cos(a, b):
+        return round(sum(x * y for x, y in zip(a, b)), 6)
+
+    pri = {i: (round(cos(v, mean), 6), -i) for i, v in rows.items()}
+    want = sorted(
+        i for i, v in rows.items()
+        if not any(pri[j] > pri[i] and cos(v, w) >= 0.999
+                   for j, w in rows.items() if j != i))
+    assert kept == want
+
+
+def test_deterministic_across_runs(spark):
+    emb = _planted(spark)
+    a = sorted(map(tuple, semantic_dedup(emb, 0.999, k=2).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, 0.999, k=2).collect()))
+    assert a == b
+
+
+def test_real_embeddings_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    kept = semantic_dedup(emb, threshold=0.99, k=4, n_iter=2)
+    m = kept.count()
+    assert 0 < m <= n
+    # Survivors carry their cluster + prototypicality evidence.
+    assert set(kept.columns) == {"vec_id", "cluster", "centroid_sim"}
