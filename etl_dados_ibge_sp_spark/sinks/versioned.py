@@ -134,9 +134,9 @@ def _roll_forward(table_dir: str) -> None:
         names = os.listdir(cdir)
     except FileNotFoundError:
         return
-    for name in sorted(names):
-        if not name.endswith(".json") or name.startswith("."):
-            continue
+    markers = [n for n in names
+               if n.endswith(".json") and not n.startswith(".")]
+    for name in sorted(markers, key=lambda n: int(n[:-5])):
         v = int(name[:-5])
         cur = _read_manifest(table_dir)["current"] or 0
         path = os.path.join(cdir, name)
