@@ -117,6 +117,18 @@ def test_abort_cleans_staging(spark, tmp_path):
 
 
 def test_overwrite_mode_refused(spark, tmp_path):
+    # Direct unit check of the sink's own guard (the end-to-end
+    # complete-mode run below can fail earlier for generic reasons —
+    # complete mode needs an aggregate — so it alone would not pin
+    # OUR refusal).
+    from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+        VTableDataSource)
+
+    schema = spark.createDataFrame([(1, "a")], "k int, v string").schema
+    ds = VTableDataSource({"path": str(tmp_path / "dst")})
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(schema, overwrite=True)
+
     register_vtable(spark)
     src = str(tmp_path / "src")
     write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
