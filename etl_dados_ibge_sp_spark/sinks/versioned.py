@@ -216,22 +216,36 @@ def _commit(man: dict, table_dir: str, version: int,
 
 
 def _write_snapshot(df: DataFrame, vdir: str,
-                    partition_by: list[str] | None = None) -> int:
+                    partition_by: list[str] | None = None,
+                    stats_cols: list[str] | None = None
+                    ) -> tuple[int, dict]:
     """Write one snapshot dir (hive-partitioned when ``partition_by``
-    is given), returning the row count gathered IN THE SAME job via
-    the Observation API (`sinks/observed` pattern) — the commit log
-    gets per-commit row counts with zero extra scans, the
-    observability the reference logs around every load."""
+    is given), returning ``(row count, column stats)`` gathered IN THE
+    SAME job via the Observation API (`sinks/observed` pattern) — the
+    commit log gets per-commit row counts, and the manifest gets
+    per-dir min/max for the declared ``stats_cols``, with zero extra
+    scans.  Stats are recorded only for JSON-faithful value types
+    (int/float/str); anything else is skipped (absent stats simply
+    mean the dir can never be pruned)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     obs = Observation()
-    writer = df.observe(obs, F.count(F.lit(1)).alias("n")) \
-        .write.mode("overwrite")
+    metrics = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(stats_cols or []):
+        metrics += [F.min(c).alias(f"mn{i}"), F.max(c).alias(f"mx{i}")]
+    writer = df.observe(obs, *metrics).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(vdir)
-    return int(obs.get["n"])
+    got = obs.get
+    stats = {}
+    for i, c in enumerate(stats_cols or []):
+        mn, mx = got[f"mn{i}"], got[f"mx{i}"]
+        if (isinstance(mn, (int, float, str)) and not
+                isinstance(mn, bool) and mx is not None):
+            stats[c] = [mn, mx]
+    return int(got["n"]), stats
 
 
 def _partition_by_for(man: dict, version: int | None) -> list[str]:
@@ -279,7 +293,8 @@ def _merged_schema(man: dict, prev: int | None, df: DataFrame,
 
 def write_version(df: DataFrame, table_dir: str,
                   op: str = "write",
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  stats_cols: list[str] | None = None) -> int:
     """Write ``df`` as the table's next snapshot and atomically flip
     the manifest to it.  Returns the new version number.  ``op`` is
     what the commit log records — callers committing on behalf of a
@@ -296,7 +311,12 @@ def write_version(df: DataFrame, table_dir: str,
     man = _writer_manifest(table_dir)
     version = (man["current"] or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
-    n = _write_snapshot(df, vdir, partition_by)
+    sc = (stats_cols if stats_cols is not None
+          else man.get("stats_cols") or None)
+    n, stats = _write_snapshot(df, vdir, partition_by, sc)
+    if sc:
+        man["stats_cols"] = sc
+        man.setdefault("stats", {})[f"v={version}"] = stats
     _commit(man, table_dir, version, [f"v={version}"],
             df.schema.json(), op=op, rows_written=n,
             partition_by=partition_by)
@@ -337,7 +357,10 @@ def append_version(df: DataFrame, table_dir: str,
     version = (prev or 0) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     pb = _partition_by_for(man, prev)  # appends inherit partitioning
-    n = _write_snapshot(df, vdir, pb)
+    sc = man.get("stats_cols") or None  # appends inherit stats cols
+    n, stats = _write_snapshot(df, vdir, pb, sc)
+    if sc:
+        man.setdefault("stats", {})[f"v={version}"] = stats
     dirs = ({"base": prev, "add": f"v={version}"} if prev
             else [f"v={version}"])
     if batch_id is not None:
@@ -482,13 +505,26 @@ def delete_where(spark: SparkSession, table_dir: str,
 
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
-                 as_of_ts: float | None = None) -> DataFrame:
+                 as_of_ts: float | None = None,
+                 prune: dict[str, tuple] | None = None) -> DataFrame:
     """Read the current snapshot, ``version=`` for VERSION AS OF time
     travel, or ``as_of_ts=`` (unix seconds) for TIMESTAMP AS OF — the
     newest version committed at or before that instant, resolved from
     the manifest's commit log.  An appended version is the union of
     its directories (one multi-path parquet scan — the file list comes
-    from the manifest, never from directory listing)."""
+    from the manifest, never from directory listing).
+
+    ``prune`` is manifest-level file skipping (the Delta per-file
+    stats idea at dir granularity): ``{col: (lo, hi)}`` drops every
+    snapshot dir whose recorded min/max for ``col`` (see
+    ``write_version(stats_cols=...)``; appends inherit) provably
+    misses the interval — a date-range query over a daily append
+    chain scans 7 dirs, not 3650.  Either bound may be None
+    (one-sided).  It is an OPTIMIZATION HINT, not a filter: kept dirs
+    still contain out-of-range rows, so the caller applies its own
+    predicate as usual — the law is read(prune).filter(p) ==
+    read().filter(p), with strictly fewer input files.  Dirs with no
+    recorded stats are always kept (safe)."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -512,10 +548,29 @@ def read_version(spark: SparkSession, table_dir: str,
         raise ValueError(
             f"{table_dir}: version {v} not available "
             f"(have {man['versions']})")
-    paths = [os.path.join(table_dir, d) for d in _dirs_for(man, v)]
+    dirs = _dirs_for(man, v)
+    if prune:
+        dstats = man.get("stats", {})
+
+        def _misses(d: str) -> bool:
+            st = dstats.get(d)
+            if not st:
+                return False
+            for col, (lo, hi) in prune.items():
+                if col in st:
+                    mn, mx = st[col]
+                    if ((hi is not None and mn > hi)
+                            or (lo is not None and mx < lo)):
+                        return True
+            return False
+
+        dirs = [d for d in dirs if not _misses(d)]
+    paths = [os.path.join(table_dir, d) for d in dirs]
     stored = man.get("schema", {}).get(str(v))
     schema = (StructType.fromJson(_json.loads(stored))
               if stored is not None else None)
+    if not paths:  # every dir pruned: empty frame, committed schema
+        return spark.createDataFrame([], schema)
 
     def scan(*ps: str) -> DataFrame:
         reader = spark.read
@@ -548,7 +603,7 @@ def read_version(spark: SparkSession, table_dir: str,
 
         split_hive = len(paths) > 1 and _partition_by_for(man, v)
         groups: dict[tuple[str, ...], list[str]] = {}
-        for d, pth in zip(_dirs_for(man, v), paths):
+        for d, pth in zip(dirs, paths):
             preds = tuple(p for dv, p in deletes if int(d[2:]) < dv)
             groups.setdefault(preds, []).append(pth)
         out = None
@@ -787,6 +842,9 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     if "schema" in man:
         man["schema"] = {str(v): s for v, s in man["schema"].items()
                          if int(v) in keepers}
+    if "stats" in man:  # per-DIR stats: keep only surviving dirs
+        man["stats"] = {d: s for d, s in man["stats"].items()
+                        if d in referenced}
     _flip_manifest(table_dir, man)
     for d in sorted(doomed_dirs):
         shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)

@@ -1,0 +1,79 @@
+"""Laws for manifest-level dir pruning (write_version(stats_cols=) +
+read_version(prune=)): the prune is a pure optimization — same rows
+after the caller's own filter, strictly fewer input files — appends
+inherit the stats columns, deletes/compact/vacuum compose, and dirs
+without stats are never pruned."""
+
+from __future__ import annotations
+
+from etl_dados_ibge_sp_spark.sinks.versioned import (append_version,
+                                                     compact,
+                                                     delete_where,
+                                                     read_version,
+                                                     vacuum,
+                                                     write_version)
+
+
+def _daily(spark, day, n=4):
+    rows = [(day * 100 + i, day, i * 1.5) for i in range(n)]
+    return spark.createDataFrame(rows, "k bigint, day int, x double")
+
+
+def _build(spark, t, days=5):
+    write_version(_daily(spark, 0), t, stats_cols=["day"])
+    for d in range(1, days):
+        append_version(_daily(spark, d), t)  # inherits stats_cols
+    return t
+
+
+def test_prune_same_rows_fewer_files(spark, tmp_path):
+    t = _build(spark, str(tmp_path / "tbl"))
+    full = read_version(spark, t)
+    pruned = read_version(spark, t, prune={"day": (3, 4)})
+    want = sorted(tuple(r) for r in
+                  full.filter("day BETWEEN 3 AND 4").collect())
+    got = sorted(tuple(r) for r in
+                 pruned.filter("day BETWEEN 3 AND 4").collect())
+    assert got == want
+    assert set(pruned.inputFiles()) < set(full.inputFiles())
+    # Exactly the two in-range dirs' files survive planning.
+    assert all("/v=4/" in f or "/v=5/" in f
+               for f in pruned.inputFiles())
+
+
+def test_one_sided_bounds_and_all_pruned(spark, tmp_path):
+    t = _build(spark, str(tmp_path / "tbl"))
+    hi = read_version(spark, t, prune={"day": (None, 0)})
+    assert all("/v=1/" in f for f in hi.inputFiles())
+    none = read_version(spark, t, prune={"day": (99, None)})
+    assert none.count() == 0
+    assert none.columns == ["k", "day", "x"]  # committed schema kept
+
+
+def test_unstated_dirs_never_pruned(spark, tmp_path):
+    """A table written WITHOUT stats_cols has no stats: prune keeps
+    everything (safe), never silently drops data."""
+    t = str(tmp_path / "tbl")
+    write_version(_daily(spark, 0), t)
+    append_version(_daily(spark, 1), t)
+    assert read_version(spark, t, prune={"day": (99, 99)}).count() == \
+        read_version(spark, t).count()
+
+
+def test_prune_composes_with_deletes_compact_vacuum(spark, tmp_path):
+    t = _build(spark, str(tmp_path / "tbl"))
+    delete_where(spark, t, "k = 301")  # one row of day 3
+    got = sorted(tuple(r) for r in
+                 read_version(spark, t, prune={"day": (3, 3)})
+                 .filter("day = 3").collect())
+    assert got == [(300, 3, 0.0), (302, 3, 3.0), (303, 3, 4.5)]
+    # Compact folds the chain; its new dir records fresh stats under
+    # the inherited stats_cols, so pruning still works afterwards.
+    compact(spark, t)
+    append_version(_daily(spark, 9), t)
+    pruned = read_version(spark, t, prune={"day": (9, 9)})
+    assert all("/v=8/" in f for f in pruned.inputFiles())
+    assert pruned.filter("day = 9").count() == 4
+    vacuum(t, keep=1)
+    assert read_version(spark, t, prune={"day": (9, 9)}) \
+        .filter("day = 9").count() == 4
