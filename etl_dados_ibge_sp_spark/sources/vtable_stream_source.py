@@ -319,6 +319,46 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; nothing to ack
 
 
+def _footer_stats(files: list[str],
+                  stats_cols: list[str]) -> dict[str, list]:
+    """Per-dir min/max for the table's declared stats columns, merged
+    from the staged files' parquet FOOTER statistics — driver-side,
+    zero data reads (the footers were just written; at a few KB each
+    this is manifest-scale work).  A column missing statistics in any
+    row group is skipped entirely (absent stats only ever mean 'never
+    pruned' — safe).  Bytes decode as UTF-8 strings to match the
+    JSON-faithful value contract of write_version's stats."""
+    import pyarrow.parquet as pq
+
+    agg: dict[str, list] = {}
+    bad: set[str] = set()
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        for c in stats_cols:
+            if c in bad or c not in idx:
+                bad.add(c)
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    bad.add(c)
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                if not isinstance(mn, (int, float, str)) \
+                        or isinstance(mn, bool):
+                    bad.add(c)
+                    break
+                if c in agg:
+                    agg[c] = [min(agg[c][0], mn), max(agg[c][1], mx)]
+                else:
+                    agg[c] = [mn, mx]
+    return {c: v for c, v in agg.items() if c not in bad}
+
+
 @dataclass
 class VTableCommitMessage(WriterCommitMessage):
     files: list = field(default_factory=list)  # staged parquet paths
@@ -430,6 +470,13 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
         dirs = ({"base": prev, "add": f"v={version}"} if prev
                 else [f"v={version}"])
         man.setdefault("txn", {})[self.writer_id] = batchId
+        sc = man.get("stats_cols") or []
+        if sc:
+            stats = _footer_stats(
+                [os.path.join(vdir, os.path.basename(f))
+                 for f in staged], sc)
+            if stats:
+                man.setdefault("stats", {})[f"v={version}"] = stats
         _commit(man, self.table_dir, version, dirs, schema.json(),
                 op="append", rows_written=rows)
 

@@ -77,3 +77,33 @@ def test_prune_composes_with_deletes_compact_vacuum(spark, tmp_path):
     vacuum(t, keep=1)
     assert read_version(spark, t, prune={"day": (9, 9)}) \
         .filter("day = 9").count() == 4
+
+
+def test_native_sink_records_footer_stats(spark, tmp_path):
+    """Dirs appended by the vtable streaming SINK carry stats too —
+    merged from the staged files' parquet footers at commit, zero
+    data reads — so sink-fed tables stay prunable."""
+    from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+        register_vtable)
+
+    register_vtable(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    # dst is created with stats_cols, then fed by the native sink.
+    write_version(_daily(spark, 0), dst, stats_cols=["day"])
+    write_version(_daily(spark, 7), src)
+    q = (spark.readStream.format("vtable").option("path", src).load()
+         .writeStream.format("vtable").option("path", dst)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    from etl_dados_ibge_sp_spark.sinks.versioned import _read_manifest
+    stats = _read_manifest(dst)["stats"]
+    assert stats["v=2"]["day"] == [7, 7]
+    pruned = read_version(spark, dst, prune={"day": (7, 7)})
+    assert all("/v=2/" in f for f in pruned.inputFiles())
+    assert pruned.count() == 4
