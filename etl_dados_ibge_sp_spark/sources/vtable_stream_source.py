@@ -326,8 +326,11 @@ def _footer_stats(files: list[str],
     zero data reads (the footers were just written; at a few KB each
     this is manifest-scale work).  A column missing statistics in any
     row group is skipped entirely (absent stats only ever mean 'never
-    pruned' — safe).  Bytes decode as UTF-8 strings to match the
-    JSON-faithful value contract of write_version's stats."""
+    pruned' — safe).  NUMERIC columns only: parquet writers may
+    TRUNCATE string min/max in footers (the spec allows it), and a
+    truncated max understating the true range would prune a dir that
+    still holds matching rows — silent data loss; string stats come
+    only from the exact Observation path (write_version)."""
     import pyarrow.parquet as pq
 
     agg: dict[str, list] = {}
@@ -346,9 +349,7 @@ def _footer_stats(files: list[str],
                     bad.add(c)
                     break
                 mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn, mx = mn.decode(), mx.decode()
-                if not isinstance(mn, (int, float, str)) \
+                if not isinstance(mn, (int, float)) \
                         or isinstance(mn, bool):
                     bad.add(c)
                     break
