@@ -176,3 +176,21 @@ def test_delete_on_partitioned_table_keeps_layout(spark, tmp_path):
     newest = max(vdirs, key=lambda d: int(d[2:]))
     assert any(e.startswith("p=")
                for e in os.listdir(os.path.join(t, newest)))
+
+
+def test_table_changes_spans_multiple_deletes_and_appends(spark,
+                                                          tmp_path):
+    """CDC across a window containing two deletes and an append nets
+    out correctly: removals emit as deletes, the era-surviving append
+    emits as insert."""
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, x int"), t)   # v1
+    delete_where(spark, t, "k = 1")                         # v2
+    append_version(spark.createDataFrame([(4, 5)], "k int, x int"),
+                   t)                                       # v3
+    delete_where(spark, t, "x >= 30")                       # v4 kills 3
+    ch = sorted(tuple(r) for r in
+                table_changes(spark, t, 1, 4).collect())
+    assert ch == [(1, 10, "delete"), (3, 30, "delete"), (4, 5,
+                                                         "insert")]
