@@ -503,6 +503,40 @@ def delete_where(spark: SparkSession, table_dir: str,
     return version
 
 
+def restore_version(table_dir: str, version: int) -> int:
+    """RESTORE (the lakehouse undo): make ``version`` the table's
+    current state again by committing a NEW version that points at the
+    old version's exact dir list — metadata-only, zero data bytes
+    moved, O(1) at any table size.  The mistake stays time-travelable
+    (and auditable: op='restore' in the history) until vacuum retires
+    it; appends continue on the restored chain.
+
+    Merge-on-read deletes restore WITH the snapshot: the new commit
+    carries the restored version's cumulative predicate set, so rows
+    deleted before the restore point never resurrect.  A vtable
+    consumer checkpointed at-or-before the restored version continues
+    correctly (the restored chain is its own chain); one checkpointed
+    on the abandoned chain fails with the standard rewrite error."""
+    man = _writer_manifest(table_dir)
+    if version not in man["versions"]:
+        raise ValueError(
+            f"{table_dir}: version {version} not available "
+            f"(have {man['versions']}) — vacuumed versions cannot "
+            "be restored")
+    if version == man["current"]:
+        return version
+    new = man["current"] + 1
+    dels = _deletes_for(man, version)
+    if dels:
+        man.setdefault("deletes", {})[str(new)] = \
+            [[d, p] for d, p in dels]
+    schema_json = man.get("schema", {}).get(str(version))
+    _commit(man, table_dir, new, _dirs_for(man, version), schema_json,
+            op="restore", rows_written=0,
+            partition_by=_partition_by_for(man, version))
+    return new
+
+
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
                  as_of_ts: float | None = None,
