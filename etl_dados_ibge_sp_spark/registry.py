@@ -928,8 +928,14 @@ def _stale_bound(current_round: int) -> int:
     the never-verified backlog).  4 from round 6 — the sanctioned way
     to reopen admission slack for the pending queue: at N ≤ 4·budget =
     200 the least-recently-verified-first order still meets a 4-round
-    bound (pinned by the drain-simulation tests)."""
-    return 3 if current_round <= 5 else 4
+    bound.  5 from round 7 (the round-6 verdict's capacity decision:
+    the registry sat at 199 of 200, so the bound extends one more
+    round, N ≤ 5·budget = 250) — each extension is pinned by its own
+    drain-simulation test in tests/test_pending_r05.py, which forward-
+    simulates the REAL cohort history and asserts the bound holds."""
+    if current_round <= 5:
+        return 3
+    return 4 if current_round <= 6 else 5
 
 
 def _order(names: list[str], last_green: dict[str, int],

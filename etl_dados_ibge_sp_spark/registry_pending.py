@@ -27,6 +27,26 @@ from .sources.parquet_source import load_table
 DRIVER_ROW_BUDGET = 50
 
 
+def _fresh_work_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir, cleared on entry —
+    the repo convention for queries that must materialize files
+    (registry_pending's schema-evolution scan established it): bench
+    warm+timed runs, parity tests, and driver rounds all reuse ONE
+    bounded tree instead of leaking a ``mkdtemp`` per invocation.
+    Callers whose RESULT lazily reads from the tree rely on the
+    clear happening at the START of the next call, never at exit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{name}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 # --------------------------------------------------------------------------
 # Multimodal, second modality: real RIFF/WAV PCM audio
 # --------------------------------------------------------------------------
@@ -1586,13 +1606,16 @@ def _q_lakehouse_incremental_loop(spark: SparkSession,
     table_changes CDC delta maintains a per-event_type aggregate —
     and the oracle is the BATCH RESTATEMENT of that aggregate, so the
     driver's hash check IS the delta-view-maintenance identity."""
-    import tempfile
-
     from .plans.lakehouse_loop import incremental_loop
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "user_id", "event_type", "ts")
-    return incremental_loop(spark, ev,
-                            tempfile.mkdtemp(prefix="lh_loop_"))
+    # Deterministic per-sf work dir, CLEARED on entry (the tables and
+    # stream checkpoint must start fresh each run — resuming an old
+    # checkpoint would change the arrival plan): repeated invocations
+    # rewrite ONE tree instead of leaking a mkdtemp per call.  Safe to
+    # return: the result is a local relation over the collected CDC
+    # deltas, independent of the work dir.
+    return incremental_loop(spark, ev, _fresh_work_dir("lh_loop", sf_dir))
 
 
 _LOOP_SQL = """
@@ -1619,13 +1642,16 @@ def _q_vtable_sink_roundtrip(spark: SparkSession,
     aggregate over the original — any duplicated, dropped, or
     corrupted row changes the hash."""
     import os
-    import tempfile
 
     from .sinks.versioned import read_version, write_version
     from .sources.vtable_stream_source import register_vtable
 
     register_vtable(spark)
-    work = tempfile.mkdtemp(prefix="vsink_rt_")
+    # Deterministic per-sf work dir, cleared on entry (fresh tables +
+    # checkpoint each run; one bounded tree across bench/driver runs).
+    # The dir must outlive this call — the returned aggregate lazily
+    # reads the copied table — so the NEXT invocation clears it.
+    work = _fresh_work_dir("vsink_rt", sf_dir)
     src, dst = os.path.join(work, "src"), os.path.join(work, "dst")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",

@@ -29,6 +29,8 @@ data + one atomically-swapped pointer.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import tempfile
@@ -112,6 +114,27 @@ def _flip_manifest(table_dir: str, man: dict) -> None:
     os.replace(tmp, _manifest_path(table_dir))  # atomic pointer flip
 
 
+@contextlib.contextmanager
+def _flip_lock(table_dir: str):
+    """Serialize manifest FLIPS (not claims — the put-if-absent marker
+    already serializes those).  Without this fence a stalled
+    roll-forward helper that read ``current`` before sleeping could
+    flip its stale marker content over a newer committed manifest — a
+    lost update.  Every flip site re-reads ``current`` under this lock
+    and only flips if its version is still next.  flock is
+    advisory-per-host, which matches the module contract (one nightly
+    writer, helpers on the same host); on an object store the flip
+    itself becomes a compare-and-swap and this lock disappears."""
+    path = os.path.join(table_dir, ".manifest.lock")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer claimed this version — committing would silently
     discard their work (a lost update).  Re-read the table and retry;
@@ -138,11 +161,19 @@ def _roll_forward(table_dir: str) -> None:
                if n.endswith(".json") and not n.startswith(".")]
     for name in sorted(markers, key=lambda n: int(n[:-5])):
         v = int(name[:-5])
-        cur = _read_manifest(table_dir)["current"] or 0
         path = os.path.join(cdir, name)
-        if v == cur + 1:
-            with open(path) as fh:
-                _flip_manifest(table_dir, json.load(fh))
+        with _flip_lock(table_dir):
+            # Re-read under the lock: a helper that checked `current`
+            # before blocking here must not flip a now-stale marker
+            # over a newer committed manifest.
+            cur = _read_manifest(table_dir)["current"] or 0
+            if v == cur + 1:
+                try:
+                    with open(path) as fh:
+                        content = json.load(fh)
+                except FileNotFoundError:
+                    continue  # a concurrent helper flipped + swept it
+                _flip_manifest(table_dir, content)
         if v <= cur + 1:
             try:
                 os.remove(path)
@@ -208,7 +239,13 @@ def _commit(man: dict, table_dir: str, version: int,
             f"this {op}") from None
     finally:
         os.unlink(tmp)
-    _flip_manifest(table_dir, man)
+    with _flip_lock(table_dir):
+        # A roll-forward helper may have flipped OUR marker already —
+        # and a successor version may have committed on top of it.
+        # Flipping unconditionally here would regress that successor
+        # (lost update), so only flip while we are still next.
+        if (_read_manifest(table_dir)["current"] or 0) < version:
+            _flip_manifest(table_dir, man)
     try:
         os.remove(marker)
     except FileNotFoundError:
@@ -717,6 +754,11 @@ def compact(spark: SparkSession, table_dir: str,
     * Fast path: if the current snapshot already meets the file-count
       target (and no re-clustering was requested), return it unchanged
       — compaction is idempotent and re-runs don't churn versions.
+      The fast path is disabled while merge-on-read delete predicates
+      are live: compaction is the documented way to materialize the
+      survivors and fold the predicates away (consumers blocked on a
+      predicate-bearing version rely on it), so it must rewrite even
+      a single under-target dir.
 
     Single-writer, like ``vacuum``.  At cluster scale the same routine
     runs per partition directory with a manifest per table, and the
@@ -733,7 +775,8 @@ def compact(spark: SparkSession, table_dir: str,
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     if (files_before <= n_out and sort_by is None
-            and zorder_by is None and len(vdirs) == 1):
+            and zorder_by is None and len(vdirs) == 1
+            and not _deletes_for(man, man["current"])):
         return (man["current"], files_before, files_before)
     df = read_version(spark, table_dir)
     if zorder_by:

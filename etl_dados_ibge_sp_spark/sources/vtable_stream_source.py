@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import urllib.parse
 
 from dataclasses import dataclass, field
@@ -465,7 +466,16 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
                                 self.merge_schema)
         version = (prev or 0) + 1
         vdir = os.path.join(self.table_dir, f"v={version}")
-        os.makedirs(vdir, exist_ok=True)
+        # v=<version> is uncommitted here (_writer_manifest rolled any
+        # crashed claim forward), so anything already in it is orphan
+        # debris from a commit attempt that crashed between the moves
+        # below and the manifest flip.  The checkpoint replay stages
+        # FRESH uuid-named files, so appending alongside the orphans
+        # would commit every row twice — rebuild the dir from scratch
+        # instead (write_version gets the same property from parquet
+        # overwrite mode).
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir)
         for f in staged:
             os.replace(f, os.path.join(vdir, os.path.basename(f)))
         dirs = ({"base": prev, "add": f"v={version}"} if prev

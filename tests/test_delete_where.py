@@ -194,3 +194,29 @@ def test_table_changes_spans_multiple_deletes_and_appends(spark,
                 table_changes(spark, t, 1, 4).collect())
     assert ch == [(1, 10, "delete"), (3, 30, "delete"), (4, 5,
                                                          "insert")]
+
+
+def test_compact_single_file_rewrites_live_deletes(spark, tmp_path):
+    """The fast path must never skip while merge-on-read predicates
+    are live: a single-file under-target snapshot with a pending
+    delete is exactly the 'compact and restart the consumer' recovery
+    case, so compact must still materialize survivors and fold the
+    predicates away (a no-op here would leave the vtable stream
+    permanently blocked)."""
+    from etl_dados_ibge_sp_spark.sinks.versioned import (_deletes_for,
+                                                         _read_manifest)
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)],
+        "k int, x int").coalesce(1), t)                      # ONE file
+    delete_where(spark, t, "k IN (2, 4)")
+    before = _read_manifest(t)["current"]
+    version, files_before, _files_after = compact(spark, t)
+    assert files_before == 1                    # the fast-path shape
+    assert version > before                     # …but it rewrote
+    assert _rows(spark, t) == [(1, 10), (3, 30), (5, 50)]
+    man = _read_manifest(t)
+    assert _deletes_for(man, man["current"]) == []
+    # Once clean, the fast path applies again (idempotent).
+    assert compact(spark, t)[0] == version

@@ -828,3 +828,53 @@ def test_round6_extension_admits_and_holds_4_round_bound():
     assert first_green["dedup_incremental_load"] <= 8
     assert first_green["left0"] == 6 and first_green["left1"] == 6
     assert max_gap <= 4, f"bound broken: a query went {max_gap} rounds"
+
+
+def test_round7_extension_admits_and_holds_5_round_bound():
+    """From round 7 the staleness bound extends 4 -> 5 (the round-6
+    verdict's capacity decision: N sat at 199 of the 4x50=200 cap with
+    SemDeDup still unregistered, so the cap moves to 5x50=250).
+    Forward-simulate the REAL round-7 state — cohorts green in
+    r03(47)/r04(50)/r05(50)/r06(50), the two round-7-gated queries
+    never verified, one new pending registration (semantic_dedup):
+    the pending query must admit in r7 and get a driver row within 2
+    rounds, the never-verified pair must clear in r7, and no verified
+    query may ever go more than 5 rounds without re-verification."""
+    from etl_dados_ibge_sp_spark.registry import _order, _stale_bound
+
+    assert (_stale_bound(5), _stale_bound(6), _stale_bound(7),
+            _stale_bound(12)) == (3, 4, 5, 5)
+
+    BUDGET = RP.DRIVER_ROW_BUDGET
+    names = ([f"a{i}" for i in range(47)] + [f"b{i}" for i in range(50)]
+             + [f"c{i}" for i in range(50)] + [f"d{i}" for i in range(50)]
+             + ["gated0", "gated1"])
+    last_green = ({f"a{i}": 3 for i in range(47)}
+                  | {f"b{i}": 4 for i in range(50)}
+                  | {f"c{i}": 5 for i in range(50)}
+                  | {f"d{i}": 6 for i in range(50)})
+    pending = ["semantic_dedup"]
+
+    cur, max_gap, admitted_at = 7, 0, {}
+    first_green: dict[str, int] = {}
+    for _ in range(10):  # rounds 7..16 — two full rotation periods
+        slack = _sim_slack(names, last_green, cur, BUDGET)
+        while slack > 0 and pending:
+            q = pending.pop(0)
+            names.append(q)
+            admitted_at[q] = cur
+            slack -= 1
+        checked = _order(names, last_green, cur)[:BUDGET]
+        for n in names:
+            g = last_green.get(n)
+            if g is not None and n not in checked:
+                max_gap = max(max_gap, cur - g)
+        for n in checked:
+            last_green[n] = cur
+            first_green.setdefault(n, cur)
+        cur += 1
+
+    assert admitted_at.get("semantic_dedup") == 7
+    assert first_green["semantic_dedup"] <= 9
+    assert first_green["gated0"] == 7 and first_green["gated1"] == 7
+    assert max_gap <= 5, f"bound broken: a query went {max_gap} rounds"

@@ -182,3 +182,117 @@ def test_crashed_claim_rolls_forward(spark, tmp_path):
     assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
         == [(1, "a"), (2, "b"), (3, "c")]
     assert os.listdir(V._commits_dir(t)) == []  # markers swept
+
+
+def _crashed_v2_marker(spark, t):
+    """Table at v1 with v2's data dir + commit marker on disk but the
+    flip never performed — the crashed-winner state both fence tests
+    start from.  Returns v2's manifest dict and the marker path."""
+    import copy
+    import json
+    import os
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.write_version(df, t)                       # v1
+    spark.createDataFrame([(2, "b")], "k int, v string") \
+        .coalesce(1).write.parquet(os.path.join(t, "v=2"))
+    man2 = copy.deepcopy(V._read_manifest(t))
+    man2["current"] = 2
+    man2["versions"] = [1, 2]
+    man2.setdefault("dirs", {})["2"] = {"base": 1, "add": "v=2"}
+    man2.setdefault("schema", {})["2"] = man2["schema"]["1"]
+    man2.setdefault("history", []).append(
+        {"version": 2, "ts": 0.0, "op": "append", "rows_written": 1})
+    os.makedirs(V._commits_dir(t), exist_ok=True)
+    marker = os.path.join(V._commits_dir(t), "2.json")
+    with open(marker, "w") as fh:
+        json.dump(man2, fh)
+    return man2, marker
+
+
+def test_stalled_helper_cannot_regress_manifest(spark, tmp_path,
+                                                monkeypatch):
+    """Lost-update fence on roll-forward: a helper that validated a
+    marker, then stalled while the winner recovered (flipping v2) and
+    a successor landed v3, must NOT flip the now-stale v2 content over
+    v3.  Simulated by racing that exact history inside the helper's
+    lock acquisition — the fix re-reads ``current`` under the lock."""
+    import contextlib
+    import os
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    man2, marker = _crashed_v2_marker(spark, t)
+    assert V._read_manifest(t)["current"] == 1   # crash state
+
+    real_lock = V._flip_lock
+    armed = {"on": True}
+
+    @contextlib.contextmanager
+    def racing_lock(table_dir):
+        if armed["on"]:
+            armed["on"] = False
+            # While the stalled helper waits on the lock: the winner
+            # finishes its own flip, the marker is swept, and a
+            # successor writer commits v3 on top.
+            V._flip_manifest(table_dir, man2)
+            os.remove(marker)
+            V.append_version(spark.createDataFrame(
+                [(3, "c")], "k int, v string"), t)   # v3
+            assert V._read_manifest(table_dir)["current"] == 3
+        with real_lock(table_dir):
+            yield
+
+    monkeypatch.setattr(V, "_flip_lock", racing_lock)
+    V._roll_forward(t)                           # the stalled helper
+    assert V._read_manifest(t)["current"] == 3   # no regression
+    assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_commit_skips_flip_when_helper_finished_it(spark, tmp_path,
+                                                   monkeypatch):
+    """The same fence on the writer's own flip: after this writer
+    linked its marker, a roll-forward helper completed the flip FOR it
+    and a successor committed on top — flipping now would regress the
+    successor, so _commit must skip its own flip."""
+    import contextlib
+    import os
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.write_version(df, t)                       # v1
+    spark.createDataFrame([(2, "b")], "k int, v string") \
+        .coalesce(1).write.parquet(os.path.join(t, "v=2"))
+    import copy
+    man2 = copy.deepcopy(V._read_manifest(t))
+    man2.setdefault("dirs", {})["2"] = None      # filled by _commit args
+
+    real_lock = V._flip_lock
+    armed = {"on": True}
+
+    @contextlib.contextmanager
+    def racing_lock(table_dir):
+        if armed["on"]:
+            armed["on"] = False
+            # Between this writer's marker link and its flip: a helper
+            # rolls the marker forward, then a successor lands v3.
+            V._roll_forward(table_dir)
+            assert V._read_manifest(table_dir)["current"] == 2
+            V.append_version(spark.createDataFrame(
+                [(3, "c")], "k int, v string"), t)   # v3
+        with real_lock(table_dir):
+            yield
+
+    monkeypatch.setattr(V, "_flip_lock", racing_lock)
+    del man2["dirs"]["2"]
+    V._commit(man2, t, 2, {"base": 1, "add": "v=2"},
+              df.schema.json(), op="append", rows_written=1)
+    assert V._read_manifest(t)["current"] == 3   # successor survives
+    assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]

@@ -195,3 +195,39 @@ def test_foreign_checkpoint_ledger_mismatch_fails(spark, tmp_path):
     w2.commit([w2.write(iter([pa.RecordBatch.from_pylist(
         [{"k": 9, "v": "z"}], schema=arrow)]))], batchId=0)
     assert _rows(spark, t) == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_crash_orphans_do_not_duplicate_on_replay(spark, tmp_path):
+    """Exactly-once across a crash BETWEEN the staged-file moves and
+    the manifest flip: the half-moved files sit in the uncommitted
+    v=N dir, and the checkpoint replay stages FRESH uuid-named files —
+    commit must rebuild v=N from scratch, not append alongside the
+    orphans (which would commit the batch's rows twice)."""
+    import shutil
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t = str(tmp_path / "tbl")
+    schema_df = spark.createDataFrame([(1, "a")], "k int, v string")
+    w = VTableStreamWriter(t, schema_df.schema)
+    batch = pa.RecordBatch.from_pylist([{"k": 1, "v": "a"}],
+                                       schema=to_arrow_schema(
+                                           schema_df.schema))
+    w.commit([w.write(iter([batch]))], batchId=0)    # v1 committed
+    assert _rows(spark, t) == [(1, "a")]
+
+    # Crash replica of batch 1: files moved into v=2, no manifest
+    # flip, no ledger update.
+    msg = w.write(iter([batch]))
+    vdir = os.path.join(t, "v=2")
+    os.makedirs(vdir)
+    for f in msg.files:
+        shutil.move(f, vdir)
+    assert len(os.listdir(vdir)) == 1                # the orphan
+
+    # Replay of batch 1 after restart: fresh staged files, same id.
+    w.commit([w.write(iter([batch]))], batchId=1)
+    assert _rows(spark, t) == [(1, "a"), (1, "a")]   # exactly once
+    assert len(os.listdir(vdir)) == 1                # orphan purged
+    assert len(table_history(t)) == 2
