@@ -679,16 +679,26 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     joins co-located.  Cross-cluster near-duplicates are missed BY
     DESIGN (the paper's recall trade-off); compose with
     ``embed_near_dup_pairs`` when that tail matters."""
+    from pyspark.storagelevel import StorageLevel
+
     cents = kmeans_fit(emb, k=k, n_iter=n_iter,
                        id_col=id_col, vec_col=vec_col)
     cb = _codebook_2d_lit(cents)
     dots = F.transform(cb, lambda c: dot(F.col("__v"), c))
+    # MATERIALIZED before the self-join: the pair filter's interpreted
+    # dot would otherwise re-derive __v's whole lineage (normalization
+    # lambda, and whatever derivation the caller's frame carries) once
+    # per PAIR per element — the measured-351-s shape documented at
+    # _ivf_model.  Persisting pins __v as a stored array column, so
+    # each pair dot reads two arrays.  At 100 TB this materialization
+    # is the assignment table you would write to storage at ingest.
     assigned = (
         with_l2_normalized(
             emb.select(F.col(id_col), F.col(vec_col)), vec_col, "__v")
         .select(F.col(id_col), "__v",
                 nearest_centroid(F.col("__v"), cents).alias("cluster"),
                 F.round(F.array_max(dots), 6).alias("centroid_sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = assigned.select(F.col(id_col).alias("__ida"),
                         F.col("__v").alias("__va"),

@@ -1589,6 +1589,97 @@ PENDING.extend(PENDING9)
 
 
 # --------------------------------------------------------------------------
+# Tenth tranche (round 7): SemDeDup as a driver-checked query.  The
+# round-7 bound extension (registry._stale_bound: 4 -> 5, cap 250)
+# reopens slack, and the round-7 rotation has exactly 47 critically
+# stale rows + the 2 never-verified gated queries — one free slot,
+# which this entry consumes (pinned by the round-7 drain simulation).
+# --------------------------------------------------------------------------
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup) end to end as a
+    hash-checked query: over the planted-clusters fixture
+    (registry_ext.planted_clusters — k-means provably converges to the
+    planted centers, so cluster = vec_id % 8 and the centroid is the
+    normalized per-cluster mean, both closed-form in SQL) plus planted
+    EXACT duplicates (1.1x-scaled copies of every 10th vector — same
+    direction, cosine 1 after normalization).  At threshold 0.9999
+    each copy loses to its original (equal rounded centroid_sim, lower
+    id wins), so the kept set is every original with its cluster and
+    centroid similarity — the full keeper policy, cluster assignment,
+    and centroid arithmetic in one value hash.  Scale shape documented
+    on the operator: the only quadratic term is within-CLUSTER, and
+    the assignment is materialized before the pair join."""
+    from .operators.similarity import semantic_dedup
+    from .registry_ext import planted_clusters
+
+    pl = planted_clusters(load_table(spark, sf_dir, "embeddings"))
+    copies = pl.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"))
+    return semantic_dedup(pl.unionByName(copies),
+                          threshold=0.9999, k=8)
+
+
+# The oracle restates the fixed point the Spark k-means provably
+# reaches on the planted fixture: cluster = vec_id % 8 (seeds 0..7
+# cover all planted centers, assignments stable from iteration 1) and
+# centroid = l2-normalized per-cluster mean of the normalized vectors
+# (kmeans_fit's decimal(32,12)-accumulated mean, mirrored here), then
+# applies the identical pair policy over rounded-6dp cosines.
+_SEMDEDUP_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pl AS (
+    SELECT vec_id,
+           list_transform(e, (x, i) ->
+               x / sqrt(list_dot_product(e, e)) * CAST(0.1 AS DOUBLE)
+               + CASE WHEN i - 1 = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END) AS v0
+    FROM e
+), corpus AS (
+    SELECT vec_id, v0 FROM pl
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(v0, x -> x * CAST(1.1 AS DOUBLE))
+    FROM pl WHERE vec_id % 10 = 0
+), nv AS (
+    SELECT vec_id, CAST(vec_id % 1000000 % 8 AS BIGINT) AS cluster,
+           list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+    FROM corpus
+), ex AS (
+    SELECT cluster, generate_subscripts(v, 1) AS i, unnest(v) AS x
+    FROM nv
+), dims AS (
+    SELECT cluster, i,
+           CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(*) AS m
+    FROM ex GROUP BY cluster, i
+), cent AS (
+    SELECT cluster, list(m ORDER BY i) AS c0 FROM dims GROUP BY cluster
+), centn AS (
+    SELECT cluster,
+           list_transform(c0, x -> x / sqrt(list_dot_product(c0, c0))) AS c
+    FROM cent
+), asg AS (
+    SELECT nv.vec_id, nv.cluster, nv.v,
+           round(list_dot_product(nv.v, centn.c), 6) AS centroid_sim
+    FROM nv JOIN centn USING (cluster)
+), beaten AS (
+    SELECT DISTINCT b.vec_id
+    FROM asg x JOIN asg b USING (cluster)
+    WHERE x.vec_id != b.vec_id
+      AND (x.centroid_sim > b.centroid_sim
+           OR (x.centroid_sim = b.centroid_sim AND x.vec_id < b.vec_id))
+      AND round(list_dot_product(x.v, b.v), 6) >= CAST(0.9999 AS DOUBLE)
+)
+SELECT a.vec_id, a.cluster, a.centroid_sim
+FROM asg a LEFT JOIN beaten USING (vec_id) WHERE beaten.vec_id IS NULL
+"""
+
+PENDING.append(("semantic_dedup", _SEMDEDUP_SQL, _q_semantic_dedup))
+
+
+# --------------------------------------------------------------------------
 # ROUND-GATED tranche: entries that must NOT be admitted before a
 # given round even if slack exists.  Round 6's 50-row budget is
 # exactly consumed by the 49-query round-5 backlog plus the

@@ -435,6 +435,35 @@ def foreach_batch_appender(table_dir: str, writer_id: str = "default"):
     return _sink
 
 
+def _merge_frame(target: DataFrame, updates: DataFrame,
+                 keys: list[str],
+                 deletes: DataFrame | None = None) -> DataFrame:
+    """MERGE's logical plan, exposed for plan-shape pinning: the
+    tag-union + per-key ``max_by`` winner selection (ONE shuffle on
+    the keys, map-side combinable) plus an optional keys-only
+    anti-join for deletes.  ``merge_version`` executes exactly this
+    frame; tests/test_plan_hygiene.py pins its shuffle count so a
+    regression in the merge leg of the lakehouse loop fails CI even
+    though the loop query itself is exempt from the plan sweep."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in target.columns if c not in keys]
+
+    def tag(df: DataFrame, pri: int) -> DataFrame:
+        return df.select(*keys, F.struct(*others).alias("_row"),
+                         F.lit(pri).alias("_pri"))
+
+    merged = (tag(target, 0).unionByName(tag(updates, 1))
+              .groupBy(*keys)
+              .agg(F.max_by("_row", "_pri").alias("_row"))
+              .select(*keys, "_row.*")
+              .select(*target.columns))  # original column order
+    if deletes is not None:
+        merged = merged.join(deletes.select(*keys).distinct(),
+                             on=keys, how="left_anti")
+    return merged
+
+
 def merge_version(spark: SparkSession, table_dir: str,
                   updates: DataFrame, keys: list[str],
                   deletes: DataFrame | None = None) -> int:
@@ -468,7 +497,6 @@ def merge_version(spark: SparkSession, table_dir: str,
     from pyspark.sql import functions as F
 
     target = read_version(spark, table_dir)
-    others = [c for c in target.columns if c not in keys]
 
     for side, df in (("table", target), ("updates", updates)):
         dup = (df.groupBy(*keys).count()
@@ -480,18 +508,7 @@ def merge_version(spark: SparkSession, table_dir: str,
                 f"{k}; MERGE requires key-unique sides (deduplicate "
                 "or compact first)")
 
-    def tag(df: DataFrame, pri: int) -> DataFrame:
-        return df.select(*keys, F.struct(*others).alias("_row"),
-                         F.lit(pri).alias("_pri"))
-
-    merged = (tag(target, 0).unionByName(tag(updates, 1))
-              .groupBy(*keys)
-              .agg(F.max_by("_row", "_pri").alias("_row"))
-              .select(*keys, "_row.*")
-              .select(*target.columns))  # original column order
-    if deletes is not None:
-        merged = merged.join(deletes.select(*keys).distinct(),
-                             on=keys, how="left_anti")
+    merged = _merge_frame(target, updates, keys, deletes)
     man = _writer_manifest(table_dir)
     return write_version(merged, table_dir, op="merge",
                          partition_by=_partition_by_for(

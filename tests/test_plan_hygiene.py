@@ -108,3 +108,66 @@ def test_shuffle_count_pinned(name, spark, sf_dir):
         f"{name}: {shuffles} shuffles, audited bound is "
         f"{_MAX_SHUFFLES[name]} — a plan regression added an "
         f"Exchange; see PLANS.md §{name}\n{plan[:2000]}")
+
+
+# ----------------------------------------------------------------------
+# Component plan pins for the two stream-EXECUTING queries (round-6
+# verdict ask #5): `lakehouse_incremental_loop` and
+# `vtable_sink_roundtrip` are exempt from the sweep above (invoking
+# them runs real streams; their returned plan is a local-relation
+# aggregate), so their legs are pinned here COMPONENT by component —
+# the same formatted-explain Exchange metric, on the exact frames the
+# loop executes.
+# ----------------------------------------------------------------------
+
+def test_lakehouse_loop_component_plans_pinned(spark, sf_dir, tmp_path):
+    import contextlib
+    import io
+    import re
+
+    from etl_dados_ibge_sp_spark.plans.lakehouse_loop import (
+        arrival_batches, latest_per_key)
+    from etl_dados_ibge_sp_spark.sinks.versioned import (
+        _merge_frame, append_version, read_version, table_changes,
+        write_version)
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+    from pyspark.sql import functions as F
+
+    def shuffles(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+    ev = arrival_batches(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts"), 3)
+
+    # Winner-selection leg: one groupBy shuffle on user_id (+ the
+    # sanctioned scan fan-out exchange).
+    assert shuffles(latest_per_key(ev)) <= 2
+
+    # MERGE leg: the tag-union/max_by frame merge_version executes —
+    # one key shuffle over the union on top of the two input legs,
+    # never a snapshot-vs-delta join.
+    t = str(tmp_path / "state")
+    write_version(latest_per_key(ev.filter(F.col("b") == 0)), t)
+    merged = _merge_frame(read_version(spark, t),
+                          latest_per_key(ev.filter(F.col("b") == 1)),
+                          ["user_id"])
+    assert shuffles(merged) <= 3
+
+    # CDC leg: table_changes is exactly two exceptAll anti-diffs.
+    append_version(latest_per_key(ev.filter(F.col("b") == 2))
+                   .limit(10), t)
+    assert shuffles(table_changes(spark, t, 1)) <= 2
+
+    # Sink-roundtrip read leg: the aggregate the query returns over
+    # the copied table (count-distinct expand + final combine).
+    agg = (read_version(spark, t).groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                F.sum("ts_us").cast("bigint").alias("sum_ts_us")))
+    assert shuffles(agg) <= 2

@@ -296,3 +296,64 @@ def test_commit_skips_flip_when_helper_finished_it(spark, tmp_path,
     assert V._read_manifest(t)["current"] == 3   # successor survives
     assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
         == [(1, "a"), (2, "b"), (3, "c")]
+
+def test_concurrent_commit_protocol_stress(spark, tmp_path):
+    """Concurrency stress over the COMMIT PROTOCOL layer: 8 threads,
+    each with its own pre-written data dir (unique names — the
+    object-store model where data files never contend), race
+    ``_commit`` with retry-on-ConcurrentWriteError.  Every commit must
+    land exactly once (no lost updates), the version chain must be
+    contiguous, and no marker may survive.  Exercises the lock-fenced
+    roll-forward helpers and the marker-swept-by-peer
+    FileNotFoundError path probabilistically — the deterministic
+    fence tests above pin each interleaving.  (Concurrent writes to
+    one SHARED v=N dir stay out of contract: the module serializes
+    the manifest, not data dirs — see the module docstring.)"""
+    import os
+    import threading
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(0, "seed")], "k int, v string")
+    V.write_version(df, t)
+
+    N = 8
+    # Data dirs written serially up front; only the protocol races.
+    for i in range(N):
+        spark.createDataFrame([(i + 1, f"w{i}")], "k int, v string") \
+            .coalesce(1).write.parquet(os.path.join(t, f"v=w{i}"))
+    schema_json = df.schema.json()
+    errs: list[Exception] = []
+
+    def worker(i):
+        for _ in range(60):  # bounded retries
+            try:
+                man = V._writer_manifest(t)
+                prev = man["current"]
+                V._commit(man, t, (prev or 0) + 1,
+                          {"base": prev, "add": f"v=w{i}"},
+                          schema_json, op="append", rows_written=1)
+                return
+            except V.ConcurrentWriteError:
+                continue
+            except Exception as e:      # noqa: BLE001 — recorded
+                errs.append(e)
+                return
+        errs.append(RuntimeError(f"w{i}: retries exhausted"))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(N)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errs, errs
+
+    man = V._read_manifest(t)
+    assert man["current"] == N + 1                   # seed + N commits
+    assert man["versions"] == list(range(1, N + 2))  # contiguous
+    rows = sorted(tuple(r) for r in V.read_version(spark, t).collect())
+    assert rows == [(0, "seed")] + \
+        [(i + 1, f"w{i}") for i in range(N)]         # exactly once each
+    assert os.listdir(V._commits_dir(t)) == []       # markers swept
