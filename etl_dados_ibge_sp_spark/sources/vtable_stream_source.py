@@ -365,6 +365,32 @@ def _footer_stats(files: list[str],
 class VTableCommitMessage(WriterCommitMessage):
     files: list = field(default_factory=list)  # staged parquet paths
     rows: int = 0
+    # Hive-relative subdir per staged file ("" = flat table), parallel
+    # to ``files`` — e.g. "event_type=click".  Missing/short lists
+    # mean flat for the unpaired files (messages from older pickles).
+    dirs: list = field(default_factory=list)
+
+
+def _hive_dir(cols: list[str], values: tuple) -> str:
+    """The hive path fragment for one partition tuple, using Spark's
+    escapePathName conventions: nulls become __HIVE_DEFAULT_PARTITION__
+    and path-hostile characters are %XX-escaped, so Spark's
+    partitioned parquet reader round-trips the values (and
+    read_version's declared schema pins their types)."""
+    hostile = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} \
+        | {chr(0x7F)}
+
+    def esc(s: str) -> str:
+        return "".join(f"%{ord(ch):02X}" if ch in hostile else ch
+                       for ch in s)
+
+    parts = []
+    for c, v in zip(cols, values):
+        if v is None:
+            parts.append(f"{esc(c)}={_HIVE_NULL}")
+        else:
+            parts.append(f"{esc(c)}={esc(str(v))}")
+    return "/".join(parts)
 
 
 class VTableStreamWriter(DataSourceStreamArrowWriter):
@@ -384,9 +410,14 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
     an abort or a crash leaves orphans in ``_staging/`` that no
     manifest references — harmless, rewritten by the replay, and
     reclaimed by ``vacuum``.  Append-only by construction (overwrite
-    mode is refused) and flat layouts only: a hive-partitioned table
-    must keep using foreach_batch_appender, which inherits the
-    table's partition_by.
+    mode is refused).  Hive-partitioned tables are first-class since
+    round 7: appending to one adopts its layout automatically, and
+    ``.option("partition_by", "col[,col]")`` lets the first write
+    CREATE a partitioned table — each task stages one file per
+    partition tuple it holds (data files omit the partition columns;
+    the dir name carries them), and commit moves the staged files
+    into the hive tree of the new ``v=N`` dir.  The layout is fixed
+    per table chain; a mismatched spec fails the commit loudly.
 
     The txn ledger is scoped by ``writer_id`` (option, default
     "stream") and batch ids restart at 0 for every new checkpoint —
@@ -398,11 +429,20 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, table_dir: str, schema: StructType,
                  writer_id: str = "stream",
-                 merge_schema: bool = False):
+                 merge_schema: bool = False,
+                 partition_by: list[str] | None = None):
         self.table_dir = table_dir
         self.schema_json = schema.json()
         self.writer_id = writer_id
         self.merge_schema = merge_schema
+        self.partition_by = list(partition_by or [])
+        if self.partition_by:
+            missing = [c for c in self.partition_by
+                       if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"vtable sink: partition columns {missing} are "
+                    "not in the stream's schema")
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator):
@@ -416,21 +456,47 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
             return VTableCommitMessage()
         staging = os.path.join(self.table_dir, "_staging")
         os.makedirs(staging, exist_ok=True)
-        path = os.path.join(staging,
-                            f"part-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_batches(batches), path)
-        return VTableCommitMessage(files=[path],
-                                   rows=sum(b.num_rows
-                                            for b in batches))
+        tbl = pa.Table.from_batches(batches)
+        if not self.partition_by:
+            path = os.path.join(staging,
+                                f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(tbl, path)
+            return VTableCommitMessage(files=[path], rows=tbl.num_rows,
+                                       dirs=[""])
+        # Hive layout: one staged file per partition tuple seen by
+        # THIS task (data files omit the partition columns — the dir
+        # name carries them, exactly like write_version's partitionBy
+        # path).  A task's batch holds few distinct tuples after the
+        # upstream shuffle, so the fan-out is bounded; the groups are
+        # computed Arrow-side (one pass, no pandas copy).
+        pcols = [tbl.column(c) for c in self.partition_by]
+        keys = [tuple(col[j].as_py() for col in pcols)
+                for j in range(tbl.num_rows)]
+        by_key: dict[tuple, list[int]] = {}
+        for j, k in enumerate(keys):
+            by_key.setdefault(k, []).append(j)
+        data = tbl.drop_columns(self.partition_by)
+        files, dirs = [], []
+        for k, idx in by_key.items():
+            path = os.path.join(staging,
+                                f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(data.take(idx), path)
+            files.append(path)
+            dirs.append(_hive_dir(self.partition_by, k))
+        return VTableCommitMessage(files=files, rows=tbl.num_rows,
+                                   dirs=dirs)
 
     # -- driver side -----------------------------------------------------
-    def _staged(self, messages) -> tuple[list[str], int]:
+    def _staged(self, messages) -> tuple[list[str], int, list[str]]:
         files = [f for m in messages if m is not None for f in m.files]
         rows = sum(m.rows for m in messages if m is not None)
-        return files, rows
+        dirs = [d for m in messages if m is not None
+                for d in (m.dirs if len(getattr(m, "dirs", []))
+                          == len(m.files) else [""] * len(m.files))]
+        return files, rows, dirs
 
     def commit(self, messages, batchId: int) -> None:
-        staged, rows = self._staged(messages)
+        staged, rows, reldirs = self._staged(messages)
         man = _writer_manifest(self.table_dir)
         last = man.get("txn", {}).get(self.writer_id)
         if last is not None and batchId == last:
@@ -453,11 +519,13 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
         if not staged:
             return  # empty batch: no version, nothing to make idempotent
         prev = man["current"]
-        if _partition_by_for(man, prev):
+        existing = _partition_by_for(man, prev) or []
+        if prev is not None and list(existing) != self.partition_by:
             raise ValueError(
-                f"vtable sink: {self.table_dir} is hive-partitioned; "
-                "this sink writes flat snapshots — use "
-                "sinks.versioned.foreach_batch_appender instead")
+                f"vtable sink: {self.table_dir} is partitioned by "
+                f"{list(existing)} but this stream stages "
+                f"{self.partition_by} — the layout is fixed per table "
+                "chain (rewrite via write_version to change it)")
         import types as _types
 
         batch_schema = StructType.fromJson(json.loads(self.schema_json))
@@ -476,23 +544,27 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
         # overwrite mode).
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
-        for f in staged:
-            os.replace(f, os.path.join(vdir, os.path.basename(f)))
+        moved = []
+        for f, rel in zip(staged, reldirs):
+            dst_dir = os.path.join(vdir, rel) if rel else vdir
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, os.path.basename(f))
+            os.replace(f, dst)
+            moved.append(dst)
         dirs = ({"base": prev, "add": f"v={version}"} if prev
                 else [f"v={version}"])
         man.setdefault("txn", {})[self.writer_id] = batchId
         sc = man.get("stats_cols") or []
         if sc:
-            stats = _footer_stats(
-                [os.path.join(vdir, os.path.basename(f))
-                 for f in staged], sc)
+            stats = _footer_stats(moved, sc)
             if stats:
                 man.setdefault("stats", {})[f"v={version}"] = stats
         _commit(man, self.table_dir, version, dirs, schema.json(),
-                op="append", rows_written=rows)
+                op="append", rows_written=rows,
+                partition_by=self.partition_by or None)
 
     def abort(self, messages, batchId: int) -> None:
-        staged, _rows = self._staged(messages)
+        staged, _rows, _dirs = self._staged(messages)
         for f in staged:
             try:
                 os.remove(f)
@@ -544,11 +616,25 @@ class VTableDataSource(DataSource):
                 "vtable sink is append-only (outputMode append); a "
                 "rewrite is a batch operation — use "
                 "sinks.versioned.write_version")
+        path = self.options["path"]
+        opt = self.options.get("partition_by")
+        if opt:
+            pby = [c.strip() for c in opt.split(",") if c.strip()]
+        else:
+            # Appending to an existing hive-partitioned table adopts
+            # its layout automatically (resolved once, at query start
+            # on the driver — the layout is fixed per table chain).
+            try:
+                man = _read_manifest(path)
+                pby = _partition_by_for(man, man["current"]) or []
+            except FileNotFoundError:
+                pby = []
         return VTableStreamWriter(
-            self.options["path"], schema,
+            path, schema,
             writer_id=self.options.get("writer_id", "stream"),
             merge_schema=str(self.options.get("merge_schema", "false"))
-            .lower() == "true")
+            .lower() == "true",
+            partition_by=pby or None)
 
 
 def _ship_package(spark) -> None:

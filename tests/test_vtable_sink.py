@@ -231,3 +231,100 @@ def test_crash_orphans_do_not_duplicate_on_replay(spark, tmp_path):
     assert _rows(spark, t) == [(1, "a"), (1, "a")]   # exactly once
     assert len(os.listdir(vdir)) == 1                # orphan purged
     assert len(table_history(t)) == 2
+
+
+def test_partitioned_table_copy_adopts_layout(spark, tmp_path):
+    """Appending to a hive-partitioned table: the sink adopts the
+    table's layout automatically (no option needed), stages one file
+    per partition tuple per task, and the committed version reads
+    back partition-complete — including NULL partition values."""
+    from etl_dados_ibge_sp_spark.sinks.versioned import _read_manifest
+
+    register_vtable(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", None)]
+    df = spark.createDataFrame(rows, "k int, v string, pk string")
+    write_version(df, src)
+    write_version(df.limit(0), dst, partition_by=["pk"])  # empty, layout set
+    _copy_once(spark, src, dst, ckpt)
+    assert _rows(spark, dst) == sorted(rows)
+    man = _read_manifest(dst)
+    assert man["partition_by"][str(man["current"])] == ["pk"]
+    # The hive tree is real: data landed under pk=<value> dirs and the
+    # files omit the partition column.
+    vdir = os.path.join(dst, f"v={man['current']}")
+    subdirs = sorted(d for d in os.listdir(vdir)
+                     if os.path.isdir(os.path.join(vdir, d)))
+    assert subdirs == ["pk=__HIVE_DEFAULT_PARTITION__", "pk=x", "pk=y"]
+    import pyarrow.parquet as pq
+    f = next(os.path.join(vdir, "pk=x", n)
+             for n in os.listdir(os.path.join(vdir, "pk=x")))
+    assert "pk" not in pq.read_schema(f).names
+
+
+def test_partitioned_create_and_exactly_once(spark, tmp_path):
+    """option("partition_by") CREATES a partitioned table on first
+    write, and the txn ledger keeps appends exactly-once across
+    checkpoint re-runs — same laws as the flat sink, hive layout."""
+    register_vtable(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k int, v string, pk string"),
+        src)
+
+    def copy():
+        q = (spark.readStream.format("vtable").option("path", src)
+             .load()
+             .writeStream.format("vtable").option("path", dst)
+             .option("partition_by", "pk")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    copy()
+    assert _rows(spark, dst) == [(1, "a", "x"), (2, "b", "y")]
+    # Idle re-run: nothing new, no version churn.
+    v = len(table_history(dst))
+    copy()
+    assert len(table_history(dst)) == v
+    # Two src appends while down -> one dst append, rows exactly once,
+    # new partition dirs appear in the APPENDED version only.
+    append_version(spark.createDataFrame([(3, "c", "z")],
+                                         "k int, v string, pk string"),
+                   src)
+    append_version(spark.createDataFrame([(4, "d", "x")],
+                                         "k int, v string, pk string"),
+                   src)
+    copy()
+    assert _rows(spark, dst) == [(1, "a", "x"), (2, "b", "y"),
+                                 (3, "c", "z"), (4, "d", "x")]
+    assert [h["op"] for h in table_history(dst)] == ["append", "append"]
+
+
+def test_partitioned_spec_mismatch_fails_loudly(spark, tmp_path):
+    """The layout is fixed per table chain: streaming a different
+    partition spec into an existing table must fail the commit, not
+    silently mix layouts."""
+    register_vtable(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "k int, v string, pk string")
+    write_version(df, src)
+    write_version(df, dst)                       # existing FLAT table
+    q = (spark.readStream.format("vtable").option("path", src).load()
+         .writeStream.format("vtable").option("path", dst)
+         .option("partition_by", "pk")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    with pytest.raises(StreamingQueryException,
+                       match="partitioned by"):
+        q.awaitTermination(120)
+    assert _rows(spark, dst) == [(1, "a", "x")]  # table untouched
