@@ -328,3 +328,32 @@ def test_partitioned_spec_mismatch_fails_loudly(spark, tmp_path):
                        match="partitioned by"):
         q.awaitTermination(120)
     assert _rows(spark, dst) == [(1, "a", "x")]  # table untouched
+
+
+def test_partitioned_sink_escaping_roundtrip(spark, tmp_path):
+    """Path-hostile partition values must round-trip through the hive
+    dir encoding: separators, escapes, '=', '%', spaces, unicode and
+    NULL all read back exactly (both through read_version's Spark
+    scan and the vtable stream reader's own decoder)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t = str(tmp_path / "tbl")
+    values = ["a b", "a/b", "a=b", "a%b", "w:x?y", "ração",
+              "#hash", None]
+    rows = [{"k": i, "pk": v} for i, v in enumerate(values)]
+    schema = spark.createDataFrame([], "k int, pk string").schema
+    w = VTableStreamWriter(t, schema, partition_by=["pk"])
+    batch = pa.RecordBatch.from_pylist(rows,
+                                       schema=to_arrow_schema(schema))
+    w.commit([w.write(iter([batch]))], batchId=0)
+    assert _rows(spark, t) == sorted(
+        ((i, v) for i, v in enumerate(values)),
+        key=lambda r: (r[0],))
+    # The stream reader decodes the same dirs back to the same values.
+    from etl_dados_ibge_sp_spark.sources.vtable_stream_source import (
+        _parquet_files)
+    got = sorted(h["pk"] if h["pk"] is not None else "\x00NULL"
+                 for _f, h in _parquet_files(os.path.join(t, "v=1")))
+    want = sorted(v if v is not None else "\x00NULL" for v in values)
+    assert got == want
