@@ -328,10 +328,55 @@ def _merged_schema(man: dict, prev: int | None, df: DataFrame,
     return StructType(old.fields + new_fields)
 
 
+def _dir_bloom(spark: SparkSession, vdir: str, col: str,
+               m_bits: int) -> str:
+    """One dir-level Bloom filter over ``col``'s values in a freshly
+    written snapshot dir — the equality-predicate complement of the
+    min/max dir stats (min/max cannot skip for a point lookup on a
+    high-cardinality column; a Bloom can).  Reuses the engine's
+    word-packed distributed builder (operators/sketches.bloom_build):
+    a keys-only column scan of the NEW dir's files, never the table.
+    Size ``m_bits`` to the expected distinct keys per dir (~8 bits
+    per key keeps the false-positive rate low single digits); a
+    saturated bloom only costs a wasted dir scan, never a wrong
+    result."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import bloom_build
+
+    keys = spark.read.parquet(vdir).select(col).where(
+        F.col(col).isNotNull())
+    return bloom_build(keys, col, m_bits=m_bits, n_hashes=3,
+                       salt=f"dirbloom:{col}").decode("ascii")
+
+
+def _bloom_may_contain(spark: SparkSession, hexmap: str, col: str,
+                       value, m_bits: int) -> bool:
+    """Driver-side probe of one dir bloom: the value's 3 bit positions
+    come from the SAME JVM xxhash64 expression the builder used (one
+    tiny local job per (col, value), computed once per read)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import _bloom_positions
+
+    # _bloom_positions casts its key to string itself — identical
+    # derivation to the builder's.
+    pos = _bloom_positions(F.lit(value), 3, m_bits, f"dirbloom:{col}")
+    row = spark.range(1).select(
+        *[p.alias(f"p{i}") for i, p in enumerate(pos)]).first()
+    for i in range(3):
+        b = row[f"p{i}"]
+        if not (int(hexmap[b // 4], 16) >> (b % 4)) & 1:
+            return False
+    return True
+
+
 def write_version(df: DataFrame, table_dir: str,
                   op: str = "write",
                   partition_by: list[str] | None = None,
-                  stats_cols: list[str] | None = None) -> int:
+                  stats_cols: list[str] | None = None,
+                  bloom_cols: list[str] | None = None,
+                  bloom_bits: int = 1 << 14) -> int:
     """Write ``df`` as the table's next snapshot and atomically flip
     the manifest to it.  Returns the new version number.  ``op`` is
     what the commit log records — callers committing on behalf of a
@@ -354,6 +399,14 @@ def write_version(df: DataFrame, table_dir: str,
     if sc:
         man["stats_cols"] = sc
         man.setdefault("stats", {})[f"v={version}"] = stats
+    bc = (bloom_cols if bloom_cols is not None
+          else man.get("bloom_cols") or None)
+    if bc:
+        mb = (bloom_bits if bloom_cols is not None
+              else man.get("bloom_bits", bloom_bits))
+        man["bloom_cols"], man["bloom_bits"] = bc, mb
+        man.setdefault("blooms", {})[f"v={version}"] = {
+            c: _dir_bloom(df.sparkSession, vdir, c, mb) for c in bc}
     _commit(man, table_dir, version, [f"v={version}"],
             df.schema.json(), op=op, rows_written=n,
             partition_by=partition_by)
@@ -398,6 +451,11 @@ def append_version(df: DataFrame, table_dir: str,
     n, stats = _write_snapshot(df, vdir, pb, sc)
     if sc:
         man.setdefault("stats", {})[f"v={version}"] = stats
+    bc = man.get("bloom_cols") or None  # appends inherit bloom cols
+    if bc:
+        mb = man.get("bloom_bits", 1 << 14)
+        man.setdefault("blooms", {})[f"v={version}"] = {
+            c: _dir_bloom(df.sparkSession, vdir, c, mb) for c in bc}
     dirs = ({"base": prev, "add": f"v={version}"} if prev
             else [f"v={version}"])
     if batch_id is not None:
@@ -594,7 +652,8 @@ def restore_version(table_dir: str, version: int) -> int:
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
                  as_of_ts: float | None = None,
-                 prune: dict[str, tuple] | None = None) -> DataFrame:
+                 prune: dict[str, tuple] | None = None,
+                 prune_eq: dict | None = None) -> DataFrame:
     """Read the current snapshot, ``version=`` for VERSION AS OF time
     travel, or ``as_of_ts=`` (unix seconds) for TIMESTAMP AS OF — the
     newest version committed at or before that instant, resolved from
@@ -612,7 +671,17 @@ def read_version(spark: SparkSession, table_dir: str,
     still contain out-of-range rows, so the caller applies its own
     predicate as usual — the law is read(prune).filter(p) ==
     read().filter(p), with strictly fewer input files.  Dirs with no
-    recorded stats are always kept (safe)."""
+    recorded stats are always kept (safe).
+
+    ``prune_eq`` is the EQUALITY form over the dir-level Bloom
+    filters (``write_version(bloom_cols=...)``; appends inherit):
+    ``{col: value}`` drops every dir whose bloom says the value is
+    definitively absent — the skip min/max cannot make for a point
+    lookup on a high-cardinality column (every dir's [min, max]
+    straddles a popular id range; almost no dir actually contains a
+    given key).  Same hint-not-filter law; Bloom false positives only
+    keep an extra dir, never change the result.  Dirs with no
+    recorded bloom are always kept (safe); composes with ``prune``."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -653,6 +722,21 @@ def read_version(spark: SparkSession, table_dir: str,
             return False
 
         dirs = [d for d in dirs if not _misses(d)]
+    if prune_eq:
+        blooms = man.get("blooms", {})
+        mb = man.get("bloom_bits", 1 << 14)
+
+        def _excluded(d: str) -> bool:
+            bm = blooms.get(d)
+            if not bm:
+                return False  # no bloom recorded: keep (safe)
+            for col, value in prune_eq.items():
+                if col in bm and not _bloom_may_contain(
+                        spark, bm[col], col, value, mb):
+                    return True
+            return False
+
+        dirs = [d for d in dirs if not _excluded(d)]
     paths = [os.path.join(table_dir, d) for d in dirs]
     stored = man.get("schema", {}).get(str(v))
     schema = (StructType.fromJson(_json.loads(stored))
@@ -939,6 +1023,9 @@ def vacuum(table_dir: str, keep: int = 5) -> list[int]:
     if "stats" in man:  # per-DIR stats: keep only surviving dirs
         man["stats"] = {d: s for d, s in man["stats"].items()
                         if d in referenced}
+    if "blooms" in man:  # per-DIR blooms: same sweep as stats
+        man["blooms"] = {d: b for d, b in man["blooms"].items()
+                         if d in referenced}
     _flip_manifest(table_dir, man)
     for d in sorted(doomed_dirs):
         shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)

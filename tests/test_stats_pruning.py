@@ -107,3 +107,85 @@ def test_native_sink_records_footer_stats(spark, tmp_path):
     pruned = read_version(spark, dst, prune={"day": (7, 7)})
     assert all("/v=2/" in f for f in pruned.inputFiles())
     assert pruned.count() == 4
+
+
+# ----------------------------------------------------------------------
+# Dir-level Bloom pruning (write_version(bloom_cols=) +
+# read_version(prune_eq=)) — the equality complement of the min/max
+# stats: same hint-not-filter law, false positives only keep dirs.
+# ----------------------------------------------------------------------
+
+def _bloom_build_tbl(spark, t, days=5):
+    # Disjoint k-ranges per dir: day d holds keys d*100 .. d*100+3.
+    write_version(_daily(spark, 0), t, bloom_cols=["k"])
+    for d in range(1, days):
+        append_version(_daily(spark, d), t)  # inherits bloom_cols
+    return t
+
+
+def test_bloom_prune_same_rows_fewer_files(spark, tmp_path):
+    t = _bloom_build_tbl(spark, str(tmp_path / "tbl"))
+    full = read_version(spark, t)
+    pruned = read_version(spark, t, prune_eq={"k": 302})
+    want = sorted(tuple(r) for r in full.filter("k = 302").collect())
+    got = sorted(tuple(r) for r in pruned.filter("k = 302").collect())
+    assert got == want and len(got) == 1
+    assert set(pruned.inputFiles()) < set(full.inputFiles())
+    # The key's own dir always survives (no false negatives, ever).
+    assert any("/v=4/" in f for f in pruned.inputFiles())
+
+
+def test_bloom_prune_absent_key_and_string_col(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "k int, name string"), t,
+        bloom_cols=["name"])
+    append_version(spark.createDataFrame(
+        [(3, "gamma"), (4, "delta")], "k int, name string"), t)
+    hit = read_version(spark, t, prune_eq={"name": "delta"})
+    assert sorted(tuple(r) for r in
+                  hit.filter("name = 'delta'").collect()) == \
+        [(4, "delta")]
+    # A key in no dir: every dir may prune away — empty frame, schema
+    # kept (same contract as the min/max all-pruned case).
+    none = read_version(spark, t, prune_eq={"name": "omega"})
+    assert none.count() == 0
+    assert none.columns == ["k", "name"]
+
+
+def test_bloom_unstated_dirs_never_pruned(spark, tmp_path):
+    """Dirs without blooms (older commits, the vtable sink's appends)
+    are always kept — prune_eq is safe on mixed tables."""
+    t = str(tmp_path / "tbl")
+    write_version(_daily(spark, 0), t)            # no blooms
+    append_version(_daily(spark, 1), t)
+    assert read_version(spark, t, prune_eq={"k": -1}).count() == \
+        read_version(spark, t).count()
+
+
+def test_bloom_composes_with_stats_and_vacuum(spark, tmp_path):
+    """prune (range) and prune_eq (equality) drop independently, and
+    vacuum sweeps retired dirs' blooms exactly like stats."""
+    from etl_dados_ibge_sp_spark.sinks.versioned import _read_manifest
+
+    t = str(tmp_path / "tbl")
+    write_version(_daily(spark, 0), t, stats_cols=["day"],
+                  bloom_cols=["k"])
+    for d in range(1, 4):
+        append_version(_daily(spark, d), t)
+    both = read_version(spark, t, prune={"day": (2, 3)},
+                        prune_eq={"k": 302})
+    assert sorted(tuple(r) for r in
+                  both.filter("k = 302").collect()) == \
+        sorted(tuple(r) for r in
+               read_version(spark, t).filter("k = 302").collect())
+    assert all("/v=4/" in f for f in both.inputFiles())
+    compact(spark, t)                              # folds the chain
+    vacuum(t, keep=1)
+    man = _read_manifest(t)
+    assert set(man.get("blooms", {})) <= {f"v={man['current']}"} | set()
+    # The folded snapshot (a write_version via compact) re-records
+    # blooms because bloom_cols persist on the manifest.
+    assert f"v={man['current']}" in man.get("blooms", {})
+    assert read_version(
+        spark, t, prune_eq={"k": 302}).filter("k = 302").count() == 1
