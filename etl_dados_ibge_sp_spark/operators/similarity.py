@@ -652,6 +652,31 @@ def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
     return exact.orderBy(F.asc("l2sq_dist"), F.asc(id_col)).limit(k)
 
 
+def _semdedup_assign(emb: DataFrame, cents: list[list[float]],
+                     id_col: str, vec_col: str) -> DataFrame:
+    """(id, __v, cluster, centroid_sim) for every vector under FIXED
+    centroids — SemDeDup's assignment table, MATERIALIZED before any
+    pair join: the pair filter's interpreted dot would otherwise
+    re-derive __v's whole lineage (normalization lambda, plus whatever
+    derivation the caller's frame carries) once per PAIR per element —
+    the measured-351-s shape documented at _ivf_model.  Persisting
+    pins __v as a stored array column, so each pair dot reads two
+    arrays.  At 100 TB this materialization is the assignment table
+    you would write to storage at ingest."""
+    from pyspark.storagelevel import StorageLevel
+
+    cb = _codebook_2d_lit(cents)
+    dots = F.transform(cb, lambda c: dot(F.col("__v"), c))
+    return (
+        with_l2_normalized(
+            emb.select(F.col(id_col), F.col(vec_col)), vec_col, "__v")
+        .select(F.col(id_col), "__v",
+                nearest_centroid(F.col("__v"), cents).alias("cluster"),
+                F.round(F.array_max(dots), 6).alias("centroid_sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
                    k: int = 8, n_iter: int = 3,
                    id_col: str = "vec_id",
@@ -679,27 +704,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     joins co-located.  Cross-cluster near-duplicates are missed BY
     DESIGN (the paper's recall trade-off); compose with
     ``embed_near_dup_pairs`` when that tail matters."""
-    from pyspark.storagelevel import StorageLevel
-
     cents = kmeans_fit(emb, k=k, n_iter=n_iter,
                        id_col=id_col, vec_col=vec_col)
-    cb = _codebook_2d_lit(cents)
-    dots = F.transform(cb, lambda c: dot(F.col("__v"), c))
-    # MATERIALIZED before the self-join: the pair filter's interpreted
-    # dot would otherwise re-derive __v's whole lineage (normalization
-    # lambda, and whatever derivation the caller's frame carries) once
-    # per PAIR per element — the measured-351-s shape documented at
-    # _ivf_model.  Persisting pins __v as a stored array column, so
-    # each pair dot reads two arrays.  At 100 TB this materialization
-    # is the assignment table you would write to storage at ingest.
-    assigned = (
-        with_l2_normalized(
-            emb.select(F.col(id_col), F.col(vec_col)), vec_col, "__v")
-        .select(F.col(id_col), "__v",
-                nearest_centroid(F.col("__v"), cents).alias("cluster"),
-                F.round(F.array_max(dots), 6).alias("centroid_sim"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    assigned = _semdedup_assign(emb, cents, id_col, vec_col)
     a = assigned.select(F.col(id_col).alias("__ida"),
                         F.col("__v").alias("__va"),
                         F.col("cluster"),
@@ -722,4 +729,62 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
         .distinct()
     )
     return (assigned.join(beaten, id_col, "left_anti")
+            .select(id_col, "cluster", "centroid_sim"))
+
+
+def semantic_dedup_incremental(warehouse: DataFrame, batch: DataFrame,
+                               centroids: list[list[float]],
+                               threshold: float = 0.95,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Arrival-path SemDeDup — the nightly form, mirroring
+    ``dedup.incremental`` for MinHash: the deduplicated WAREHOUSE is
+    canonical and never re-deduplicated or evicted; a NEW BATCH is
+    assigned to the warehouse's FIXED k-means cells (the ingest-time
+    model — no refit, the production pattern), and a new vector is
+    dropped iff a semantic duplicate (cosine ≥ ``threshold``) exists
+    among (a) the warehouse keepers of ITS OWN cell — warehouse
+    outranks any arrival — or (b) a higher-priority batch mate in the
+    same cell, priority = (centroid proximity, lower id), exactly the
+    batch policy.  Returns the kept BATCH rows (id, cluster,
+    centroid_sim) — union them into the warehouse to complete the
+    load.
+
+    Scale shape: both sides assign with one narrow broadcast-argmax
+    scan; the joins are batch×(warehouse ∩ same cell) and
+    batch×batch within cells — never warehouse×warehouse, so the
+    nightly cost is O(batch · cell-occupancy), not O(corpus²).  At
+    100 TB the warehouse assignment table is stored partitioned by
+    cluster id, so the batch's cells prune the warehouse scan the way
+    band keys prune the LSH warehouse.
+
+    Identity law (tests/test_semantic_dedup.py): with the same fixed
+    centroids, keep(incremental(W, B)) == keep(batch-policy over
+    W ∪ B with every warehouse row outranking every batch row) — the
+    same warehouse-is-canonical semantics as the reference's
+    anti-join incremental load."""
+    wh = _semdedup_assign(warehouse, centroids, id_col, vec_col)
+    nb = _semdedup_assign(batch, centroids, id_col, vec_col)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(F.col(id_col).alias(f"__id{tag}"),
+                         F.col("__v").alias(f"__v{tag}"),
+                         F.col("cluster"),
+                         F.col("centroid_sim").alias(f"__p{tag}"))
+
+    dup = F.round(dot(F.col("__va"), F.col("__vb")), 6) >= threshold
+    # (a) beaten by a warehouse keeper in the same cell.
+    beaten_wh = (side(wh, "a").join(side(nb, "b"), "cluster")
+                 .filter(dup)
+                 .select(F.col("__idb").alias(id_col)))
+    # (b) beaten by a higher-priority batch mate in the same cell.
+    beaten_nb = (side(nb, "a").join(side(nb, "b"), "cluster")
+                 .filter(F.col("__ida") != F.col("__idb"))
+                 .filter((F.col("__pa") > F.col("__pb"))
+                         | ((F.col("__pa") == F.col("__pb"))
+                            & (F.col("__ida") < F.col("__idb"))))
+                 .filter(dup)
+                 .select(F.col("__idb").alias(id_col)))
+    beaten = beaten_wh.unionByName(beaten_nb).distinct()
+    return (nb.join(beaten, id_col, "left_anti")
             .select(id_col, "cluster", "centroid_sim"))

@@ -83,3 +83,95 @@ def test_real_embeddings_sane(spark, sf_dir):
     assert 0 < m <= n
     # Survivors carry their cluster + prototypicality evidence.
     assert set(kept.columns) == {"vec_id", "cluster", "centroid_sim"}
+
+
+def test_incremental_matches_warehouse_priority_restatement(spark):
+    """Identity law for the arrival path: with the same FIXED
+    centroids, semantic_dedup_incremental(W, B) keeps exactly the
+    batch rows the batch policy over W ∪ B keeps when every warehouse
+    row outranks every batch row — the warehouse-is-canonical
+    semantics of the reference's anti-join incremental load."""
+    import math
+
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        semantic_dedup_incremental)
+
+    # Warehouse: the two planted cluster keepers + singletons (dup-free
+    # at the threshold, as a real deduplicated warehouse is).
+    wh_rows = [
+        (1, _unit([1.0, 0.01, 0.0])),
+        (4, _unit([0.8, 0.6, 0.0])),
+        (5, _unit([0.01, 1.0, 0.0])),
+        (7, _unit([0.0, 0.75, 0.66])),
+    ]
+    # Batch: a dup of warehouse id 1 (must drop), a within-batch dup
+    # pair (one survives), and a novel singleton (survives).
+    batch_rows = [
+        (101, _unit([1.0, 0.0105, 0.0])),    # dup of warehouse 1
+        # dup pair with each other, far from every warehouse row
+        # (cos vs warehouse 5 ~0.93 < threshold):
+        (102, _unit([0.35, 0.90, 0.25])),
+        (103, _unit([0.352, 0.90, 0.25])),
+        (104, _unit([0.6, 0.0, 0.8])),       # novel
+    ]
+    cents = [_unit([1.0, 0.0, 0.0]), _unit([0.0, 1.0, 0.0])]
+    schema = "vec_id bigint, embedding array<double>"
+    W = spark.createDataFrame(wh_rows, schema)
+    B = spark.createDataFrame(batch_rows, schema)
+
+    kept = sorted(
+        r.vec_id for r in
+        semantic_dedup_incremental(W, B, cents, threshold=0.999)
+        .collect())
+
+    # Brute-force restatement over W ∪ B with warehouse priority.
+    def cos(a, b):
+        return round(sum(x * y for x, y in zip(a, b)), 6)
+
+    def assign(v):
+        sims = [cos(v, c) for c in cents]
+        return sims.index(max(sims)), round(max(sims), 6)
+
+    rows = {i: v for i, v in wh_rows + batch_rows}
+    cl = {i: assign(v) for i, v in rows.items()}
+    wh_ids = {i for i, _ in wh_rows}
+
+    def pri(i):
+        return (1 if i in wh_ids else 0, cl[i][1], -i)
+
+    want = sorted(
+        i for i, v in rows.items()
+        if i not in wh_ids
+        and not any(cl[j][0] == cl[i][0] and pri(j) > pri(i)
+                    and cos(rows[j], v) >= 0.999
+                    for j in rows if j != i))
+    assert kept == want
+    # The structure is the intended one, not vacuous: the warehouse
+    # dup dropped, one of the batch pair survived, the novel survived.
+    assert 101 not in kept and 104 in kept
+    assert len({102, 103} & set(kept)) == 1
+
+
+def test_incremental_never_scans_warehouse_pairs(spark):
+    """Scale-shape pin: the arrival path's plan joins batch against
+    warehouse and batch against batch, but NEVER warehouse against
+    warehouse — no corpus-quadratic term on the nightly load."""
+    import contextlib
+    import io
+    import re
+
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        kmeans_fit, semantic_dedup_incremental)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    W = emb.filter("vec_id % 5 != 0")
+    B = emb.filter("vec_id % 5 = 0")
+    cents = kmeans_fit(W, k=4, n_iter=2)
+    out = semantic_dedup_incremental(W, B, cents, threshold=0.99)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"BatchEvalPython(?!UDTF)", plan)
+    assert out.count() <= B.count()
