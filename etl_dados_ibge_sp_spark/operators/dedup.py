@@ -695,3 +695,61 @@ def bloom_decontaminate(train: DataFrame, eval_docs: DataFrame,
     return (out.withColumn("contamination_ratio", ratio)
             .withColumn("contaminated",
                         F.col("contamination_ratio") >= flag_threshold))
+
+
+def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_docs: int = 10, min_chars: int = 4,
+                             delim: str = "\n") -> DataFrame:
+    """LINE-level boilerplate removal — the CCNet/C4 cleanup step that
+    document-level dedup cannot express: a nav header, cookie banner,
+    or copyright footer repeats across thousands of otherwise-distinct
+    pages, so the LINE is the duplication unit.  A line is boilerplate
+    when its normalized form (lower + trim) appears in at least
+    ``min_docs`` DISTINCT documents and carries at least ``min_chars``
+    characters (very short lines — bullets, blanks — are structure,
+    not boilerplate; counting them would shred every list).  Returns
+    one row per input document: the text with boilerplate lines
+    removed (original order and delimiter preserved) plus kept/dropped
+    line counts.
+
+    Scale shape: lines explode narrowly from the doc scan; the
+    boilerplate census groups 8-byte ``xxhash64`` fingerprints, never
+    line bodies (map-side combinable; a fingerprint collision could
+    only merge two unrelated lines' counts — at 2^-64 per pair it is
+    the standard trade the big pipelines make); the census output is
+    only the above-threshold fingerprints — the heavy tail, small by
+    construction — so the line-level anti-join broadcasts.  One
+    census shuffle + one reassembly groupBy per corpus pass, both
+    O(lines), nothing O(corpus^2)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim, -1))
+         .alias("__i", "__ln"))
+    fp = F.xxhash64(F.lower(F.trim(F.col("__ln"))))
+    lines = lines.withColumn("__fp", fp)
+    boiler = (lines
+              .filter(F.length(F.trim(F.col("__ln"))) >= min_chars)
+              .groupBy("__fp")
+              .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__fp"))
+    kept = lines.join(boiler, "__fp", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__i", "__ln"))),
+                            lambda s: s["__ln"]),
+                        delim).alias("text_clean"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept")))
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_total"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_kept"),
+                    (F.col("__n_total")
+                     - F.coalesce("n_kept", F.lit(0))).cast("bigint")
+                    .alias("n_dropped")))

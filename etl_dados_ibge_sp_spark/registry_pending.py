@@ -1679,6 +1679,70 @@ FROM asg a LEFT JOIN beaten USING (vec_id) WHERE beaten.vec_id IS NULL
 PENDING.append(("semantic_dedup", _SEMDEDUP_SQL, _q_semantic_dedup))
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level boilerplate removal (operators/dedup.
+    remove_boilerplate_lines — the CCNet/C4 cleanup step), driver-
+    checked over a planted multi-line fixture: every document gains a
+    universal copyright footer (boilerplate by any threshold), every
+    even document a promo line (boilerplate at min_docs=10), every odd
+    document a doc-unique ref line (never boilerplate) — so the
+    cleaned text, kept-line and dropped-line counts per document are
+    all closed-form.  The hash check covers the census threshold, the
+    short-line guard, order-preserving reassembly, and the exact
+    cleaned text."""
+    from .operators.dedup import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    promo = F.lit("subscribe to our newsletter today")
+    uniq = F.concat(F.lit("ref "), F.col("doc_id").cast("string"))
+    txt = F.concat_ws(
+        "\n", F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, promo).otherwise(uniq),
+        F.lit("copyright example corp all rights reserved"))
+    return remove_boilerplate_lines(
+        docs.select("doc_id", txt.alias("text")),
+        min_docs=10, min_chars=4)
+
+
+_BOILERPLATE_SQL = """
+WITH fixed AS (
+    SELECT doc_id,
+           text || chr(10) ||
+           CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+                ELSE 'ref ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+           'copyright example corp all rights reserved' AS text
+    FROM documents
+), ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS arr FROM fixed
+), lines AS (
+    SELECT doc_id, generate_subscripts(arr, 1) AS i, unnest(arr) AS ln
+    FROM ls
+), census AS (
+    SELECT lower(trim(ln)) AS key
+    FROM lines WHERE length(trim(ln)) >= 4
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+), kept AS (
+    SELECT l.doc_id, l.i, l.ln
+    FROM lines l LEFT JOIN census c ON lower(trim(l.ln)) = c.key
+    WHERE c.key IS NULL
+), rebuilt AS (
+    SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+    FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+PENDING.append(("boilerplate_lines", _BOILERPLATE_SQL,
+                _q_boilerplate_lines))
+
+
 # --------------------------------------------------------------------------
 # ROUND-GATED tranche: entries that must NOT be admitted before a
 # given round even if slack exists.  Round 6's 50-row budget is

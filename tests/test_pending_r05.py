@@ -836,10 +836,12 @@ def test_round7_extension_admits_and_holds_5_round_bound():
     SemDeDup still unregistered, so the cap moves to 5x50=250).
     Forward-simulate the REAL round-7 state — cohorts green in
     r03(47)/r04(50)/r05(50)/r06(50), the two round-7-gated queries
-    never verified, one new pending registration (semantic_dedup):
-    the pending query must admit in r7 and get a driver row within 2
-    rounds, the never-verified pair must clear in r7, and no verified
-    query may ever go more than 5 rounds without re-verification."""
+    never verified, two new pending registrations (semantic_dedup,
+    boilerplate_lines): the pending queries must admit in r7 and get
+    driver rows within 2 rounds, the never-verified pair must clear
+    in r7, and no verified query may ever go more than 5 rounds
+    without re-verification — the 51st row (one r03 straggler) slips
+    exactly to the bound, never past it."""
     from etl_dados_ibge_sp_spark.registry import _order, _stale_bound
 
     assert (_stale_bound(5), _stale_bound(6), _stale_bound(7),
@@ -853,7 +855,7 @@ def test_round7_extension_admits_and_holds_5_round_bound():
                   | {f"b{i}": 4 for i in range(50)}
                   | {f"c{i}": 5 for i in range(50)}
                   | {f"d{i}": 6 for i in range(50)})
-    pending = ["semantic_dedup"]
+    pending = ["semantic_dedup", "boilerplate_lines"]
 
     cur, max_gap, admitted_at = 7, 0, {}
     first_green: dict[str, int] = {}
@@ -875,6 +877,8 @@ def test_round7_extension_admits_and_holds_5_round_bound():
         cur += 1
 
     assert admitted_at.get("semantic_dedup") == 7
+    assert admitted_at.get("boilerplate_lines") == 7
     assert first_green["semantic_dedup"] <= 9
+    assert first_green["boilerplate_lines"] <= 9
     assert first_green["gated0"] == 7 and first_green["gated1"] == 7
     assert max_gap <= 5, f"bound broken: a query went {max_gap} rounds"
