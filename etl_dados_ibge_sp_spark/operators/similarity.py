@@ -680,7 +680,9 @@ def _semdedup_assign(emb: DataFrame, cents: list[list[float]],
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
                    k: int = 8, n_iter: int = 3,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None
+                   ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering the embedding space and comparing
     pairs ONLY within a cluster — the scale trick that makes
@@ -704,8 +706,11 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     joins co-located.  Cross-cluster near-duplicates are missed BY
     DESIGN (the paper's recall trade-off); compose with
     ``embed_near_dup_pairs`` when that tail matters."""
-    cents = kmeans_fit(emb, k=k, n_iter=n_iter,
-                       id_col=id_col, vec_col=vec_col)
+    # ``centroids`` lets callers reuse an ingest-time model (the
+    # production pattern — and what the memoized driver query does);
+    # omitted, the fit runs here with its documented kmeans_fit cost.
+    cents = centroids if centroids is not None else kmeans_fit(
+        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     assigned = _semdedup_assign(emb, cents, id_col, vec_col)
     a = assigned.select(F.col(id_col).alias("__ida"),
                         F.col("__v").alias("__va"),

