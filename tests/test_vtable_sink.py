@@ -357,3 +357,32 @@ def test_partitioned_sink_escaping_roundtrip(spark, tmp_path):
                  for _f, h in _parquet_files(os.path.join(t, "v=1")))
     want = sorted(v if v is not None else "\x00NULL" for v in values)
     assert got == want
+
+
+def test_partitioned_sink_table_feeds_stream(spark, tmp_path):
+    """Full native chain across layouts: flat src -> PARTITIONED dst
+    (this sink's hive tree) -> vtable stream -> flat dst2.  The stream
+    reader must re-inject the partition values it decodes from the
+    sink-written dir names, typed per the manifest schema — rows
+    arrive exactly once, byte-equal."""
+    register_vtable(spark)
+    src = str(tmp_path / "src")
+    mid = str(tmp_path / "mid")
+    out = str(tmp_path / "out")
+    rows = [(1, "a", "x"), (2, "b", "y"), (3, "c", None)]
+    write_version(spark.createDataFrame(
+        rows, "k int, v string, pk string"), src)
+
+    q = (spark.readStream.format("vtable").option("path", src).load()
+         .writeStream.format("vtable").option("path", mid)
+         .option("partition_by", "pk")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q2 = (spark.readStream.format("vtable").option("path", mid).load()
+          .writeStream.format("vtable").option("path", out)
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    assert q2.awaitTermination(120)
+    key = lambda r: (r[0],)
+    assert _rows(spark, out) == sorted(rows, key=key)
