@@ -91,6 +91,44 @@ def quality_score(col: Column, n_chars: Column) -> Column:
     )
 
 
+def duplicate_line_fraction(col: Column, delim: str = "\n") -> Column:
+    """Gopher-style WITHIN-document repetition signal: the fraction of
+    a document's lines whose normalized form (lower + trim) occurs
+    more than once in the SAME document — scraped pages repeating
+    their own nav/footer blocks score high and get filtered.  Distinct
+    from cross-document boilerplate (``dedup.remove_boilerplate_lines``
+    — a corpus census); this is a pure in-row expression, no shuffle,
+    O(L²) higher-order filter per doc (fine at real line counts; docs
+    are pages, not books).  Empty documents score 0."""
+    lines = F.transform(F.split(col, delim, -1),
+                        lambda s: F.lower(F.trim(s)))
+    dup = F.size(F.filter(
+        lines, lambda s: F.size(F.filter(lines, lambda t: t == s)) > 1))
+    n = F.size(lines)
+    return F.when(n > 0,
+                  F.round(dup.cast("double") / n.cast("double"), 6)) \
+            .otherwise(F.lit(0.0))
+
+
+def duplicate_line_char_fraction(col: Column,
+                                 delim: str = "\n") -> Column:
+    """The character-weighted form Gopher actually thresholds
+    ("fraction of characters in duplicate lines"): one repeated
+    100-char footer outweighs ten repeated empty lines.  Same in-row
+    shape as :func:`duplicate_line_fraction`."""
+    lines = F.transform(F.split(col, delim, -1),
+                        lambda s: F.lower(F.trim(s)))
+    chars_in = (
+        lambda arr: F.aggregate(arr, F.lit(0.0),
+                                lambda acc, s: acc + F.length(s)))
+    dup_lines = F.filter(
+        lines, lambda s: F.size(F.filter(lines, lambda t: t == s)) > 1)
+    total = chars_in(lines)
+    return F.when(total > 0,
+                  F.round(chars_in(dup_lines) / total, 6)) \
+            .otherwise(F.lit(0.0))
+
+
 def normalized_text(col: Column) -> Column:
     """Whitespace-collapsed, lowercased canonical form (the dedup and
     fingerprint normalization)."""

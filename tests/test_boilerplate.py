@@ -53,3 +53,35 @@ def test_normalization_is_case_and_trim_insensitive(spark):
     # Same normalized form across 3 docs -> all three variants drop.
     assert got == {0: ("own a", 1, 1), 1: ("own b", 1, 1),
                    2: ("own c", 1, 1)}
+
+
+def test_duplicate_line_fractions_match_bruteforce(spark):
+    """Within-document repetition signals equal a Python brute force
+    on arbitrary line mixes (the Gopher repetition filters)."""
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.operators.text import (
+        duplicate_line_char_fraction, duplicate_line_fraction)
+
+    texts = [
+        "a\nb\nc",                        # no repetition
+        "nav bar\nbody one\nnav bar",      # 2 of 3 lines duplicated
+        "X\nx\n X ",                       # all dup after normalize
+        "",                                # one empty line
+        "only",                            # single line
+        "long footer line\nz\nlong footer line\nq\nw",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i bigint, t string")
+    got = {r.i: (r.f, r.cf) for r in df.select(
+        "i",
+        duplicate_line_fraction(F.col("t")).alias("f"),
+        duplicate_line_char_fraction(F.col("t")).alias("cf")).collect()}
+
+    for i, t in enumerate(texts):
+        lines = [s.strip().lower() for s in t.split("\n")]
+        dup = [s for s in lines if lines.count(s) > 1]
+        f = round(len(dup) / len(lines), 6) if lines else 0.0
+        tot = sum(len(s) for s in lines)
+        cf = round(sum(len(s) for s in dup) / tot, 6) if tot else 0.0
+        assert got[i] == (f, cf), (i, got[i], (f, cf))
