@@ -195,21 +195,27 @@ def _commit(man: dict, table_dir: str, version: int,
             op: str, rows_written: int,
             partition_by: list[str] | None = None) -> None:
     # Serialized commit protocol (the lakehouse-log shape on a POSIX
-    # filesystem): finish any crashed winner first, verify the
-    # manifest is still at version-1, CLAIM the version by creating
+    # filesystem): finish any crashed winner first, then — atomically
+    # under the flip lock — re-verify the manifest is still at
+    # version-1, CLAIM the version by creating
     # `_commits/<version>.json` put-if-absent (os.link from a temp
-    # file — atomic, content-complete), then flip the manifest and
-    # sweep the marker.  Exactly one of two racing writers wins the
-    # link; the loser gets ConcurrentWriteError and retries at the
-    # next version.  A crash after claim and before flip is rolled
+    # file — atomic, content-complete), and flip the manifest; then
+    # sweep the marker.  Exactly one of two racing writers wins;
+    # losers get ConcurrentWriteError and retry at the next version.
+    # Verify+claim+flip MUST share one critical section: verifying
+    # outside it lets a writer claim a version that committed AND
+    # swept its marker in between — the claim looks fresh, the writer
+    # skips or misdirects its flip, and its commit silently vanishes
+    # (caught by the 8-thread protocol stress).  A crash after claim
+    # and before flip (the lock dies with the process) is rolled
     # forward by the next writer from the marker's full manifest; a
     # crash after flip leaves a stale marker the next roll-forward
-    # sweeps.  (On an object store, the link becomes the store's
-    # put-if-absent.)
+    # sweeps.  (On an object store, link-under-lock becomes the
+    # store's conditional PUT of the manifest pointer itself.)
     _roll_forward(table_dir)
     on_disk = _read_manifest(table_dir)["current"]
     expected = version - 1 if version > 1 else None
-    if on_disk != expected:
+    if on_disk != expected:  # fast-fail before building the manifest
         raise ConcurrentWriteError(
             f"{table_dir}: manifest moved to version {on_disk} while "
             f"this {op} (targeting {version}) was in flight — "
@@ -231,21 +237,27 @@ def _commit(man: dict, table_dir: str, version: int,
         json.dump(man, fh)
     marker = os.path.join(cdir, f"{version}.json")
     try:
-        os.link(tmp, marker)  # atomic put-if-absent WITH full content
-    except FileExistsError:
-        raise ConcurrentWriteError(
-            f"{table_dir}: version {version} already claimed by "
-            f"another writer — re-read the table and retry "
-            f"this {op}") from None
+        with _flip_lock(table_dir):
+            if _read_manifest(table_dir)["current"] != expected:
+                # The manifest moved between the fast check and the
+                # lock: this claim would target an already-committed
+                # (or skipped-ahead) version — committing it anyway
+                # would either regress the manifest or silently lose
+                # this write.
+                raise ConcurrentWriteError(
+                    f"{table_dir}: version {version} committed by "
+                    f"another writer while this {op} was in flight — "
+                    "re-read the table and retry")
+            try:
+                os.link(tmp, marker)  # put-if-absent WITH full content
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"{table_dir}: version {version} already claimed "
+                    f"by another writer — re-read the table and retry "
+                    f"this {op}") from None
+            _flip_manifest(table_dir, man)
     finally:
         os.unlink(tmp)
-    with _flip_lock(table_dir):
-        # A roll-forward helper may have flipped OUR marker already —
-        # and a successor version may have committed on top of it.
-        # Flipping unconditionally here would regress that successor
-        # (lost update), so only flip while we are still next.
-        if (_read_manifest(table_dir)["current"] or 0) < version:
-            _flip_manifest(table_dir, man)
     try:
         os.remove(marker)
     except FileNotFoundError:

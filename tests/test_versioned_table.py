@@ -253,25 +253,27 @@ def test_stalled_helper_cannot_regress_manifest(spark, tmp_path,
         == [(1, "a"), (2, "b"), (3, "c")]
 
 
-def test_commit_skips_flip_when_helper_finished_it(spark, tmp_path,
-                                                   monkeypatch):
-    """The same fence on the writer's own flip: after this writer
-    linked its marker, a roll-forward helper completed the flip FOR it
-    and a successor committed on top — flipping now would regress the
-    successor, so _commit must skip its own flip."""
+def test_commit_detects_stale_claim_under_lock(spark, tmp_path,
+                                               monkeypatch):
+    """The race the 8-thread stress exposed: writer W verifies its
+    target version is next, but ANOTHER writer commits that version
+    (and sweeps its marker) before W reaches the critical section —
+    W's claim would then look fresh while its flip could only regress
+    or vanish.  Verify+claim+flip now share one locked section, so W
+    must get ConcurrentWriteError and the racer's commit must stand."""
     import contextlib
+    import copy
     import os
+
+    import pytest
 
     from etl_dados_ibge_sp_spark.sinks import versioned as V
 
     t = str(tmp_path / "tbl")
     df = spark.createDataFrame([(1, "a")], "k int, v string")
     V.write_version(df, t)                       # v1
-    spark.createDataFrame([(2, "b")], "k int, v string") \
-        .coalesce(1).write.parquet(os.path.join(t, "v=2"))
-    import copy
-    man2 = copy.deepcopy(V._read_manifest(t))
-    man2.setdefault("dirs", {})["2"] = None      # filled by _commit args
+
+    man2 = copy.deepcopy(V._read_manifest(t))    # W's view: v2 is next
 
     real_lock = V._flip_lock
     armed = {"on": True}
@@ -280,22 +282,25 @@ def test_commit_skips_flip_when_helper_finished_it(spark, tmp_path,
     def racing_lock(table_dir):
         if armed["on"]:
             armed["on"] = False
-            # Between this writer's marker link and its flip: a helper
-            # rolls the marker forward, then a successor lands v3.
-            V._roll_forward(table_dir)
-            assert V._read_manifest(table_dir)["current"] == 2
+            # Before W enters the critical section: a racer lands v2
+            # and its marker is swept — W's pre-verify already passed.
             V.append_version(spark.createDataFrame(
-                [(3, "c")], "k int, v string"), t)   # v3
+                [(2, "b")], "k int, v string"), t)
+            assert V._read_manifest(table_dir)["current"] == 2
         with real_lock(table_dir):
             yield
 
     monkeypatch.setattr(V, "_flip_lock", racing_lock)
-    del man2["dirs"]["2"]
-    V._commit(man2, t, 2, {"base": 1, "add": "v=2"},
-              df.schema.json(), op="append", rows_written=1)
-    assert V._read_manifest(t)["current"] == 3   # successor survives
+    with pytest.raises(V.ConcurrentWriteError, match="retry"):
+        V._commit(man2, t, 2, {"base": 1, "add": "v=2x"},
+                  df.schema.json(), op="append", rows_written=1)
+    # The racer's commit stands untouched; W left no stale marker to
+    # mislead a later roll-forward.
+    assert V._read_manifest(t)["current"] == 2
     assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
-        == [(1, "a"), (2, "b"), (3, "c")]
+        == [(1, "a"), (2, "b")]
+    assert os.listdir(V._commits_dir(t)) == []
+
 
 def test_concurrent_commit_protocol_stress(spark, tmp_path):
     """Concurrency stress over the COMMIT PROTOCOL layer: 8 threads,
