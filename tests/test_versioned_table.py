@@ -362,3 +362,45 @@ def test_concurrent_commit_protocol_stress(spark, tmp_path):
     assert rows == [(0, "seed")] + \
         [(i + 1, f"w{i}") for i in range(N)]         # exactly once each
     assert os.listdir(V._commits_dir(t)) == []       # markers swept
+
+
+def test_crash_between_claim_and_flip_recovers(spark, tmp_path,
+                                               monkeypatch):
+    """Crash injection through the REAL _commit path (the
+    hand-crafted-marker test above validates recovery shape; this one
+    validates the marker _commit actually writes): the writer dies
+    after winning its claim and before the flip — the next writer
+    must roll the REAL marker forward, making the crashed commit's
+    data visible, then land its own version on top."""
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame([(1, "a")], "k int, v string"),
+                    t)                                        # v1
+
+    real_flip = V._flip_manifest
+    boom = {"armed": True}
+
+    def crashing_flip(table_dir, man):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected crash after claim, before flip")
+        real_flip(table_dir, man)
+
+    monkeypatch.setattr(V, "_flip_manifest", crashing_flip)
+    import pytest
+    with pytest.raises(OSError, match="injected crash"):
+        V.append_version(spark.createDataFrame([(2, "b")],
+                                               "k int, v string"), t)
+    # Crash state: data dir + marker on disk, manifest still at v1.
+    assert V._read_manifest(t)["current"] == 1
+    import os
+    assert os.listdir(V._commits_dir(t)) == ["2.json"]
+
+    # Next writer helps the crashed commit forward, then lands v3.
+    V.append_version(spark.createDataFrame([(3, "c")],
+                                           "k int, v string"), t)
+    assert V._read_manifest(t)["current"] == 3
+    assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+    assert os.listdir(V._commits_dir(t)) == []
