@@ -193,7 +193,8 @@ def _writer_manifest(table_dir: str) -> dict:
 def _commit(man: dict, table_dir: str, version: int,
             dirs: list[str] | dict, schema_json: str,
             op: str, rows_written: int,
-            partition_by: list[str] | None = None) -> None:
+            partition_by: list[str] | None = None,
+            pre_flip=None) -> None:
     # Serialized commit protocol (the lakehouse-log shape on a POSIX
     # filesystem): finish any crashed winner first, then — atomically
     # under the flip lock — re-verify the manifest is still at
@@ -248,6 +249,16 @@ def _commit(man: dict, table_dir: str, version: int,
                     f"{table_dir}: version {version} committed by "
                     f"another writer while this {op} was in flight — "
                     "re-read the table and retry")
+            if pre_flip is not None:
+                # Caller's data-dir mutation (e.g. the vtable sink's
+                # rebuild-and-move of v=<version>) runs INSIDE the
+                # verified critical section: the version is proven
+                # uncommitted here, so touching its dir can never
+                # destroy a committed winner's snapshot.  It runs
+                # BEFORE the claim — a failure leaves no marker and
+                # no flip, so roll-forward can never complete a
+                # commit whose data move failed.
+                pre_flip()
             try:
                 os.link(tmp, marker)  # put-if-absent WITH full content
             except FileExistsError:
@@ -417,8 +428,13 @@ def write_version(df: DataFrame, table_dir: str,
         mb = (bloom_bits if bloom_cols is not None
               else man.get("bloom_bits", bloom_bits))
         man["bloom_cols"], man["bloom_bits"] = bc, mb
+        # bits is recorded PER VERSION: time-travel reads must probe
+        # each dir's bloom with the m_bits it was built with — probing
+        # an old bloom with a later bloom_bits computes wrong positions
+        # and can FALSELY exclude a dir that contains the key.
         man.setdefault("blooms", {})[f"v={version}"] = {
-            c: _dir_bloom(df.sparkSession, vdir, c, mb) for c in bc}
+            "bits": mb, "cols": {
+                c: _dir_bloom(df.sparkSession, vdir, c, mb) for c in bc}}
     _commit(man, table_dir, version, [f"v={version}"],
             df.schema.json(), op=op, rows_written=n,
             partition_by=partition_by)
@@ -467,7 +483,8 @@ def append_version(df: DataFrame, table_dir: str,
     if bc:
         mb = man.get("bloom_bits", 1 << 14)
         man.setdefault("blooms", {})[f"v={version}"] = {
-            c: _dir_bloom(df.sparkSession, vdir, c, mb) for c in bc}
+            "bits": mb, "cols": {
+                c: _dir_bloom(df.sparkSession, vdir, c, mb) for c in bc}}
     dirs = ({"base": prev, "add": f"v={version}"} if prev
             else [f"v={version}"])
     if batch_id is not None:
@@ -736,12 +753,22 @@ def read_version(spark: SparkSession, table_dir: str,
         dirs = [d for d in dirs if not _misses(d)]
     if prune_eq:
         blooms = man.get("blooms", {})
-        mb = man.get("bloom_bits", 1 << 14)
 
         def _excluded(d: str) -> bool:
-            bm = blooms.get(d)
-            if not bm:
+            entry = blooms.get(d)
+            if not entry:
                 return False  # no bloom recorded: keep (safe)
+            # Each version's entry carries the m_bits it was built
+            # with ({"bits": m, "cols": {col: hexmap}}); probing with
+            # any other size computes wrong positions and can falsely
+            # exclude a dir.  Legacy entries (flat {col: hexmap},
+            # values are hex strings so the shape is unambiguous)
+            # predate per-version bits and used the table-global value.
+            if (isinstance(entry.get("cols"), dict)
+                    and isinstance(entry.get("bits"), int)):
+                bm, mb = entry["cols"], entry["bits"]
+            else:
+                bm, mb = entry, man.get("bloom_bits", 1 << 14)
             for col, value in prune_eq.items():
                 if col in bm and not _bloom_may_contain(
                         spark, bm[col], col, value, mb):

@@ -443,6 +443,16 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
                 raise ValueError(
                     f"vtable sink: partition columns {missing} are "
                     "not in the stream's schema")
+            if not [c for c in schema.fieldNames()
+                    if c not in self.partition_by]:
+                # Data files omit the partition columns, so a spec
+                # covering EVERY column would stage zero-column
+                # parquet — caught here at writer construction, not
+                # as a cryptic Arrow error at task time.
+                raise ValueError(
+                    "vtable sink: partition_by covers every column "
+                    f"({self.partition_by}) — at least one non-"
+                    "partition data column is required")
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator):
@@ -534,34 +544,41 @@ class VTableStreamWriter(DataSourceStreamArrowWriter):
                                 self.merge_schema)
         version = (prev or 0) + 1
         vdir = os.path.join(self.table_dir, f"v={version}")
-        # v=<version> is uncommitted here (_writer_manifest rolled any
-        # crashed claim forward), so anything already in it is orphan
-        # debris from a commit attempt that crashed between the moves
-        # below and the manifest flip.  The checkpoint replay stages
-        # FRESH uuid-named files, so appending alongside the orphans
-        # would commit every row twice — rebuild the dir from scratch
-        # instead (write_version gets the same property from parquet
-        # overwrite mode).
-        shutil.rmtree(vdir, ignore_errors=True)
-        os.makedirs(vdir)
-        moved = []
-        for f, rel in zip(staged, reldirs):
-            dst_dir = os.path.join(vdir, rel) if rel else vdir
-            os.makedirs(dst_dir, exist_ok=True)
-            dst = os.path.join(dst_dir, os.path.basename(f))
-            os.replace(f, dst)
-            moved.append(dst)
         dirs = ({"base": prev, "add": f"v={version}"} if prev
                 else [f"v={version}"])
         man.setdefault("txn", {})[self.writer_id] = batchId
         sc = man.get("stats_cols") or []
         if sc:
-            stats = _footer_stats(moved, sc)
+            # Footers are read from the STAGED files (same bytes the
+            # move below relocates) so stats are ready before _commit.
+            stats = _footer_stats(staged, sc)
             if stats:
                 man.setdefault("stats", {})[f"v={version}"] = stats
+
+        def _move_staged() -> None:
+            # Runs INSIDE _commit's verified flip-lock section, where
+            # v=<version> is proven uncommitted — so the rebuild below
+            # can never destroy a racing winner's committed snapshot
+            # (it used to run unfenced here, which escalated the
+            # racing-writer window from duplicate rows to data loss).
+            # Anything already in the dir is orphan debris from a
+            # commit attempt that crashed between these moves and the
+            # manifest flip.  The checkpoint replay stages FRESH
+            # uuid-named files, so appending alongside the orphans
+            # would commit every row twice — rebuild the dir from
+            # scratch instead (write_version gets the same property
+            # from parquet overwrite mode).
+            shutil.rmtree(vdir, ignore_errors=True)
+            os.makedirs(vdir)
+            for f, rel in zip(staged, reldirs):
+                dst_dir = os.path.join(vdir, rel) if rel else vdir
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(f, os.path.join(dst_dir, os.path.basename(f)))
+
         _commit(man, self.table_dir, version, dirs, schema.json(),
                 op="append", rows_written=rows,
-                partition_by=self.partition_by or None)
+                partition_by=self.partition_by or None,
+                pre_flip=_move_staged)
 
     def abort(self, messages, batchId: int) -> None:
         staged, _rows, _dirs = self._staged(messages)
@@ -667,15 +684,15 @@ def _ship_package(spark) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_vtable_pkg_shipped", False):
         return
-    import shutil
-    import tempfile
+    # Content-keyed build-once zip (workdirs hygiene): executors fetch
+    # the addPyFile source lazily at first task and verify its bytes
+    # on re-fetch, so the file must outlive the session and never
+    # change — the old mkdtemp staging leaked one dir per session.
+    # Imported INSIDE this driver-only function so the by-value
+    # cloudpickle of this module gains no module-global dependency.
+    from ..workdirs import package_zip
 
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = shutil.make_archive(
-        os.path.join(tempfile.mkdtemp(prefix="vtable_pkg_"), "pkg"),
-        "zip", root_dir=os.path.dirname(pkg_dir),
-        base_dir=os.path.basename(pkg_dir))
-    sc.addPyFile(zip_path)
+    sc.addPyFile(package_zip())
     sc._vtable_pkg_shipped = True
 
 

@@ -163,6 +163,47 @@ def test_bloom_unstated_dirs_never_pruned(spark, tmp_path):
         read_version(spark, t).count()
 
 
+def test_bloom_bits_recorded_per_version(spark, tmp_path):
+    """Changing bloom_bits on a later write must not corrupt
+    time-travel pruning of earlier versions: each version's bloom is
+    probed with the m_bits it was BUILT with (recorded per entry), so
+    read(v=old, prune_eq).filter(p) == read(v=old).filter(p) even
+    after the table-global bloom_bits moved."""
+    t = str(tmp_path / "tbl")
+    write_version(_daily(spark, 0), t, bloom_cols=["k"],
+                  bloom_bits=1 << 8)
+    append_version(_daily(spark, 1), t)           # built at 1 << 8
+    # Explicit bloom_cols= re-pins bloom_bits table-wide — the exact
+    # scenario that used to probe v=1/v=2 blooms with the wrong size.
+    write_version(_daily(spark, 2), t, bloom_cols=["k"],
+                  bloom_bits=1 << 13)
+    for key in (1, 2, 100, 103):                  # all live in v<=2
+        got = read_version(spark, t, version=2,
+                           prune_eq={"k": key}).filter(f"k = {key}")
+        assert got.count() == 1, f"key {key} falsely excluded"
+
+
+def test_bloom_legacy_flat_entries_still_probe(spark, tmp_path):
+    """Manifests written before per-version bits (flat {col: hexmap}
+    entries) keep working: the probe falls back to the table-global
+    bloom_bits for those entries."""
+    import json
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import _manifest_path
+
+    t = _bloom_build_tbl(spark, str(tmp_path / "tbl"), days=3)
+    mp = _manifest_path(t)
+    man = json.loads(open(mp).read())
+    # Rewrite every entry to the legacy flat shape (bits == the
+    # table-global value, exactly how old manifests were written).
+    man["blooms"] = {d: e["cols"] for d, e in man["blooms"].items()}
+    with open(mp, "w") as f:
+        json.dump(man, f)
+    pruned = read_version(spark, t, prune_eq={"k": 102})
+    assert pruned.filter("k = 102").count() == 1
+    assert any("/v=2/" in f for f in pruned.inputFiles())
+
+
 def test_bloom_composes_with_stats_and_vacuum(spark, tmp_path):
     """prune (range) and prune_eq (equality) drop independently, and
     vacuum sweeps retired dirs' blooms exactly like stats."""

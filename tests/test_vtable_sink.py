@@ -386,3 +386,58 @@ def test_partitioned_sink_table_feeds_stream(spark, tmp_path):
     assert q2.awaitTermination(120)
     key = lambda r: (r[0],)
     assert _rows(spark, out) == sorted(rows, key=key)
+
+
+def test_partition_by_all_columns_rejected_at_construction(spark):
+    """Data files omit the partition columns, so a spec covering every
+    schema column would stage zero-column parquet — rejected with a
+    clear error at writer construction, not a cryptic Arrow failure
+    at task time."""
+    schema = spark.createDataFrame([], "k int, pk string").schema
+    with pytest.raises(ValueError, match="every column"):
+        VTableStreamWriter("/tmp/never-created", schema,
+                           partition_by=["pk", "k"])
+
+
+def test_loser_commit_never_touches_committed_winner_dir(
+        spark, tmp_path, monkeypatch):
+    """A sink commit racing a winner that already committed v=N must
+    fail WITHOUT touching the winner's snapshot dir: the rebuild
+    (rmtree+moves) runs inside _commit's verified flip-lock section,
+    so it only ever executes against a proven-uncommitted version.
+    (Unfenced, the old path rmtree'd the winner's committed data
+    before discovering the conflict — data loss, not just a lost
+    race.)"""
+    import copy
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    import etl_dados_ibge_sp_spark.sources.vtable_stream_source as vss
+    from etl_dados_ibge_sp_spark.sinks.versioned import (
+        ConcurrentWriteError, _writer_manifest)
+
+    t = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([], "k int, v string").schema
+
+    def batch(k, v):
+        return pa.RecordBatch.from_pylist(
+            [{"k": k, "v": v}], schema=to_arrow_schema(schema))
+
+    w = VTableStreamWriter(t, schema)
+    w.commit([w.write(iter([batch(1, "a")]))], batchId=0)   # v1
+    stale = copy.deepcopy(_writer_manifest(t))              # current=1
+    # The winner commits v=2 through the normal path.
+    w2 = VTableStreamWriter(t, schema, writer_id="other")
+    w2.commit([w2.write(iter([batch(2, "winner")]))], batchId=0)
+    vdir = os.path.join(t, "v=2")
+    winner_files = sorted(os.listdir(vdir))
+    # The loser re-enters the race window: its manifest view still
+    # says current=1, so its commit targets the committed v=2.
+    monkeypatch.setattr(vss, "_writer_manifest",
+                        lambda _d: copy.deepcopy(stale))
+    msg = w.write(iter([batch(3, "loser")]))
+    with pytest.raises(ConcurrentWriteError):
+        w.commit([msg], batchId=1)
+    assert sorted(os.listdir(vdir)) == winner_files   # snapshot intact
+    assert _rows(spark, t) == [(1, "a"), (2, "winner")]
