@@ -652,37 +652,77 @@ def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
     return exact.orderBy(F.asc("l2sq_dist"), F.asc(id_col)).limit(k)
 
 
+_SEMDEDUP_PINNED: list[DataFrame] = []
+
+
+def _evict_semdedup_pins() -> None:
+    """Unpersist assignment tables pinned by PRIOR semantic_dedup /
+    semantic_dedup_incremental invocations.  Without this every call
+    leaked one (or two, incremental) CacheManager entries for the
+    session lifetime — repeated bench warm+timed runs and driver
+    rounds accumulate unboundedly.  Contract (the _fresh_work_dir
+    one): results must be materialized before the NEXT invocation;
+    the eviction happens at public-entry time, never mid-call, so one
+    call's two assignment tables coexist."""
+    while _SEMDEDUP_PINNED:
+        df = _SEMDEDUP_PINNED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to evict
+
+
 def _semdedup_assign(emb: DataFrame, cents: list[list[float]],
-                     id_col: str, vec_col: str) -> DataFrame:
-    """(id, __v, cluster, centroid_sim) for every vector under FIXED
-    centroids — SemDeDup's assignment table, MATERIALIZED before any
-    pair join: the pair filter's interpreted dot would otherwise
-    re-derive __v's whole lineage (normalization lambda, plus whatever
-    derivation the caller's frame carries) once per PAIR per element —
-    the measured-351-s shape documented at _ivf_model.  Persisting
-    pins __v as a stored array column, so each pair dot reads two
-    arrays.  At 100 TB this materialization is the assignment table
-    you would write to storage at ingest."""
+                     id_col: str, vec_col: str,
+                     n_probe: int = 1) -> DataFrame:
+    """(id, __v, cluster, centroid_sim[, probes]) for every vector
+    under FIXED centroids — SemDeDup's assignment table, MATERIALIZED
+    before any pair join: the pair filter's interpreted dot would
+    otherwise re-derive __v's whole lineage (normalization lambda,
+    plus whatever derivation the caller's frame carries) once per PAIR
+    per element — the measured-351-s shape documented at _ivf_model.
+    Persisting pins __v as a stored array column, so each pair dot
+    reads two arrays.  At 100 TB this materialization is the
+    assignment table you would write to storage at ingest.
+
+    ``n_probe > 1`` additionally emits ``probes`` — the item's
+    n_probe nearest cell indices, nearest first (``probes[0]`` ==
+    ``cluster``) — the multi-probe assignment the cross-cluster
+    mitigation joins on.  Same tie-break as nearest_centroid (dot
+    desc, lowest index first), so the two derivations agree."""
     from pyspark.storagelevel import StorageLevel
 
     cb = _codebook_2d_lit(cents)
     dots = F.transform(cb, lambda c: dot(F.col("__v"), c))
-    return (
+    cols = [F.col(id_col), F.col("__v"),
+            nearest_centroid(F.col("__v"), cents).alias("cluster"),
+            F.round(F.array_max(dots), 6).alias("centroid_sim")]
+    if n_probe > 1:
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                (-dot(F.col("__v"), F.element_at(cb, i + 1)))
+                .alias("nd"),
+                i.alias("i")))
+        cols.append(F.transform(
+            F.slice(F.array_sort(pairs), 1, min(n_probe, len(cents))),
+            lambda p: p["i"]).alias("probes"))
+    out = (
         with_l2_normalized(
             emb.select(F.col(id_col), F.col(vec_col)), vec_col, "__v")
-        .select(F.col(id_col), "__v",
-                nearest_centroid(F.col("__v"), cents).alias("cluster"),
-                F.round(F.array_max(dots), 6).alias("centroid_sim"))
+        .select(*cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SEMDEDUP_PINNED.append(out)
+    return out
 
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
                    k: int = 8, n_iter: int = 3,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   centroids: list[list[float]] | None = None
-                   ) -> DataFrame:
+                   centroids: list[list[float]] | None = None,
+                   n_probe: int = 1) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering the embedding space and comparing
     pairs ONLY within a cluster — the scale trick that makes
@@ -704,24 +744,51 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     corpus size — at 100 TB pick k so clusters fit the pair budget
     (the paper uses k ~ √n·c) and pre-partition by cluster id so each
     joins co-located.  Cross-cluster near-duplicates are missed BY
-    DESIGN (the paper's recall trade-off); compose with
-    ``embed_near_dup_pairs`` when that tail matters."""
+    DESIGN at ``n_probe=1`` (the paper's recall trade-off); the
+    opt-in mitigation is ``n_probe=2``: each item is additionally
+    compared against members of its second-nearest cell (multi-probe
+    assignment, the same machinery ann_ivf_topk probes with), which
+    catches duplicate pairs straddling a cell boundary.  Scale note:
+    the probe factor multiplies the CLUSTER-LOCAL quadratic term only
+    (each item joins ≤ n_probe cells' members; the assignment scan,
+    fit, and shuffle count are unchanged), so n_probe=2 ≲ doubles the
+    pair-join cost and nothing else.  Compose with
+    ``embed_near_dup_pairs`` when the full cross-corpus tail matters."""
+    _evict_semdedup_pins()  # prior calls' assignment tables
     # ``centroids`` lets callers reuse an ingest-time model (the
     # production pattern — and what the memoized driver query does);
     # omitted, the fit runs here with its documented kmeans_fit cost.
     cents = centroids if centroids is not None else kmeans_fit(
         emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-    assigned = _semdedup_assign(emb, cents, id_col, vec_col)
-    a = assigned.select(F.col(id_col).alias("__ida"),
-                        F.col("__v").alias("__va"),
-                        F.col("cluster"),
-                        F.col("centroid_sim").alias("__pa"))
-    b = assigned.select(F.col(id_col).alias("__idb"),
-                        F.col("__v").alias("__vb"),
-                        F.col("cluster"),
-                        F.col("centroid_sim").alias("__pb"))
+    assigned = _semdedup_assign(emb, cents, id_col, vec_col,
+                                n_probe=n_probe)
+    if n_probe > 1:
+        # Multi-probe pair domain: (a, b) compare iff their probe-cell
+        # sets intersect.  Exploding probes re-keys the same join on
+        # cell id; a pair sharing several cells is filtered once per
+        # shared cell and folded by the terminal DISTINCT.  Priority
+        # is unchanged (sim to OWN primary centroid, then id) — the
+        # keeper policy stays the paper's, only the miss set shrinks.
+        cell = F.explode("probes").alias("cell")
+        a = assigned.select(F.col(id_col).alias("__ida"),
+                            F.col("__v").alias("__va"),
+                            F.col("centroid_sim").alias("__pa"), cell)
+        b = assigned.select(F.col(id_col).alias("__idb"),
+                            F.col("__v").alias("__vb"),
+                            F.col("centroid_sim").alias("__pb"), cell)
+        join_key = "cell"
+    else:
+        a = assigned.select(F.col(id_col).alias("__ida"),
+                            F.col("__v").alias("__va"),
+                            F.col("cluster"),
+                            F.col("centroid_sim").alias("__pa"))
+        b = assigned.select(F.col(id_col).alias("__idb"),
+                            F.col("__v").alias("__vb"),
+                            F.col("cluster"),
+                            F.col("centroid_sim").alias("__pb"))
+        join_key = "cluster"
     beaten = (
-        a.join(b, "cluster")
+        a.join(b, join_key)
         .filter(F.col("__ida") != F.col("__idb"))
         # b loses to a when a is strictly higher priority...
         .filter((F.col("__pa") > F.col("__pb"))
@@ -768,6 +835,7 @@ def semantic_dedup_incremental(warehouse: DataFrame, batch: DataFrame,
     W ∪ B with every warehouse row outranking every batch row) — the
     same warehouse-is-canonical semantics as the reference's
     anti-join incremental load."""
+    _evict_semdedup_pins()  # prior calls' assignment tables
     wh = _semdedup_assign(warehouse, centroids, id_col, vec_col)
     nb = _semdedup_assign(batch, centroids, id_col, vec_col)
 

@@ -175,3 +175,67 @@ def test_incremental_never_scans_warehouse_pairs(spark):
     assert "CartesianProduct" not in plan
     assert not re.search(r"BatchEvalPython(?!UDTF)", plan)
     assert out.count() <= B.count()
+
+
+def test_repeated_calls_do_not_leak_cache_entries(spark):
+    """Each semantic_dedup call persists its assignment table; the
+    NEXT public-entry call must evict the prior pins (bench warm+timed
+    runs and driver rounds invoke repeatedly — an unbounded
+    CacheManager is a session-lifetime leak).  Pin: cached-RDD count
+    after N calls equals the count after one."""
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        kmeans_fit, semantic_dedup_incremental)
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    emb = _planted(spark)
+    semantic_dedup(emb, threshold=0.999, k=2, n_iter=4).count()
+    after_one = n_cached()
+    for _ in range(3):
+        semantic_dedup(emb, threshold=0.999, k=2, n_iter=4).count()
+    assert n_cached() == after_one
+    # The incremental form pins TWO tables per call; same bound.
+    W = emb.filter("vec_id <= 4")
+    B = emb.filter("vec_id > 4")
+    cents = kmeans_fit(W, k=2, n_iter=2)
+    semantic_dedup_incremental(W, B, cents, threshold=0.999).count()
+    after_incr = n_cached()
+    for _ in range(3):
+        semantic_dedup_incremental(W, B, cents, threshold=0.999).count()
+    assert n_cached() == after_incr
+
+
+def test_multi_probe_catches_boundary_straddling_pair(spark):
+    """The paper's known miss: a duplicate pair whose members land in
+    DIFFERENT primary cells is invisible at n_probe=1 and caught at
+    n_probe=2 (each item also compares against its second-nearest
+    cell).  Fixed centroids pin the cells so the straddle is exact;
+    everything else (keeper policy, output schema, determinism) must
+    be unchanged."""
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (1, _unit([1.0, 0.05, 0.0])),    # firmly cell 0
+        (2, _unit([0.05, 1.0, 0.0])),    # firmly cell 1
+        # The straddling duplicate pair: near the bisector, tilted so
+        # 10 -> cell 0 and 11 -> cell 1; cosine(10, 11) ~ 0.9998.
+        (10, _unit([1.0, 0.98, 0.0])),
+        (11, _unit([0.98, 1.0, 0.0])),
+    ]
+    emb = spark.createDataFrame(rows,
+                                "vec_id bigint, embedding array<double>")
+    miss = semantic_dedup(emb, threshold=0.999, centroids=cents)
+    assert sorted(r.vec_id for r in miss.collect()) == [1, 2, 10, 11]
+    hit = semantic_dedup(emb, threshold=0.999, centroids=cents,
+                         n_probe=2)
+    got = {r.vec_id: r for r in hit.collect()}
+    # 10 beats 11 (equal rounded centroid_sim -> lower id wins).
+    assert sorted(got) == [1, 2, 10]
+    # Schema and primary-cluster assignment unchanged by the probe.
+    assert hit.columns == ["vec_id", "cluster", "centroid_sim"]
+    assert got[1].cluster != got[2].cluster
+    # Determinism across runs.
+    again = sorted(r.vec_id for r in
+                   semantic_dedup(emb, threshold=0.999,
+                                  centroids=cents, n_probe=2).collect())
+    assert again == [1, 2, 10]
