@@ -11,8 +11,6 @@ bit-identical.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -21,6 +19,7 @@ from .operators.aggregate import dsum
 from .operators.graph import pagerank_sql
 from .operators.joins import salted_join
 from .registry import _t, register
+from .workdirs import fresh_work_dir
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -213,7 +212,7 @@ def q_orc_roundtrip(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.year("l_shipdate") == 1997)
           .select("l_orderkey", "l_quantity", "l_shipdate"))
-    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    tmp = fresh_work_dir("orc_rt", sf_dir)
     write_orc(li, f"{tmp}/li")
     back = read_orc(spark, f"{tmp}/li")
     return (
@@ -608,7 +607,7 @@ def q_stream_curate_pipeline(spark, sf_dir):
 
     from .operators import text as T2
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    tmp = tempfile.mkdtemp(prefix="stream_cur_")
+    tmp = fresh_work_dir("stream_cur", sf_dir)
     docs.write.mode("overwrite").json(f"{tmp}/in")
     stream = spark.readStream.schema(docs.schema).json(f"{tmp}/in")
     out = (
@@ -761,7 +760,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     lossless (quoting, unicode, nulls)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
-    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    tmp = fresh_work_dir("jsonl_rt", sf_dir)
     docs.write.mode("overwrite").json(f"{tmp}/docs")
     back = spark.read.schema(docs.schema).json(f"{tmp}/docs")
     return back.select("doc_id", "lang", "source",
@@ -779,7 +778,7 @@ def q_text_source_roundtrip(spark, sf_dir):
     arrive; at 100 TB the directory is the unit of parallelism."""
     from .operators.text import token_count
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="text_rt_")
+    tmp = fresh_work_dir("text_rt", sf_dir)
     docs.select(F.concat_ws("\t", F.col("doc_id"), F.col("text"))
                 .alias("value")).write.mode("overwrite").text(f"{tmp}/docs")
     back = spark.read.text(f"{tmp}/docs")

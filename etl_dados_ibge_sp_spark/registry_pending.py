@@ -29,22 +29,17 @@ DRIVER_ROW_BUDGET = 50
 
 def _fresh_work_dir(name: str, sf_dir: str) -> str:
     """Deterministic per-(query, sf) scratch dir, cleared on entry —
-    the repo convention for queries that must materialize files
-    (registry_pending's schema-evolution scan established it): bench
-    warm+timed runs, parity tests, and driver rounds all reuse ONE
-    bounded tree instead of leaking a ``mkdtemp`` per invocation.
-    Callers whose RESULT lazily reads from the tree rely on the
-    clear happening at the START of the next call, never at exit."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    the repo convention for queries that must materialize files:
+    bench warm+timed runs, parity tests, and driver rounds all reuse
+    ONE bounded tree instead of leaking a ``mkdtemp`` per invocation.
+    Hoisted to :mod:`..workdirs` in round 8 (uid-scoped parent,
+    foreign-entry handling); this name stays as the registry-local
+    spelling.  Callers whose RESULT lazily reads from the tree rely
+    on the clear happening at the START of the next call, never at
+    exit."""
+    from .workdirs import fresh_work_dir
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"{name}_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
-    return path
+    return fresh_work_dir(name, sf_dir)
 
 
 # --------------------------------------------------------------------------

@@ -108,18 +108,15 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_etl_ibge_pkg_shipped", False):
         return
-    import shutil
-    import tempfile
-
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    staging = tempfile.mkdtemp(prefix="etl_ibge_pkg_")
-    zip_base = os.path.join(staging, "etl_dados_ibge_sp_spark")
     try:
-        archive = shutil.make_archive(
-            zip_base, "zip",
-            root_dir=os.path.dirname(pkg_dir),
-            base_dir=os.path.basename(pkg_dir))
-        sc.addPyFile(archive)
+        from .workdirs import package_zip
+
+        # Content-keyed build-once zip (workdirs hygiene): executors
+        # fetch the addPyFile source lazily at first task and verify
+        # its bytes on re-fetch, so the file must outlive the session
+        # and never change — the old mkdtemp-per-session staging
+        # leaked one dir per SparkContext.
+        sc.addPyFile(package_zip())
         sc._etl_ibge_pkg_shipped = True
     except Exception:
         # Self-contained closures keep working without the shipped zip.

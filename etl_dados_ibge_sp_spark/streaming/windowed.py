@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from ..sources.parquet_source import normalize_ts
+from ..workdirs import fresh_work_dir
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +38,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing zone is a directory of files anyway)."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    # Deterministic per-sf staging (workdirs contract): every stream_*
+    # query stages this symlink dir, so a mkdtemp here leaked one dir
+    # PER STREAMING-QUERY INVOCATION (1,035 orphans in one measured
+    # session — the single biggest /tmp leak the round-7 audit found).
+    stage = fresh_work_dir("events_stream", sf_dir)
     os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
     return normalize_ts(stream)
