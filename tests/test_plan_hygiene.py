@@ -171,3 +171,33 @@ def test_lakehouse_loop_component_plans_pinned(spark, sf_dir, tmp_path):
                 F.sum("event_id").cast("bigint").alias("sum_event_id"),
                 F.sum("ts_us").cast("bigint").alias("sum_ts_us")))
     assert shuffles(agg) <= 2
+
+
+def test_fuzzy_join_k2_fresh_session_plan_pinned(spark, sf_dir):
+    """fuzzy_join_names_k2's WORST-CASE (fresh-session) plan shape,
+    pinned independently of test-execution order: the generic sweep
+    above can't pin it because CacheManager substitution of
+    session-memoized q-gram frames shrinks/reshapes the plan when
+    other tests ran first (4 shuffles fresh, 7 cache-substituted).
+    Clearing the memo and the cache here reproduces the fresh-session
+    shape deterministically, so a real plan regression can't hide
+    behind cache substitution.  The clear is safe: memo values and
+    internal persists are rebuilt on demand by their owners."""
+    import contextlib
+    import io
+    import re
+
+    from etl_dados_ibge_sp_spark.session import session_memo_clear
+
+    session_memo_clear(spark)
+    spark.catalog.clearCache()
+    df = QUERIES["fuzzy_join_names_k2"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles <= 4, (
+        f"fuzzy_join_names_k2: {shuffles} shuffles in the "
+        f"fresh-session plan, audited bound is 4 — a regression "
+        f"added an Exchange; see PLANS.md\n{plan[:2000]}")
