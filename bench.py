@@ -201,6 +201,16 @@ def main() -> None:
             "r05's full-suite run) re-measured 0.99x and 1.08x on "
             "solo min-of-3 at host_factor 1.0 — concurrent-session "
             "contention, not plan changes",
+            "round-8 triage of the r07 drift (mean 0.935x -> 0.980x, "
+            "worst movers set_operations 1.64x, event_transition_"
+            "counts 1.39x, set_except_churned 1.38x, disjunctive_"
+            "filter_revenue 1.37x): solo min-of-3 re-measured them "
+            "1.39x/1.13x/1.33x/1.13x with absolute excesses of only "
+            "0.04-0.12s, and a like-for-like plan_audit diff shows "
+            "all four plans BYTE-IDENTICAL to their PLANS.md pins "
+            "(shuffle/reuse/broadcast/codegen counts unchanged) — "
+            "stage-scheduling jitter on sub-0.5s baselines plus a "
+            "mildly degraded host window, not plan changes",
             "pins must match the gate's measurement context: three "
             "sub-1.5s queries (multimodal_avi_frames, "
             "text_dup_ngram_spans, heavy_hitter_tokens) were pinned "
