@@ -441,3 +441,63 @@ def test_loser_commit_never_touches_committed_winner_dir(
         w.commit([msg], batchId=1)
     assert sorted(os.listdir(vdir)) == winner_files   # snapshot intact
     assert _rows(spark, t) == [(1, "a"), (2, "winner")]
+
+
+def test_concurrent_sink_commits_stress(spark, tmp_path):
+    """Concurrency stress over the SINK commit path (8 threads, one
+    batch each, distinct writer_ids, retry on ConcurrentWriteError):
+    with the data-dir rebuild fenced inside _commit's critical
+    section, every batch must land exactly once, the chain must be
+    contiguous, and no staged file or marker may survive.  (The
+    deterministic loser-vs-committed-winner interleaving is pinned
+    above; this covers the race space probabilistically.)"""
+    import threading
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import (
+        ConcurrentWriteError, _commits_dir, _read_manifest)
+
+    t = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([], "k int, v string").schema
+    seed = VTableStreamWriter(t, schema, writer_id="seed")
+    seed_batch = pa.RecordBatch.from_pylist(
+        [{"k": 0, "v": "seed"}], schema=to_arrow_schema(schema))
+    seed.commit([seed.write(iter([seed_batch]))], batchId=0)
+
+    N = 8
+    errs: list[Exception] = []
+
+    def worker(i):
+        w = VTableStreamWriter(t, schema, writer_id=f"w{i}")
+        batch = pa.RecordBatch.from_pylist(
+            [{"k": i + 1, "v": f"w{i}"}],
+            schema=to_arrow_schema(schema))
+        msg = w.write(iter([batch]))
+        for _ in range(60):
+            try:
+                w.commit([msg], batchId=0)
+                return
+            except ConcurrentWriteError:
+                continue
+            except Exception as e:      # noqa: BLE001 — recorded
+                errs.append(e)
+                return
+        errs.append(RuntimeError(f"w{i}: retries exhausted"))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(N)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errs, errs
+
+    man = _read_manifest(t)
+    assert man["current"] == N + 1
+    assert man["versions"] == list(range(1, N + 2))
+    assert _rows(spark, t) == [(0, "seed")] + \
+        [(i + 1, f"w{i}") for i in range(N)]          # exactly once
+    assert os.listdir(_commits_dir(t)) == []          # markers swept
+    assert os.listdir(os.path.join(t, "_staging")) == []
