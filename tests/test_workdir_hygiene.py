@@ -63,20 +63,28 @@ def test_fresh_work_dir_handles_foreign_entry():
 
 def test_routed_queries_reuse_one_dir_per_site(spark):
     """Invoking each formerly-leaking query twice creates ZERO new
-    retired-prefix dirs and at most one work-root entry per site."""
+    retired-prefix dirs and exactly ONE work-root entry per
+    (site, sf) — the deterministic name, reused, never a second dir.
+    (Other sf keys may legitimately hold their own dir from other
+    runs, so the pin is on this sf's tag, not the site prefix.)"""
+    import hashlib
+
     from etl_dados_ibge_sp_spark import registry_ext2 as r2
     from etl_dados_ibge_sp_spark.streaming import windowed as W
 
+    tag = hashlib.md5(SF.encode()).hexdigest()[:12]
     before_retired = _retired_count()
     for _ in range(2):
         r2.q_orc_roundtrip(spark, SF).collect()
         r2.q_jsonl_roundtrip(spark, SF).collect()
         r2.q_text_source_roundtrip(spark, SF).collect()
         W._events_stream(spark, SF)     # the 1,035-orphan site
+        after = _work_entries()
+        for site in ["orc_rt", "jsonl_rt", "text_rt", "events_stream"]:
+            hits = {e for e in after if e.startswith(site + "_")
+                    and e.endswith(tag)}
+            assert hits == {f"{site}_{tag}"}
     assert _retired_count() == before_retired
-    entries = _work_entries()
-    for site in ["orc_rt", "jsonl_rt", "text_rt", "events_stream"]:
-        assert sum(e.startswith(site + "_") for e in entries) <= 1
 
 
 def test_package_mkdtemp_sites_are_allowlisted():
