@@ -501,3 +501,53 @@ def test_concurrent_sink_commits_stress(spark, tmp_path):
         [(i + 1, f"w{i}") for i in range(N)]          # exactly once
     assert os.listdir(_commits_dir(t)) == []          # markers swept
     assert os.listdir(os.path.join(t, "_staging")) == []
+
+
+def test_crash_during_move_leaves_no_claim_and_replays_once(
+        spark, tmp_path, monkeypatch):
+    """pre_flip ordering law: the data-dir rebuild runs BEFORE the
+    claim, so a crash mid-move leaves NO marker (roll-forward can
+    never complete a commit whose move failed) and no manifest
+    change; the checkpoint replay then lands the batch exactly once,
+    rebuilding v=N from scratch over the half-moved debris."""
+    import os as _os
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import (
+        _commits_dir, _read_manifest)
+
+    t = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([], "k int, v string").schema
+    w = VTableStreamWriter(t, schema)
+
+    def batch(rows):
+        return pa.RecordBatch.from_pylist(
+            rows, schema=to_arrow_schema(schema))
+
+    w.commit([w.write(iter([batch([{"k": 1, "v": "a"}])]))], batchId=0)
+
+    # Crash injection: the first os.replace of the NEXT commit dies.
+    real_replace = os.replace
+    armed = {"on": True}
+
+    def dying_replace(src, dst):
+        if armed["on"] and "/v=2" in dst:
+            armed["on"] = False
+            raise OSError("injected crash mid-move")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", dying_replace)
+    msg = w.write(iter([batch([{"k": 2, "v": "b"}])]))
+    with pytest.raises(OSError, match="injected"):
+        w.commit([msg], batchId=1)
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    man = _read_manifest(t)
+    assert man["current"] == 1                      # no manifest move
+    assert os.listdir(_commits_dir(t)) == []        # NO claim marker
+    # Replay of batch 1 (fresh staged files, same id): exactly once.
+    w.commit([w.write(iter([batch([{"k": 2, "v": "b"}])]))], batchId=1)
+    assert _rows(spark, t) == [(1, "a"), (2, "b")]
+    assert len(table_history(t)) == 2
