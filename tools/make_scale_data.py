@@ -13,7 +13,10 @@ meaningful exponent and not an artifact of degenerate duplication:
   permutation of the corpus vocabulary, whitespace preserved): within
   a copy, every dedup-relevant structure (exact dups, shingle sets,
   line census) is isomorphic to the original; across copies the texts
-  share (almost) no shingles — so dedup workloads scale linearly in
+  share (almost) no SHINGLES (measured 3-gram Jaccard ~0.001 — token
+  sets necessarily overlap on a small vocabulary, but the n-gram
+  structures MinHash/LSH/containment key on decorrelate) — so dedup
+  workloads scale linearly in
   corpus size instead of exploding quadratically inside planted
   10-way duplicate groups, which naive text replication would cause.
 - ``embeddings`` copies apply a per-copy SIGNED COORDINATE
