@@ -239,3 +239,36 @@ def test_multi_probe_catches_boundary_straddling_pair(spark):
                    semantic_dedup(emb, threshold=0.999,
                                   centroids=cents, n_probe=2).collect())
     assert again == [1, 2, 10]
+
+
+def test_exact_duplicate_verdicts_k_invariant(spark):
+    """Grounds the k-scaling recommendation (SCALE.md curve section):
+    on an exact-duplicate corpus the KEPT SET is invariant to k —
+    a scaled copy has the identical direction as its original, so
+    they share a cell under ANY centroid set and the copy always
+    loses (equal rounded centroid_sim, higher id).  This is what
+    makes "scale k with n" a pure performance knob for the dedup
+    verdicts the fixture pins.  (In general k changes which NEAR-dup
+    pairs share a cell — that recall trade is the documented
+    n_probe/k design space, not a correctness drift.)"""
+    from etl_dados_ibge_sp_spark.operators.similarity import kmeans_fit
+    from etl_dados_ibge_sp_spark.registry_ext import planted_clusters
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+    from pyspark.sql import functions as F
+
+    pl = planted_clusters(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    copies = pl.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"))
+    corpus = pl.unionByName(copies)
+    n_orig = pl.count()
+    kept_by_k = {}
+    for k in (2, 8, 16):
+        cents = kmeans_fit(corpus, k=k, n_iter=2)
+        kept = semantic_dedup(corpus, threshold=0.9999, k=k,
+                              centroids=cents)
+        kept_by_k[k] = sorted(r.vec_id for r in kept.collect())
+    assert kept_by_k[2] == kept_by_k[8] == kept_by_k[16]
+    assert len(kept_by_k[8]) == n_orig          # every copy dropped
+    assert max(kept_by_k[8]) < 1000000          # ...and none kept
