@@ -37,8 +37,18 @@ def _multiset(df):
     return Counter((r.k, r.v) for r in df.collect())
 
 
-@pytest.mark.parametrize("seed", [20260815, 6021023])
-def test_lifecycle_random_walk_matches_model(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,pruned", [(20260815, False),
+                                         (6021023, False),
+                                         (77, True)])
+def test_lifecycle_random_walk_matches_model(spark, tmp_path, seed,
+                                             pruned):
+    """``pruned=True`` additionally declares stats+bloom columns on
+    every explicit write — with a RANDOM bloom_bits per write — and
+    checks after every step that range pruning and bloom equality
+    pruning are pure optimizations (same rows as unpruned+filter) for
+    the CURRENT version and, at walk end, for every surviving version
+    (time-travel pruning across arbitrary histories — the per-version
+    bloom-bits law under every op interaction)."""
     rng = random.Random(seed)
     t = str(tmp_path / "tbl")
     model: dict[int, Counter] = {}
@@ -48,10 +58,32 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path, seed):
         v = current if version is None else version
         assert _multiset(read_version(spark, t, version=version)) == \
             model[v], f"divergence at version {v}"
+        if not pruned:
+            return
+        key = rng.choice(list(KEYS))
+        lo = rng.randrange(len(KEYS))
+        want_eq = Counter({kv: c for kv, c in model[v].items()
+                           if kv[0] == key})
+        got_eq = _multiset(read_version(spark, t, version=version,
+                                        prune_eq={"k": key})
+                           .filter(f"k = {key}"))
+        assert got_eq == want_eq, f"prune_eq divergence at v{v}"
+        want_rg = Counter({kv: c for kv, c in model[v].items()
+                           if kv[0] >= lo})
+        got_rg = _multiset(read_version(spark, t, version=version,
+                                        prune={"k": (lo, None)})
+                           .filter(f"k >= {lo}"))
+        assert got_rg == want_rg, f"prune divergence at v{v}"
+
+    def _write_kwargs():
+        if not pruned:
+            return {}
+        return {"stats_cols": ["k"], "bloom_cols": ["k"],
+                "bloom_bits": rng.choice([1 << 8, 1 << 10, 1 << 13])}
 
     # Seed the table.
     rows = _rows(rng, 5)
-    current = write_version(_df(spark, rows), t)
+    current = write_version(_df(spark, rows), t, **_write_kwargs())
     model[current] = Counter(rows)
     check()
 
@@ -60,7 +92,8 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path, seed):
                          "compact", "vacuum", "delete", "delete"])
         if op == "write":
             rows = _rows(rng, rng.randrange(1, 8))
-            current = write_version(_df(spark, rows), t)
+            current = write_version(_df(spark, rows), t,
+                                    **_write_kwargs())
             model[current] = Counter(rows)
         elif op == "append":
             rows = _rows(rng, rng.randrange(1, 5))
