@@ -47,6 +47,13 @@ def test_row_counts_and_referential_integrity(tmp_path):
     assert set(li.column("l_orderkey").to_pylist()) <= okeys
     ev = pq.read_table(os.path.join(dst, "events.parquet"))
     assert set(ev.column("user_id").to_pylist()) <= cust
+    # Supplier names must be UNIQUE across copies: byte-identical
+    # names would plant factor-way distance-0 groups and inflate the
+    # edit-distance joins with the square of the factor (the sf1.0
+    # full-scan artifact this law pins the fix for).
+    sup = pq.read_table(os.path.join(dst, "supplier.parquet"))
+    names = sup.column("s_name").to_pylist()
+    assert len(set(names)) == len(names)
     # keys stay unique (offsets never collide)
     ck = orders.column("o_orderkey")
     assert len(okeys) == orders.num_rows

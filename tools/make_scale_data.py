@@ -133,6 +133,21 @@ def scale_dir(src: str, dst: str, factor: int) -> None:
                 c = tbl
                 for col, owner, _k in TPCH_OFFSETS[name]:
                     c = _offset(c, col, i * spans[owner])
+                if name == "supplier":
+                    # s_name feeds the edit-distance fuzzy joins:
+                    # byte-identical names across copies would plant
+                    # factor-way distance-0 groups and blow the
+                    # (per-name-group quadratic) pair count up with
+                    # the SQUARE of the factor — a generator artifact,
+                    # not a workload property.  A per-copy suffix
+                    # keeps copies > max_dist apart while scaling
+                    # name cardinality with the data like every key.
+                    ni = c.schema.get_field_index("s_name")
+                    c = c.set_column(
+                        ni, "s_name",
+                        pc.binary_join_element_wise(
+                            c.column("s_name").cast(pa.string()),
+                            f"q{i}x", "-"))
                 copies.append(c)
         elif name == "documents":
             copies = [tbl]
