@@ -101,6 +101,16 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float,
     corpus quadratic, the same scale shape as text LSH dedup.  At
     100 TB the table is bucketed/partitioned by this key so each
     bucket joins co-located.
+
+    SIZE ``n_bits`` WITH THE CORPUS (≈ log2(n) − log2(target cell
+    size)): the per-bucket quadratic means a FIXED grid degrades with
+    the square of growth — measured on the sf1.0 scale sweep
+    (BENCH_sf1.json): 20k vectors at n_bits=4 run 10.9 s, at n_bits=7
+    1.89 s with identical output.  The trade is recall: more sign
+    bits = more near-dup pairs split across buckets (one-band
+    sign-LSH misses a pair whose signs differ on any leading dim);
+    when that tail matters, band like the text LSH or fall back to
+    ``semantic_dedup``'s learned cells.
     """
     b = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__e"),
                    sign_bucket(F.col(vec_col), n_bits).alias("__bkt"))
