@@ -21,6 +21,8 @@ to 6 decimals, ties broken by id.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,8 +90,32 @@ def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
     return out.cast("bigint")
 
 
+def auto_sign_bits(emb: DataFrame, vec_col: str = "embedding",
+                   target_cell: int = 128) -> int:
+    """Corpus-derived sign-grid size: ``round(log2(n / target_cell))``
+    clamped to [1, min(16, d)] — the measured scale-safe sizing rule,
+    now computable instead of caller-side folklore.  One cheap
+    keys-free aggregate (count + min array size — a single job whose
+    scan prunes to the vector column).  The rule reproduces both
+    measured good points: n≈2.2k → 4 (the sf0.1 steady state) and
+    n≈22k → 7 (the sf1.0 re-size that ran 1.89 s vs 10.93 s at the
+    stale fixed 4, identical output).  Per-cell population stays
+    ≈ ``target_cell`` as the corpus grows, so the per-cell quadratic
+    term stays CONSTANT per unit of data — the property a fixed grid
+    loses with the square of growth (BENCH_sf1.json: 24.5× wall at a
+    10× data step)."""
+    import math
+
+    row = emb.select(F.count(F.lit(1)).alias("n"),
+                     F.min(F.size(F.col(vec_col))).alias("d")).first()
+    n, d = row["n"] or 0, row["d"] or 16
+    if n <= target_cell:
+        return 1
+    return max(1, min(16, d, round(math.log2(n / target_cell))))
+
+
 def embed_near_dup_pairs(emb: DataFrame, threshold: float,
-                         n_bits: int = 4,
+                         n_bits: int | str = "auto",
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join.
@@ -102,16 +128,23 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float,
     100 TB the table is bucketed/partitioned by this key so each
     bucket joins co-located.
 
-    SIZE ``n_bits`` WITH THE CORPUS (≈ log2(n) − log2(target cell
-    size)): the per-bucket quadratic means a FIXED grid degrades with
-    the square of growth — measured on the sf1.0 scale sweep
-    (BENCH_sf1.json): 20k vectors at n_bits=4 run 10.9 s, at n_bits=7
-    1.89 s with identical output.  The trade is recall: more sign
-    bits = more near-dup pairs split across buckets (one-band
+    ``n_bits`` defaults to ``"auto"`` — sized from the corpus by
+    :func:`auto_sign_bits` (≈ log2(n) − log2(target cell size)), the
+    measured scale-safe rule: the per-bucket quadratic means a FIXED
+    grid degrades with the square of growth — measured on the sf1.0
+    scale sweep (BENCH_sf1.json): 20k vectors at n_bits=4 run 10.9 s,
+    at n_bits=7 1.89 s with identical output.  Pass a fixed int when
+    the bucket key must be stable across corpora (e.g. the registered
+    driver query pins 4 so its closed-form DuckDB oracle stays
+    closed-form; a production table whose bucket column is the
+    partition key sizes once at ingest).  The trade is recall: more
+    sign bits = more near-dup pairs split across buckets (one-band
     sign-LSH misses a pair whose signs differ on any leading dim);
     when that tail matters, band like the text LSH or fall back to
     ``semantic_dedup``'s learned cells.
     """
+    if n_bits == "auto":
+        n_bits = auto_sign_bits(emb, vec_col)
     b = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__e"),
                    sign_bucket(F.col(vec_col), n_bits).alias("__bkt"))
     a = b.select(F.col(id_col).alias("id_a"), F.col("__e").alias("__ea"),
@@ -663,6 +696,7 @@ def ann_ivfpq_topk(emb: DataFrame, query_vec: list[float],
 
 
 _SEMDEDUP_PINNED: list[DataFrame] = []
+_SEMDEDUP_PINNED_LOCK = threading.Lock()
 
 
 def _evict_semdedup_pins() -> None:
@@ -673,13 +707,30 @@ def _evict_semdedup_pins() -> None:
     rounds accumulate unboundedly.  Contract (the _fresh_work_dir
     one): results must be materialized before the NEXT invocation;
     the eviction happens at public-entry time, never mid-call, so one
-    call's two assignment tables coexist."""
-    while _SEMDEDUP_PINNED:
-        df = _SEMDEDUP_PINNED.pop()
+    call's two assignment tables coexist.
+
+    The pin list is PROCESS-GLOBAL, so this eviction contract is also
+    single-threaded across the whole process, not just per call:
+    concurrent semantic_dedup calls from different threads would evict
+    each other's live assignment caches mid-computation — results stay
+    correct, but a still-unmaterialized prior result silently regresses
+    to the documented 351-s per-pair lineage-recompute shape.  The lock
+    only keeps the list itself consistent (no lost/double unpersists);
+    it cannot restore the perf contract for concurrent callers —
+    serialize semantic_dedup* invocations (as bench and the driver
+    do)."""
+    with _SEMDEDUP_PINNED_LOCK:
+        pins, _SEMDEDUP_PINNED[:] = _SEMDEDUP_PINNED[:], []
+    for df in pins:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing left to evict
+
+
+def _pin_semdedup(df: DataFrame) -> None:
+    with _SEMDEDUP_PINNED_LOCK:
+        _SEMDEDUP_PINNED.append(df)
 
 
 def _semdedup_assign(emb: DataFrame, cents: list[list[float]],
@@ -723,12 +774,28 @@ def _semdedup_assign(emb: DataFrame, cents: list[list[float]],
         .select(*cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _SEMDEDUP_PINNED.append(out)
+    _pin_semdedup(out)
     return out
 
 
+def auto_semdedup_k(emb: DataFrame) -> int:
+    """Corpus-derived SemDeDup cluster count: ``max(2, round(√n / 2))``
+    — the paper's k ~ c·√n with c calibrated to the measured sf1.0
+    mitigation (n≈22k → k≈74; the measured result-identical re-size
+    used k=64 and ran 5× faster end-to-end than the fixed k=8 whose
+    cluster-local quadratic bent the sf1→sf3 step to exponent 1.91).
+    √n keeps the expected cluster size √n·c too, so BOTH the fit cost
+    (O(n·k·d)) and the per-cluster pair join grow ~n^1.5 in the worst
+    case and ~n when cluster sizes stay balanced — never the fixed-k
+    n²/k.  One cheap count()."""
+    import math
+
+    n = emb.count()
+    return max(2, min(int(round(math.sqrt(max(n, 1)) / 2)), max(n, 2)))
+
+
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
-                   k: int = 8, n_iter: int = 3,
+                   k: int | str = "auto", n_iter: int = 3,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    centroids: list[list[float]] | None = None,
@@ -751,9 +818,17 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     Scale shape: the centroid fit is the documented kmeans_fit cost;
     assignment is one narrow broadcast-argmax scan; the only shuffle
     is the per-cluster self-join, quadratic in CLUSTER size, never in
-    corpus size — at 100 TB pick k so clusters fit the pair budget
-    (the paper uses k ~ √n·c) and pre-partition by cluster id so each
-    joins co-located.  Cross-cluster near-duplicates are missed BY
+    corpus size.  ``k`` defaults to ``"auto"`` — sized from the
+    corpus by :func:`auto_semdedup_k` (the paper's k ~ √n·c), the
+    measured scale-safe rule: a FIXED k means cluster sizes grow
+    linearly with the corpus and the pair join quadratically
+    (measured: exponent 1.91 on the sf1→sf3 step at k=8 vs ≤ 0.80
+    banded tiers, BENCH_sf1.json); pass a fixed int when the oracle
+    or an ingest-time model pins the cell structure (the registered
+    driver query pins k=8 so its closed-form DuckDB oracle stays
+    closed-form).  ``k`` is only consulted when ``centroids`` is
+    omitted — a provided model fixes the cell count.  At 100 TB
+    pre-partition by cluster id so each cell joins co-located.  Cross-cluster near-duplicates are missed BY
     DESIGN at ``n_probe=1`` (the paper's recall trade-off); the
     opt-in mitigation is ``n_probe=2``: each item is additionally
     compared against members of its second-nearest cell (multi-probe
@@ -768,6 +843,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     # ``centroids`` lets callers reuse an ingest-time model (the
     # production pattern — and what the memoized driver query does);
     # omitted, the fit runs here with its documented kmeans_fit cost.
+    if centroids is None and k == "auto":
+        k = auto_semdedup_k(emb)  # one count(); skipped when a model
+        #                           is provided (its size wins anyway)
     cents = centroids if centroids is not None else kmeans_fit(
         emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     assigned = _semdedup_assign(emb, cents, id_col, vec_col,
@@ -776,10 +854,13 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
         # Multi-probe pair domain, ASYMMETRIC on purpose: the beater
         # side keeps only its primary cell while the beaten side
         # explodes its n_probe cells — (a, b) compare iff b's probe
-        # set contains a's primary.  A boundary-straddling near-dup
-        # is still always caught: cosine ≈ 1 means the two vectors'
-        # centroid rankings coincide, so the beaten item's probe set
-        # includes the beater's primary whenever they straddle.
+        # set contains a's primary.  This catches straddling pairs
+        # whose probe sets overlap — the common case as cosine → 1,
+        # where the two vectors' centroid rankings nearly coincide —
+        # but it is a recall MITIGATION, not a guarantee: at
+        # threshold-level similarity (e.g. 0.95) the beaten item's
+        # n_probe-set can rank a third cell above the beater's
+        # primary and the pair is still missed.
         # Exploding BOTH sides would catch the same pairs at
         # n_probe² the per-cell join volume (measured 3.4× wall at
         # n_probe=2 vs 1.6× asymmetric); this keeps the cost factor

@@ -752,7 +752,14 @@ def q_dedup_embed_neardup(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: x * 1.1).alias("embedding"))
-    return S.embed_near_dup_pairs(base.unionByName(planted), threshold=0.9)
+    # n_bits PINNED (not "auto"): the DuckDB oracle above hardcodes
+    # the 4-bit bucket formula, so the grid must stay closed-form.
+    # Lifted callers get the operator's auto-sizing default — the
+    # measured scale-safe rule (auto_sign_bits); the sf1.0 sweep
+    # showed the fixed grid is the suite's worst quadratic (24.5×
+    # wall at a 10× data step) while auto re-sizes result-identically.
+    return S.embed_near_dup_pairs(base.unionByName(planted),
+                                  threshold=0.9, n_bits=4)
 
 
 # --------------------------------------------------------------------------

@@ -249,15 +249,35 @@ def _commit(man: dict, table_dir: str, version: int,
                     f"{table_dir}: version {version} committed by "
                     f"another writer while this {op} was in flight — "
                     "re-read the table and retry")
+            if os.path.exists(marker):
+                # A claim for this exact version already exists: a
+                # writer linked its marker, then crashed before the
+                # flip (the precise window _roll_forward exists for).
+                # The manifest still reads version-1, so the verify
+                # above passed — but that claimant's data move already
+                # happened and the next roll-forward WILL make its
+                # commit durable.  Running pre_flip here would rebuild
+                # a *claimed* version's data dir, so roll-forward
+                # would flip a manifest whose v=<version> holds THIS
+                # writer's rows while this writer retries at N+1 and
+                # duplicates them.  Fail before any mutation.  (New
+                # markers only appear under the flip lock we hold, so
+                # this check cannot go stale before the os.link.)
+                raise ConcurrentWriteError(
+                    f"{table_dir}: version {version} claimed by a "
+                    f"crashed writer awaiting roll-forward — re-read "
+                    f"the table and retry this {op}")
             if pre_flip is not None:
                 # Caller's data-dir mutation (e.g. the vtable sink's
                 # rebuild-and-move of v=<version>) runs INSIDE the
-                # verified critical section: the version is proven
-                # uncommitted here, so touching its dir can never
-                # destroy a committed winner's snapshot.  It runs
-                # BEFORE the claim — a failure leaves no marker and
-                # no flip, so roll-forward can never complete a
-                # commit whose data move failed.
+                # verified critical section AFTER the claimed-marker
+                # check: the version is proven uncommitted AND
+                # unclaimed here, so touching its dir can never
+                # destroy a committed winner's snapshot nor a claimed
+                # claimant's moved data.  It runs BEFORE the claim —
+                # a failure leaves no marker and no flip, so
+                # roll-forward can never complete a commit whose data
+                # move failed.
                 pre_flip()
             try:
                 os.link(tmp, marker)  # put-if-absent WITH full content
@@ -394,6 +414,27 @@ def _bloom_may_contain(spark: SparkSession, hexmap: str, col: str,
     return True
 
 
+def _migrate_legacy_blooms(man: dict) -> None:
+    """Pin legacy flat bloom entries (``{col: hexmap}``, pre-dating
+    per-version bits) to the table-global ``bloom_bits`` they were
+    BUILT with, before any caller mutates that global.  Without this,
+    a later ``write_version(bloom_cols=..., bloom_bits=<new>)``
+    silently changes the probe size for every legacy dir — wrong bit
+    positions, FALSE exclusions on time-travel/prune reads: the exact
+    wrong-results bug per-version bits fixed for new entries.  The
+    shape test matches ``read_version``'s (flat values are hex
+    strings, so ``{"bits": int, "cols": dict}`` is unambiguous);
+    idempotent, so callers may run it unconditionally."""
+    blooms = man.get("blooms")
+    if not blooms:
+        return
+    built_with = man.get("bloom_bits", 1 << 14)
+    for d, entry in blooms.items():
+        if not (isinstance(entry.get("cols"), dict)
+                and isinstance(entry.get("bits"), int)):
+            blooms[d] = {"bits": built_with, "cols": entry}
+
+
 def write_version(df: DataFrame, table_dir: str,
                   op: str = "write",
                   partition_by: list[str] | None = None,
@@ -427,6 +468,7 @@ def write_version(df: DataFrame, table_dir: str,
     if bc:
         mb = (bloom_bits if bloom_cols is not None
               else man.get("bloom_bits", bloom_bits))
+        _migrate_legacy_blooms(man)
         man["bloom_cols"], man["bloom_bits"] = bc, mb
         # bits is recorded PER VERSION: time-travel reads must probe
         # each dir's bloom with the m_bits it was built with — probing

@@ -28,21 +28,29 @@ from ..sources.parquet_source import normalize_ts
 from ..workdirs import fresh_work_dir
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str,
+                   label: str = "events") -> DataFrame:
     """File-source stream over the events table.  Schema comes from a
     driver-side batch peek (streaming sources require explicit
     schemas); the nanos ts column is restored to a proper timestamp.
 
     The file source needs a *directory*; the test tables are single
     parquet files, so we stage a symlink in a temp dir (at scale the
-    landing zone is a directory of files anyway)."""
+    landing zone is a directory of files anyway).  ``label`` keys the
+    staging dir per CALL SITE: fresh_work_dir clears on entry, so two
+    live streams sharing one (name, sf_dir) dir would have the second
+    rmtree the first's symlink out from under its file listing — the
+    interval join (two streams in one query) and any overlapping
+    stream_* invocations need distinct labels.  Bounded: one dir per
+    (call site, sf_dir), not per invocation."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # Deterministic per-sf staging (workdirs contract): every stream_*
-    # query stages this symlink dir, so a mkdtemp here leaked one dir
-    # PER STREAMING-QUERY INVOCATION (1,035 orphans in one measured
-    # session — the single biggest /tmp leak the round-7 audit found).
-    stage = fresh_work_dir("events_stream", sf_dir)
+    # Deterministic per-(call site, sf) staging (workdirs contract):
+    # every stream_* query stages this symlink dir, so a mkdtemp here
+    # leaked one dir PER STREAMING-QUERY INVOCATION (1,035 orphans in
+    # one measured session — the single biggest /tmp leak the round-7
+    # audit found).
+    stage = fresh_work_dir(f"events_stream_{label}", sf_dir)
     os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
     return normalize_ts(stream)
@@ -92,7 +100,7 @@ def stream_windowed_event_agg(spark: SparkSession, sf_dir: str,
     """Tumbling 1-hour window aggregation over the event stream,
     run to completion with availableNow; returns the final table
     (equals the batch windowed agg — the parity oracle)."""
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, "windowed_agg")
     agg = (
         stream
         .withWatermark("ts", "1 day")
@@ -131,7 +139,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str,
     table back for its summary)."""
     from pyspark.sql import Window
 
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, "windowed_topk")
     agg = (
         stream
         .withWatermark("ts", "1 day")
@@ -174,7 +182,7 @@ def stream_windowed_distinct_approx(
     it can no longer change.  On the finite single-batch availableNow
     run, update emits each group exactly once, so the memory sink
     holds the final aggregate."""
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, "windowed_distinct")
     agg = (
         stream
         .withWatermark("ts", "1 day")
@@ -203,7 +211,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stateless).  Run to completion with availableNow; the final
     table equals the batch join — the parity oracle.
     """
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, "static_enrich")
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"),
@@ -239,7 +247,7 @@ def stream_stream_interval_join(
     interval join — the parity oracle.
     """
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, "ij_clicks")
         .filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"),
                 F.col("ts").alias("c_ts"),
@@ -247,7 +255,7 @@ def stream_stream_interval_join(
         .withWatermark("c_ts", "1 day")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, "ij_purchases")
         .filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("p_user"),
                 F.col("event_id").alias("purchase_id"),
@@ -493,7 +501,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str,
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, "sessionize")
         .withWatermark("ts", watermark)
         .select("user_id", "ts", F.unix_micros(F.col("ts")).alias("us"))
     )
@@ -557,7 +565,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     bounded state (dropDuplicatesWithinWatermark), run to completion;
     returns the deduplicated rows."""
     keys = keys or ["event_id"]
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, "dedup")
     deduped = (
         stream
         .withWatermark("ts", watermark)
@@ -605,7 +613,7 @@ def stream_rolling_anomaly(
 
     frame, min_n, z2 = ANOMALY_FRAME, ANOMALY_MIN_N, ANOMALY_Z2
     stream = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, "rolling_anomaly")
         .select("event_id", "user_id",
                 F.unix_micros(F.col("ts")).alias("us"),
                 F.floor(F.col("value") * 1000000).cast("bigint")
@@ -762,7 +770,7 @@ def stream_decay_sum(
     frame = 8  # registry_pending2.DECAY_FRAME (kept literal: this
     #            module must stay importable without the registry)
     stream = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, "decay_sum")
         .select("event_id", "user_id",
                 F.unix_micros(F.col("ts")).alias("us"),
                 F.floor(F.col("value") * 10000).cast("bigint")
@@ -899,7 +907,7 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str,
             pass
 
     stream = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, "sessionize_tws")
         .withWatermark("ts", watermark)
         .select("user_id", "ts", F.unix_micros(F.col("ts")).alias("us"))
     )

@@ -67,7 +67,7 @@ def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path):
 
     orig = W._events_stream
 
-    def staged_stream(spark_, _sf):
+    def staged_stream(spark_, _sf, _label="events"):
         schema = spark_.read.parquet(src).schema
         s = spark_.readStream.schema(schema).parquet(str(stage))
         from etl_dados_ibge_sp_spark.sources.parquet_source import (

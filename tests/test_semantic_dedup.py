@@ -241,6 +241,59 @@ def test_multi_probe_catches_boundary_straddling_pair(spark):
     assert again == [1, 2, 10]
 
 
+def test_auto_k_is_default_and_result_identical_to_fixed(spark):
+    """The scale-safe sizing is now the SIGNATURE DEFAULT, not
+    caller-side folklore: semantic_dedup(k="auto") derives k from one
+    corpus count (auto_semdedup_k ≈ √n/2 — the measured sf1.0
+    mitigation shape) and, on the registered query's own planted
+    exact-duplicate fixture, keeps EXACTLY the set the oracle-pinned
+    k=8 keeps (kept-set k-invariance on exact dups is the companion
+    law below)."""
+    import inspect
+
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        auto_semdedup_k, semantic_dedup)
+    from etl_dados_ibge_sp_spark.registry_ext import planted_clusters
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+    from pyspark.sql import functions as F
+
+    # auto IS the default (the round-8 verdict's ask).
+    assert inspect.signature(semantic_dedup).parameters["k"].default \
+        == "auto"
+
+    pl = planted_clusters(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    copies = pl.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"))
+    corpus = pl.unionByName(copies)
+    k_auto = auto_semdedup_k(corpus)
+    assert k_auto == round(math.sqrt(corpus.count()) / 2)
+    kept_auto = sorted(r.vec_id for r in
+                       semantic_dedup(corpus, threshold=0.9999).collect())
+    kept_fixed = sorted(r.vec_id for r in
+                        semantic_dedup(corpus, threshold=0.9999,
+                                       k=8).collect())
+    assert kept_auto == kept_fixed
+    assert len(kept_auto) == pl.count()         # every copy dropped
+
+
+def test_auto_k_skips_count_when_centroids_given(spark):
+    """A provided ingest-time model fixes the cell count, so k="auto"
+    must not spend a count() job — the incremental/production path
+    never re-derives k."""
+    from unittest import mock
+
+    from etl_dados_ibge_sp_spark.operators import similarity as S
+
+    emb = _planted(spark)
+    cents = S.kmeans_fit(emb, k=2, n_iter=2)
+    with mock.patch.object(S, "auto_semdedup_k",
+                           side_effect=AssertionError(
+                               "auto k computed despite centroids")):
+        S.semantic_dedup(emb, threshold=0.999, centroids=cents).count()
+
+
 def test_exact_duplicate_verdicts_k_invariant(spark):
     """Grounds the k-scaling recommendation (SCALE.md curve section):
     on an exact-duplicate corpus the KEPT SET is invariant to k —

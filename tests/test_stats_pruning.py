@@ -204,6 +204,54 @@ def test_bloom_legacy_flat_entries_still_probe(spark, tmp_path):
     assert any("/v=2/" in f for f in pruned.inputFiles())
 
 
+def test_bloom_bits_change_migrates_legacy_entries(spark, tmp_path):
+    """A later write_version(bloom_cols=, bloom_bits=<new>) on a table
+    holding LEGACY flat bloom entries must not corrupt them: flat
+    entries probe via the mutable table-global bloom_bits, so moving
+    that global would compute wrong bit positions for every legacy dir
+    and FALSELY exclude dirs on prune/time-travel reads.  The writer
+    migrates legacy entries in place to {bits: <old global>, cols: …}
+    before touching the global."""
+    import json
+
+    from etl_dados_ibge_sp_spark.sinks.versioned import _manifest_path
+
+    t = str(tmp_path / "tbl")
+    write_version(_daily(spark, 0), t, bloom_cols=["k"],
+                  bloom_bits=1 << 8)
+    append_version(_daily(spark, 1), t)           # built at 1 << 8
+    mp = _manifest_path(t)
+    man = json.loads(open(mp).read())
+    # Regress both entries to the legacy flat shape (pre-upgrade
+    # manifests: probe size comes from the table-global bloom_bits).
+    man["blooms"] = {d: e["cols"] for d, e in man["blooms"].items()}
+    with open(mp, "w") as f:
+        json.dump(man, f)
+
+    # The mutating write: same cols, DIFFERENT bits.  Without the
+    # migration this silently re-sizes the probe for v=1 and v=2.
+    write_version(_daily(spark, 2), t, bloom_cols=["k"],
+                  bloom_bits=1 << 13)
+
+    man = json.loads(open(mp).read())
+    for d in ("v=1", "v=2"):
+        assert man["blooms"][d]["bits"] == 1 << 8, \
+            f"{d} not pinned to the bits it was built with"
+    assert man["blooms"]["v=3"]["bits"] == 1 << 13
+    assert man["bloom_bits"] == 1 << 13
+    # The law the migration protects: no false exclusions.  v=3 is a
+    # full replace (day-2 keys only); the legacy dirs are reachable by
+    # TIME TRAVEL, the read that probes their migrated entries.
+    for key in (200, 203):
+        got = read_version(spark, t,
+                           prune_eq={"k": key}).filter(f"k = {key}")
+        assert got.count() == 1, f"key {key} falsely excluded"
+    for key in (1, 2, 100, 103):
+        got = read_version(spark, t, version=2,
+                           prune_eq={"k": key}).filter(f"k = {key}")
+        assert got.count() == 1, f"key {key} falsely excluded at v=2"
+
+
 def test_bloom_composes_with_stats_and_vacuum(spark, tmp_path):
     """prune (range) and prune_eq (equality) drop independently, and
     vacuum sweeps retired dirs' blooms exactly like stats."""

@@ -184,18 +184,20 @@ def test_crashed_claim_rolls_forward(spark, tmp_path):
     assert os.listdir(V._commits_dir(t)) == []  # markers swept
 
 
-def _crashed_v2_marker(spark, t):
+def _crashed_v2_marker(spark, t, skip_v1=False):
     """Table at v1 with v2's data dir + commit marker on disk but the
-    flip never performed — the crashed-winner state both fence tests
-    start from.  Returns v2's manifest dict and the marker path."""
+    flip never performed — the crashed-winner state the fence tests
+    start from.  Returns v2's manifest dict and the marker path.
+    ``skip_v1`` assumes the caller already wrote v1."""
     import copy
     import json
     import os
 
     from etl_dados_ibge_sp_spark.sinks import versioned as V
 
-    df = spark.createDataFrame([(1, "a")], "k int, v string")
-    V.write_version(df, t)                       # v1
+    if not skip_v1:
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        V.write_version(df, t)                   # v1
     spark.createDataFrame([(2, "b")], "k int, v string") \
         .coalesce(1).write.parquet(os.path.join(t, "v=2"))
     man2 = copy.deepcopy(V._read_manifest(t))
@@ -296,6 +298,65 @@ def test_commit_detects_stale_claim_under_lock(spark, tmp_path,
                   df.schema.json(), op="append", rows_written=1)
     # The racer's commit stands untouched; W left no stale marker to
     # mislead a later roll-forward.
+    assert V._read_manifest(t)["current"] == 2
+    assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
+        == [(1, "a"), (2, "b")]
+    assert os.listdir(V._commits_dir(t)) == []
+
+
+def test_claimed_version_fences_pre_flip(spark, tmp_path, monkeypatch):
+    """A crashed claimant (marker linked, flip never performed — the
+    exact window _roll_forward exists for) must fence a racing
+    writer's pre_flip: the manifest still reads version-1, so the
+    racer's verify passes, but running pre_flip would rmtree the
+    CLAIMED version's already-moved data — roll-forward would then
+    make the claimant's commit durable over the racer's rows while
+    the racer retries at N+1 and duplicates them.  The fix checks the
+    marker inside the flip lock BEFORE pre_flip: ConcurrentWriteError,
+    pre_flip never invoked, the claimant's data survives intact."""
+    import contextlib
+    import copy
+    import os
+
+    import pytest
+
+    from etl_dados_ibge_sp_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    V.write_version(df, t)                       # v1
+
+    man2 = copy.deepcopy(V._read_manifest(t))    # racer's view: v2 next
+
+    real_lock = V._flip_lock
+    armed = {"on": True}
+
+    @contextlib.contextmanager
+    def racing_lock(table_dir):
+        if armed["on"]:
+            armed["on"] = False
+            # While the racer waits on the lock: a claimant moves its
+            # v=2 data, links its marker, and dies before the flip.
+            _crashed_v2_marker(spark, table_dir, skip_v1=True)
+            assert V._read_manifest(table_dir)["current"] == 1
+        with real_lock(table_dir):
+            yield
+
+    monkeypatch.setattr(V, "_flip_lock", racing_lock)
+    mutated = {"ran": False}
+
+    def destructive_pre_flip():
+        mutated["ran"] = True
+
+    with pytest.raises(V.ConcurrentWriteError, match="claimed"):
+        V._commit(man2, t, 2, {"base": 1, "add": "v=2"},
+                  df.schema.json(), op="append", rows_written=1,
+                  pre_flip=destructive_pre_flip)
+    assert not mutated["ran"], \
+        "pre_flip ran against a claimed version's data dir"
+    # Roll-forward completes the claimant's commit over the
+    # claimant's OWN data — nothing was rebuilt underneath it.
+    V._roll_forward(t)
     assert V._read_manifest(t)["current"] == 2
     assert sorted(tuple(r) for r in V.read_version(spark, t).collect()) \
         == [(1, "a"), (2, "b")]
