@@ -60,6 +60,39 @@ def fresh_work_dir(name: str, key: str) -> str:
     return path
 
 
+# Generated scale datasets (tools/make_scale_data.py) live under the
+# work root as sf<factor>/ dirs.  Retention policy: ONLY these may
+# persist between sessions — they are regenerate-on-demand artifacts
+# (sf1.0 rebuilds in ~1 min, sf3.0 in ~3; the generator is
+# deterministic, so deleting them loses nothing), kept only because
+# the per-round scale curve re-measures against them.  Anything else
+# matching sf* is debris and prune_scale_data() sweeps it.  The
+# hygiene suite (tests/test_workdir_hygiene.py) pins the bound.
+SCALE_DATA_KEEP = ("sf1.0", "sf3.0")
+
+
+def scale_data_dirs() -> list[str]:
+    """The sf*/ dataset dirs currently present under the work root."""
+    root = work_root()
+    return sorted(d for d in os.listdir(root)
+                  if d.startswith("sf")
+                  and os.path.isdir(os.path.join(root, d)))
+
+
+def prune_scale_data() -> list[str]:
+    """Remove generated scale-data dirs outside SCALE_DATA_KEEP;
+    returns what was removed.  Safe by construction: only dirs named
+    sf* directly under the uid-scoped work root are candidates, and
+    every one is a deterministic regenerate-on-demand artifact."""
+    removed = []
+    root = work_root()
+    for d in scale_data_dirs():
+        if d not in SCALE_DATA_KEEP:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def package_zip() -> str:
     """Zip of this package for ``addPyFile``, CONTENT-KEYED and built
     at most once per package version per uid.

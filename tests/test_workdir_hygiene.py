@@ -131,3 +131,28 @@ def test_package_zip_content_keyed_and_deterministic():
         # zeroed timestamps: determinism across rebuilds
         assert all(zi.date_time == (1980, 1, 1, 0, 0, 0)
                    for zi in zf.infolist())
+
+
+def test_scale_data_dirs_bounded_by_keep_list():
+    """Retention for generated scale datasets (round-8 verdict item):
+    the only sf*/ dirs allowed to persist under the work root are the
+    explicit SCALE_DATA_KEEP list — regenerate-on-demand artifacts the
+    per-round scale curve measures against (tools/make_scale_data.py
+    rebuilds sf1.0 in ~1 min, deterministically).  prune_scale_data()
+    sweeps anything else, and this law keeps the tree enumerable."""
+    import shutil
+
+    from etl_dados_ibge_sp_spark.workdirs import (SCALE_DATA_KEEP,
+                                                  prune_scale_data,
+                                                  scale_data_dirs)
+
+    # Plant debris, prove the pruner removes exactly it.
+    debris = os.path.join(work_root(), "sf99.9")
+    os.makedirs(debris, exist_ok=True)
+    try:
+        removed = prune_scale_data()
+        assert "sf99.9" in removed
+        assert not os.path.exists(debris)
+        assert set(scale_data_dirs()) <= set(SCALE_DATA_KEEP)
+    finally:
+        shutil.rmtree(debris, ignore_errors=True)
