@@ -882,3 +882,47 @@ def test_round7_extension_admits_and_holds_5_round_bound():
     assert first_green["boilerplate_lines"] <= 9
     assert first_green["gated0"] == 7 and first_green["gated1"] == 7
     assert max_gap <= 5, f"bound broken: a query went {max_gap} rounds"
+
+
+def test_real_history_never_breaches_staleness_bound():
+    """Standing invariant on the REAL verification history (not a
+    simulation): given the CORRECTNESS_r*.json files actually in the
+    repo, (a) every query at the staleness-bound edge fits inside this
+    round's 50-row budget — i.e. the class-0 population can never
+    outgrow the budget without this test failing first — and (b) if
+    the driver runs the first 50 rows of today's order, no registered
+    query's staleness exceeds the documented bound afterwards.  The
+    random-history and cohort-drain tests above prove the mechanism;
+    this one proves the mechanism applies to the repo's actual state,
+    so a round that silently skews the history (e.g. registering a
+    large tranche without re-simulating) trips here before the driver
+    would breach the bound."""
+    from etl_dados_ibge_sp_spark.registry import (
+        REGISTRY, _green_history, _load_extensions, _order, _stale_bound)
+
+    _load_extensions()
+    last_green, cur = _green_history()
+    bound = _stale_bound(cur)
+    names = list(REGISTRY)
+    assert len(names) <= bound * RP.DRIVER_ROW_BUDGET, \
+        "registry outgrew the rotation capacity N <= bound*budget"
+
+    order = _order(names, last_green, cur)
+    budget = set(order[:RP.DRIVER_ROW_BUDGET])
+    at_edge = [n for n in names
+               if last_green.get(n) is not None
+               and last_green[n] <= cur - bound]
+    # (a) the about-to-breach set fits in (and therefore heads) the
+    # budget — _order puts class 0 strictly first.
+    assert len(at_edge) <= RP.DRIVER_ROW_BUDGET
+    assert all(n in budget for n in at_edge), \
+        f"bound-edge rows outside this round's budget: " \
+        f"{sorted(set(at_edge) - budget)[:5]}"
+    # (b) after this round's budget greens, nothing verified breaches.
+    for n in names:
+        g = last_green.get(n)
+        if g is None or n in budget:
+            continue
+        assert (cur + 1) - g <= bound, \
+            f"{n} (last green r{g}) would exceed the {bound}-round " \
+            f"bound after round {cur}"
