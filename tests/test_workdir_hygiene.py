@@ -66,11 +66,29 @@ def test_routed_queries_reuse_one_dir_per_site(spark):
     retired-prefix dirs and exactly ONE work-root entry per
     (site, sf) — the deterministic name, reused, never a second dir.
     (Other sf keys may legitimately hold their own dir from other
-    runs, so the pin is on this sf's tag, not the site prefix.)"""
+    runs, so the pin is on this sf's tag, not the site prefix.)
+
+    Since the round-8 concurrency fix, ``_events_stream`` keys its
+    staging dir per CALL SITE (``events_stream_<label>_<tag>``) so two
+    live streams can't rmtree each other's symlink dir — the bound is
+    therefore one dir per (label, sf), with labels drawn from the
+    enumerable call sites in streaming/windowed.py, still never one
+    per invocation."""
     import hashlib
+    import re
 
     from etl_dados_ibge_sp_spark import registry_ext2 as r2
     from etl_dados_ibge_sp_spark.streaming import windowed as W
+
+    # The closed set of _events_stream call-site labels (grep the
+    # source so a new call site extends the bound automatically
+    # rather than silently widening it).
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "etl_dados_ibge_sp_spark", "streaming",
+                            "windowed.py")).read()
+    labels = set(re.findall(r'_events_stream\(spark, sf_dir,\s*"(\w+)"',
+                            src)) | {"events"}  # the default label
+    assert len(labels) <= 16, "call-site label set should stay small"
 
     tag = hashlib.md5(SF.encode()).hexdigest()[:12]
     before_retired = _retired_count()
@@ -80,10 +98,18 @@ def test_routed_queries_reuse_one_dir_per_site(spark):
         r2.q_text_source_roundtrip(spark, SF).collect()
         W._events_stream(spark, SF)     # the 1,035-orphan site
         after = _work_entries()
-        for site in ["orc_rt", "jsonl_rt", "text_rt", "events_stream"]:
+        for site in ["orc_rt", "jsonl_rt", "text_rt"]:
             hits = {e for e in after if e.startswith(site + "_")
                     and e.endswith(tag)}
             assert hits == {f"{site}_{tag}"}
+        stream_hits = {e for e in after
+                       if e.startswith("events_stream_")
+                       and e.endswith(tag)}
+        assert f"events_stream_events_{tag}" in stream_hits
+        assert stream_hits <= {f"events_stream_{lb}_{tag}"
+                               for lb in labels}, \
+            f"unexpected stream staging dirs: " \
+            f"{sorted(stream_hits)[:5]} vs labels {sorted(labels)}"
     assert _retired_count() == before_retired
 
 
