@@ -391,7 +391,21 @@ def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
     from ..session import default_shuffle_partitions
     pairs = cand.repartition(default_shuffle_partitions(),
                              "new_id", "old_id")
-    scored = (pairs.join(arr_n, "new_id").join(arr_w, "old_id")
+    # The shingle-array sides must join by SHUFFLE, never broadcast:
+    # both scale with the data (arr_w is O(corpus); arr_n is O(batch),
+    # and a nightly batch at 100 TB is itself TBs), while Catalyst's
+    # width estimate for the shingle-array projection is the scan's
+    # string stats — it cannot see the ~text-length× array expansion,
+    # so the static planner sizes both sides under the broadcast
+    # threshold and picks BroadcastHashJoin.  Measured at the 100×
+    # curve point (sf10.0): the warehouse-side BroadcastExchange build
+    # OOMs the driver ("Not enough memory to build and broadcast"),
+    # the exact failure a fixed-size driver hits first at cluster
+    # scale.  The merge hint pins SMJ: keys ride the explicit pair
+    # repartition, and at cluster scale the stored per-doc shingle
+    # table is bucketed by id, making the sort side shuffle-free.
+    scored = (pairs.join(arr_n.hint("merge"), "new_id")
+              .join(arr_w.hint("merge"), "old_id")
               .select("new_id", "old_id",
                       F.size(F.array_intersect("__sn", "__sw"))
                        .alias("__i"),

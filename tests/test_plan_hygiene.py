@@ -74,7 +74,17 @@ def test_physical_plan_hygiene(name, spark, sf_dir):
 # ----------------------------------------------------------------------
 
 _MAX_SHUFFLES = {
-    "dedup_incremental_load": 10,
+    # 10 -> 16 in round 9: the exact-recheck joins now pin SMJ via
+    # merge hints (operators/dedup.py incremental_neardup_verdict) —
+    # the sf10.0 curve point measured the old auto-broadcast of the
+    # shingle-array sides OOM-ing the driver (arr_w is O(corpus)).
+    # The extra exchanges move skinny pair rows and each per-doc
+    # array once; the removed broadcasts moved the whole corpus's
+    # arrays to every executor.  14 in a fresh session; 16 when the
+    # session-memoized warehouse-signature cache is materialized and
+    # the InMemoryRelation substitution re-shapes the subtree (the
+    # fuzzy_join_names_k2 effect below) — the pin is the worst case.
+    "dedup_incremental_load": 16,
     "dedup_containment": 11,
     "bloom_filter_join": 2,
     "weighted_median_value": 3,

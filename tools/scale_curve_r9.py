@@ -145,14 +145,19 @@ def verify_identity(spark, sf_dir: str) -> dict:
 
     corpus = _semdedup_corpus(spark, sf_dir)
     k = auto_semdedup_k(corpus)
-    kept_f = semantic_dedup(
+    # Materialize each kept set BEFORE the next semantic_dedup call:
+    # its entry-time pin eviction unpersists the PRIOR call's
+    # assignment caches, so an uncollected prior result regresses to
+    # the documented per-pair lineage-recompute shape (the operator's
+    # single-threaded contract).
+    ids_f = sorted(r[0] for r in semantic_dedup(
         corpus, threshold=0.9999, k=8,
-        centroids=kmeans_fit(corpus, k=8, n_iter=3)).select("vec_id")
-    kept_a = semantic_dedup(
+        centroids=kmeans_fit(corpus, k=8, n_iter=3))
+        .select("vec_id").collect())
+    ids_a = sorted(r[0] for r in semantic_dedup(
         corpus, threshold=0.9999, k=k,
-        centroids=kmeans_fit(corpus, k=k, n_iter=3)).select("vec_id")
-    ids_f = sorted(r[0] for r in kept_f.collect())
-    ids_a = sorted(r[0] for r in kept_a.collect())
+        centroids=kmeans_fit(corpus, k=k, n_iter=3))
+        .select("vec_id").collect())
     return {"neardup_identical": nd_same, "neardup_pairs": len(rows_f),
             "semdedup_kept_identical": ids_f == ids_a,
             "semdedup_kept": len(ids_f), "auto_k": k}
