@@ -211,3 +211,51 @@ def test_fuzzy_join_k2_fresh_session_plan_pinned(spark, sf_dir):
         f"fuzzy_join_names_k2: {shuffles} shuffles in the "
         f"fresh-session plan, audited bound is 4 — a regression "
         f"added an Exchange; see PLANS.md\n{plan[:2000]}")
+
+
+def test_incremental_recheck_never_broadcasts_array_sides(spark, sf_dir):
+    """The round-9 sf10.0 finding, pinned as a law: the exact-recheck
+    joins in incremental_neardup_verdict must be SORT-MERGE, never
+    broadcast.  Catalyst sizes the shingle-array projection from the
+    scan's STRING stats — blind to the ~text-length× array expansion —
+    so absent the merge hints the static planner broadcasts both
+    sides, including the O(corpus) warehouse one, and the exchange
+    build OOMs the driver at the 100× curve point (BENCH_sf1.json →
+    round9_sf10).  The hint makes the shape deterministic, so this pin
+    cannot flap: if a refactor drops the hints, the small-SF plan
+    reverts to broadcast and this fails long before any scale run."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.operators.dedup import (
+        incremental_neardup_verdict)
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nb = docs.filter(F.col("doc_id") % 7 == 0)
+    wh = docs.filter(F.col("doc_id") % 7 != 0)
+    df = incremental_neardup_verdict(nb, wh, threshold=0.8,
+                                     max_bucket=500)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # Both recheck joins SMJ: >= 3 SortMergeJoins total (2 recheck +
+    # the final left-outer verdict join), and no BroadcastExchange
+    # may carry a shingle-array column (__sn / __sw).  The band-key
+    # join staying broadcast at small SF is fine — its build side is
+    # skinny posexploded strings whose size estimate is off by a
+    # BOUNDED factor (~n_bands x), so the planner demotes it to
+    # shuffle as it grows; the array projection's estimate is off
+    # UNBOUNDEDLY (string stats vs text-length x expansion), which is
+    # why those two sides alone must be hint-pinned.
+    assert len(re.findall(r"SortMergeJoin", plan)) >= 3, plan[:2000]
+    bad = re.findall(
+        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[[^\]]*__s[nw]",
+        plan)
+    assert not bad, (
+        "a shingle-array side reverted to broadcast — the shape that "
+        "OOMs at the 100x point:\n" + plan[:2000])
