@@ -1850,6 +1850,14 @@ PENDING_GATED: list[tuple[int, str, str,
     (7, "vtable_sink_roundtrip", _VSINK_SQL, _q_vtable_sink_roundtrip),
 ]
 
+# Tenth tranche (authored round 9, gated to round 10 — the round-9
+# budget is exactly full, so these must not displace its rotation;
+# the round-10 slack is 5*50 - 201 = 49 and the drain simulation in
+# tests/test_pending_r10.py covers the admission).
+from .registry_pending10 import PENDING10_GATED  # noqa: E402
+
+PENDING_GATED.extend(PENDING10_GATED)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable],
