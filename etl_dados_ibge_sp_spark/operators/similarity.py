@@ -331,6 +331,45 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 3,
     return centroids
 
 
+def kmeans_fit_sampled(emb: DataFrame, k: int = 8, n_iter: int = 3,
+                       sample_target: int = 4096,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[float]]:
+    """`kmeans_fit` on a DETERMINISTIC hash sample — the ingest-time
+    fit for corpora where the full O(n·k·d) iterations are the
+    bottleneck (the sf10.0 curve measured the full fit sub-linear but
+    dominant: 76.6 s of the auto-k SemDeDup wall at 100×;
+    `BENCH_sf1.json` → `round9_sf10`).
+
+    The sample is ``xxhash64(id) % m == 0`` with ``m = n //
+    sample_target`` — a pure function of the ids, so the fit is
+    reproducible across runs and partitionings (re-running ingest
+    yields bit-identical centroids, unlike ``rand()`` sampling), and
+    the filter pushes into the scan (no shuffle; the sample never
+    materializes as a separate table).  Cost drops from O(n·k·d·iters)
+    to O(sample_target·k·d·iters) + one count; downstream assignment
+    still sees the full corpus, so `semantic_dedup` / IVF semantics
+    are unchanged — only the quantizer's training set shrinks.
+    k-means on a uniform sample converges to the same local structure
+    when every cluster is represented (sample_target ≫ k); the
+    planted-fixture law in tests/test_semantic_dedup.py pins the
+    strongest version of that claim (identical kept set).  Falls back
+    to the full fit when the corpus (or the sample) is small enough
+    that sampling buys nothing."""
+    n = emb.count()
+    m = max(1, n // max(sample_target, k))
+    if m <= 1:
+        return kmeans_fit(emb, k=k, n_iter=n_iter,
+                          id_col=id_col, vec_col=vec_col)
+    sample = emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    if sample.count() < k:  # degenerate sample: train on everything
+        return kmeans_fit(emb, k=k, n_iter=n_iter,
+                          id_col=id_col, vec_col=vec_col)
+    return kmeans_fit(sample, k=k, n_iter=n_iter,
+                      id_col=id_col, vec_col=vec_col)
+
+
 def ann_ivf_topk(emb: DataFrame, query: DataFrame, k: int,
                  centroids: list[list[float]], nprobe: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -325,3 +325,58 @@ def test_exact_duplicate_verdicts_k_invariant(spark):
     assert kept_by_k[2] == kept_by_k[8] == kept_by_k[16]
     assert len(kept_by_k[8]) == n_orig          # every copy dropped
     assert max(kept_by_k[8]) < 1000000          # ...and none kept
+
+
+def test_sampled_fit_deterministic_and_result_identical(spark):
+    """The prose claim 'at extreme scale, fit on a deterministic
+    sample' is now code: kmeans_fit_sampled trains the quantizer on an
+    xxhash-selected subset (a pure function of the ids — bit-identical
+    across runs and partitionings), and on the registered query's own
+    planted fixture semantic_dedup with the sampled-fit centroids
+    keeps EXACTLY the set the full fit keeps.  The sample size is
+    forced small enough here (target 64 of ~2.2k vectors) that the
+    law exercises real sampling, not the small-corpus fallback."""
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        kmeans_fit, kmeans_fit_sampled, semantic_dedup)
+    from etl_dados_ibge_sp_spark.registry_ext import planted_clusters
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+    from pyspark.sql import functions as F
+
+    pl = planted_clusters(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    copies = pl.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"))
+    corpus = pl.unionByName(copies)
+
+    n = corpus.count()
+    cents_a = kmeans_fit_sampled(corpus, k=8, sample_target=64)
+    cents_b = kmeans_fit_sampled(corpus, k=8, sample_target=64)
+    assert cents_a == cents_b                    # deterministic
+    assert n // 64 > 1, "fixture too small to exercise sampling"
+
+    # Identical kept set vs the full fit (the planted centers are the
+    # unique attractor: every cluster is represented in the sample, so
+    # both fits converge to the same assignment structure).
+    kept_sampled = sorted(
+        r.vec_id for r in semantic_dedup(
+            corpus, threshold=0.9999, k=8, centroids=cents_a).collect())
+    kept_full = sorted(
+        r.vec_id for r in semantic_dedup(
+            corpus, threshold=0.9999, k=8,
+            centroids=kmeans_fit(corpus, k=8)).collect())
+    assert kept_sampled == kept_full
+    assert len(kept_sampled) == pl.count()
+
+
+def test_sampled_fit_falls_back_when_small(spark):
+    """Below the sample target (or when the sample would undercut k)
+    the sampled fit must equal the full fit exactly — no silent
+    quality cliff on small corpora."""
+    from etl_dados_ibge_sp_spark.operators.similarity import (
+        kmeans_fit, kmeans_fit_sampled)
+
+    emb = _planted(spark)
+    assert kmeans_fit_sampled(emb, k=2, n_iter=2,
+                              sample_target=4096) \
+        == kmeans_fit(emb, k=2, n_iter=2)
