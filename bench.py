@@ -240,6 +240,17 @@ def main() -> None:
             "movement sits inside this measured +-5% pass-to-pass "
             "envelope — host noise the scan-bound host_factor point "
             "calibration under-corrects; benign/external",
+            "round-9 watch item: countmin_user_events flagged in all "
+            "three r9 full runs (1.98/1.76/1.77x at host 1.24/1.19/"
+            "1.15) AND read 1.31x in the driver's clean-host r8 run — "
+            "its plan is byte-identical to the PLANS.md pin across "
+            "both rounds (shuffles=3, broadcast_joins=1, unchanged in "
+            "the r9 regen), so this is a stale-FAST pin (0.899 s from "
+            "an early-round fast-host moment) on a 1.2 s-class query, "
+            "not a regression.  The pin stays (append-only "
+            "discipline); re-pin only from an in-suite min-of-3 at "
+            "host_factor ~1.0 with the plan diff attached, per the "
+            "r06 re-pin precedent",
         ],
         "queries": timings,
         "baseline_delta": deltas,
