@@ -347,7 +347,12 @@ def kmeans_fit_sampled(emb: DataFrame, k: int = 8, n_iter: int = 3,
     yields bit-identical centroids, unlike ``rand()`` sampling), and
     the filter pushes into the scan (no shuffle; the sample never
     materializes as a separate table).  Cost drops from O(n·k·d·iters)
-    to O(sample_target·k·d·iters) + one count; downstream assignment
+    to O(sample_target·k·d·iters) + two counts (the corpus count that
+    sizes ``m`` and the degenerate-sample guard below — both
+    metadata-cheap on parquet); because ``m = n // sample_target``
+    floors, the realized sample can overshoot ``sample_target`` by up
+    to ~2× (n/m < 2·sample_target), which only tightens the fit.
+    Downstream assignment
     still sees the full corpus, so `semantic_dedup` / IVF semantics
     are unchanged — only the quantizer's training set shrinks.
     k-means on a uniform sample converges to the same local structure

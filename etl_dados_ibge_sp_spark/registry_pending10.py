@@ -11,8 +11,10 @@ question users actually ship on: *did any of them cross a split?*
   column at ingest.  (At petabyte scale with arbitrary ids the same
   shape runs on `xxhash64`; the closed-form constant is what keeps
   the DuckDB oracle exact — same trade as the pinned n_bits/k in the
-  dedup family.  Spark's bigint multiply bounds doc_id < 2³³ before
-  ANSI overflow; the testdata ids are far inside.)
+  dedup family.  Spark's bigint multiply bounds doc_id <
+  2⁶³/2654435761 ≈ 3.46e9 (~2³¹·⁷) before ANSI overflow — the same
+  bound DuckDB's BIGINT enforces; the testdata ids are far inside,
+  and ids beyond it would take the xxhash64 form anyway.)
 * **N-gram novelty** — per arriving doc (the ``doc_id % 7`` arrival
   convention of `dedup_incremental_load`), the fraction of its
   distinct word-trigrams absent from the warehouse: the

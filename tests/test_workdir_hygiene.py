@@ -83,9 +83,10 @@ def test_routed_queries_reuse_one_dir_per_site(spark):
     # The closed set of _events_stream call-site labels (grep the
     # source so a new call site extends the bound automatically
     # rather than silently widening it).
-    src = open(os.path.join(os.path.dirname(__file__), "..",
-                            "etl_dados_ibge_sp_spark", "streaming",
-                            "windowed.py")).read()
+    from pathlib import Path
+    src = Path(os.path.dirname(__file__), "..",
+               "etl_dados_ibge_sp_spark", "streaming",
+               "windowed.py").read_text()
     labels = set(re.findall(r'_events_stream\(spark, sf_dir,\s*"(\w+)"',
                             src)) | {"events"}  # the default label
     assert len(labels) <= 16, "call-site label set should stay small"
