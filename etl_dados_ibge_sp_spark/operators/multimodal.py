@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed in Arrow batches.
 
-General codecs would call PIL / librosa / pyav — none of which exist
-in this container — so that path is stubbed (:func:`decode_stub`
-derives deterministic fake metadata from the payload's md5;
-:func:`decode_real` raises ``NotImplementedError`` until a codec
-library is installed).  Three REAL numpy-only codecs exercise the
-same plumbing end-to-end: P6-PPM images (:func:`decode_ppm`),
-RIFF/WAV 16-bit PCM audio (:func:`decode_wav`), and RIFF/AVI
-uncompressed 24-bit video (:func:`decode_avi`, with true
-sampled-frames-only decode in :func:`frame_sample_avi`).  Everything
+Wide-format codecs would call PIL / librosa / pyav — none of which
+exist in this container — and :func:`decode_stub` keeps that
+swap-in shape with a deterministic fake kernel.  Four REAL
+stdlib+numpy codecs exercise the same plumbing end-to-end: baseline
+PNG (:func:`decode_png` — zlib inflate, CRC-checked chunks, full
+five-filter unfiltering: a genuinely *compressed* format), P6-PPM
+images (:func:`decode_ppm`), RIFF/WAV 16-bit PCM audio
+(:func:`decode_wav`), and RIFF/AVI uncompressed 24-bit video
+(:func:`decode_avi`, with true sampled-frames-only decode in
+:func:`frame_sample_avi`).  :func:`decode_real` dispatches on magic
+bytes across all four — one Arrow-batched pass over a mixed-format
+corpus.  Everything
 Spark-side is real and tested: binary schema, Arrow batch transfer
 (``mapInPandas``), batch-shaped UDF signature, partition-preserving
 narrow execution.
@@ -641,11 +644,275 @@ def frame_sample_avi(df: DataFrame, every: int = 2,
         samp, schema=AVI_FRAME_SCHEMA)
 
 
-def decode_real(df: DataFrame, **_kwargs) -> DataFrame:
-    """General codec path — requires an image/audio library that is
-    not installed in this environment.  For headerless raster formats
-    see :func:`decode_ppm`, a real numpy-only decoder."""
-    raise NotImplementedError(
-        "media codecs (PIL/librosa/pyav) are not available in this "
-        "container; use decode_ppm (real, numpy-only P6 parser) or "
-        "decode_stub, which exercise the identical Spark plumbing")
+PNG_SIDE = 8
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(df: DataFrame, id_col: str = "doc_id",
+               out_col: str = "payload") -> DataFrame:
+    """Arrow-batched *real PNG* encoder: the same deterministic 8×8
+    RGB raster as :func:`encode_ppm` (pixel (r, c) channel k =
+    ``(doc_id*31 + r*7 + c*3 + k*11) % 256`` — so the PPM closed-form
+    oracle transfers verbatim), written as a spec-conforming baseline
+    PNG: signature, IHDR (8-bit truecolor, no interlace), one
+    zlib-compressed IDAT, IEND, every chunk CRC32-protected.  Scanline
+    ``r`` uses filter type ``r % 5``, so one image exercises ALL five
+    PNG filters (None/Sub/Up/Average/Paeth) — the decoder cannot pass
+    the roundtrip oracle without a complete filter implementation.
+    Unlike the PPM/WAV/AVI family this payload is genuinely
+    *compressed* — the decode path is a real codec, not a header walk.
+    """
+    side = PNG_SIDE
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+        r = _np.arange(side).reshape(side, 1, 1)
+        c = _np.arange(side).reshape(1, side, 1)
+        k = _np.arange(3).reshape(1, 1, 3)
+        ihdr = _png_chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", side, side, 8, 2, 0, 0, 0))
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                px = ((int(i) * 31 + r * 7 + c * 3 + k * 11) % 256) \
+                    .astype(_np.int64)
+                rows = px.reshape(side, side * 3)
+                prior = _np.zeros(side * 3, dtype=_np.int64)
+                out = bytearray()
+                for rr in range(side):
+                    raw = rows[rr]
+                    left = _np.concatenate(
+                        [_np.zeros(3, dtype=_np.int64), raw[:-3]])
+                    upleft = _np.concatenate(
+                        [_np.zeros(3, dtype=_np.int64), prior[:-3]])
+                    ft = rr % 5
+                    if ft == 0:
+                        enc_row = raw
+                    elif ft == 1:
+                        enc_row = raw - left
+                    elif ft == 2:
+                        enc_row = raw - prior
+                    elif ft == 3:
+                        enc_row = raw - (left + prior) // 2
+                    else:  # Paeth
+                        p = left + prior - upleft
+                        pa = _np.abs(p - left)
+                        pb = _np.abs(p - prior)
+                        pc = _np.abs(p - upleft)
+                        pred = _np.where(
+                            (pa <= pb) & (pa <= pc), left,
+                            _np.where(pb <= pc, prior, upleft))
+                        enc_row = raw - pred
+                    out.append(ft)
+                    out += (enc_row % 256).astype(_np.uint8).tobytes()
+                    prior = raw
+                idat = _png_chunk(b"IDAT", _zlib.compress(bytes(out)))
+                payloads.append(_PNG_SIG + ihdr + idat
+                                + _png_chunk(b"IEND", b""))
+            yield _pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                 out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        enc, schema=f"{id_col} bigint, {out_col} binary")
+
+
+def _png_rgb8(b: bytes):
+    """Baseline-PNG decoder (stdlib + numpy): signature check, chunk
+    walk with per-chunk CRC32 verification, IHDR validation (8-bit
+    truecolor, non-interlaced), IDAT concatenation + zlib inflate,
+    and full scanline UNfiltering — all five filter types with the
+    spec's reconstruction functions, including the Paeth predictor.
+    Returns ``(width, height, uint8 ndarray h×w×3)``."""
+    import struct
+    import zlib
+
+    import numpy as np
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(
+            ">I", b[pos + 8 + clen:pos + 12 + clen])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, ilace = \
+                struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, ilace) != (8, 2, 0):
+                raise ValueError("only 8-bit truecolor "
+                                 "non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=r * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prior) % 256
+        elif ft in (1, 3, 4):
+            # Left-dependent reconstructions are inherently
+            # sequential in x; the rows are short (w·3 bytes).
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                up = prior[x]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    c = prior[x - 3] if x >= 3 else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc \
+                        else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = rec
+        prior = rec
+    return w, h, out.astype(np.uint8).reshape(h, w, 3)
+
+
+def decode_png(df: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL *compressed*-image decode: full baseline-PNG
+    parse (:func:`_png_rgb8` — CRC-checked chunk walk, zlib inflate,
+    all-five-filter unfiltering) to per-channel pixel sums, the same
+    output contract as :func:`decode_ppm`.  Retires the engine's last
+    codec placeholder: binary in, typed stats out, Arrow batches,
+    narrow, no shuffle."""
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _png_rgb8(bytes(b))
+                sums = px.sum(axis=(0, 1), dtype=_np.int64)
+                rows.append((int(i), w, h,
+                             int(sums[0]), int(sums[1]), int(sums[2])))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "sum_r", "sum_g", "sum_b"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        dec, schema=PPM_SCHEMA)
+
+
+REAL_SCHEMA = ("doc_id bigint, format string, width bigint, "
+               "height bigint, n_units bigint, "
+               "s0 bigint, s1 bigint, s2 bigint")
+
+
+def decode_real(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """General decode over a MIXED-format binary column — the shape a
+    real media lakehouse needs, where one corpus carries many
+    containers.  Per-row magic-byte dispatch to the engine's four real
+    codecs (PNG / P6-PPM / RIFF-WAVE / RIFF-AVI), emitting one unified
+    row per payload: images report (width, height, n_units=1, channel
+    sums), video reports (width, height, n_frames, channel sums over
+    all frames), audio reports (sample_rate, n_channels, n_samples,
+    sum_amp / sum_sq / peak) in the same slots.  Unknown magics raise
+    — silent nulls would hide corpus corruption.  One Arrow-batched
+    ``mapInPandas``, narrow, no shuffle: at 100 TB the dispatch is
+    per-row inside the batch, so mixed corpora never need a
+    per-format repartition."""
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                if b[:8] == _PNG_SIG:
+                    w, h, px = _png_rgb8(b)
+                    s = px.sum(axis=(0, 1), dtype=_np.int64)
+                    rows.append((int(i), "png", w, h, 1,
+                                 int(s[0]), int(s[1]), int(s[2])))
+                elif b[:2] == b"P6":
+                    import re as _re
+                    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+                    if not m:
+                        raise ValueError("malformed P6 header")
+                    w, h = int(m.group(1)), int(m.group(2))
+                    px = _np.frombuffer(
+                        b, dtype=_np.uint8, offset=m.end(),
+                        count=w * h * 3).reshape(h, w, 3)
+                    s = px.sum(axis=(0, 1), dtype=_np.int64)
+                    rows.append((int(i), "ppm", w, h, 1,
+                                 int(s[0]), int(s[1]), int(s[2])))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    pos, fmt, data = 12, None, None
+                    while pos + 8 <= len(b):
+                        cid = b[pos:pos + 4]
+                        (clen,) = _struct.unpack(
+                            "<I", b[pos + 4:pos + 8])
+                        body = b[pos + 8:pos + 8 + clen]
+                        if cid == b"fmt ":
+                            fmt = _struct.unpack("<HHIIHH", body[:16])
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + clen + (clen & 1)
+                    if fmt is None or data is None:
+                        raise ValueError("missing fmt or data chunk")
+                    afmt, n_ch, rate, _br, _bl, bits = fmt
+                    if afmt != 1 or bits != 16:
+                        raise ValueError("only 16-bit PCM supported")
+                    amp = _np.frombuffer(
+                        data, dtype="<i2").astype(_np.int64)
+                    rows.append((int(i), "wav", rate, n_ch,
+                                 len(amp) // n_ch, int(amp.sum()),
+                                 int((amp * amp).sum()),
+                                 int(_np.abs(amp).max())
+                                 if len(amp) else 0))
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    w, h, frames = _parse_avi(b)
+                    tot = _np.zeros(3, dtype=_np.int64)
+                    for span in frames:
+                        tot += _dib_rgb(b, span, w, h).sum(
+                            axis=(0, 1), dtype=_np.int64)
+                    rows.append((int(i), "avi", w, h, len(frames),
+                                 int(tot[0]), int(tot[1]),
+                                 int(tot[2])))
+                else:
+                    raise ValueError(
+                        f"unrecognized media magic {b[:8]!r}")
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "format", "width", "height",
+                               "n_units", "s0", "s1", "s2"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        dec, schema=REAL_SCHEMA)

@@ -147,17 +147,31 @@ FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id
 """
 
 
-def _q_split_leakage_pairs(spark: SparkSession,
-                           sf_dir: str) -> DataFrame:
+def leakage_pairs(spark: SparkSession, sf_dir: str,
+                  candidates: str = "inverted") -> DataFrame:
     """Train/test contamination report: trigram-Jaccard ≥ 0.8 near-dup
-    pairs that straddle splits.  Same df-pruned inverted index as
+    pairs that straddle splits, with a selectable candidate-discovery
+    strategy (the verdict join — exact Jaccard on the df-pruned
+    shingle sets — is IDENTICAL in both):
+
+    ``candidates="inverted"`` — the df-pruned inverted index of
     `dedup_containment` (posting lists > 50 docs dropped before the
     pair join — fan-out bounded by maxdf² per gram, sizes measured on
-    the same pruned set the intersection uses); the split columns ride
-    two skinny (id, split) joins.  At 100 TB substitute the
-    LSH-banded candidates for the inverted-index pair join — the
-    leakage verdict is unchanged."""
-    from .operators.dedup import word_shingles
+    the same pruned set the intersection uses).  Exact: every
+    qualifying pair is found.  The registered query uses this path so
+    the DuckDB oracle stays closed-form.
+
+    ``candidates="lsh"`` — the 100 TB path the inverted index's
+    docstring promised: MinHash signatures (8 perms) banded 4×2 via
+    `dedup.lsh_candidate_pairs` (hot buckets > 500 docs dropped), so
+    candidate discovery is LINEAR in corpus size; each candidate is
+    then verified with the SAME exact intersection join, so no false
+    positives — only band-miss false negatives, P(miss | J=0.8) =
+    (1−0.8²)⁴ ≈ 1.7 %.  The subset law (lsh ⊆ inverted, identical
+    jaccard values) is pinned in tests/test_pending_r10.py; the
+    sf1/sf3 curve rows live in SCALE.md."""
+    from .operators.dedup import (lsh_candidate_pairs,
+                                  minhash_signature, word_shingles)
 
     docs = load_table(spark, sf_dir, "documents")
     sh0 = word_shingles(docs, "doc_id", "text", n=3)
@@ -167,12 +181,33 @@ def _q_split_leakage_pairs(spark: SparkSession,
             .select("shingle"))
     sh = sh0.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("i")))
+    if candidates == "inverted":
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("i")))
+    elif candidates == "lsh":
+        # Banded discovery over the SAME pruned shingle set the
+        # verdict measures (signatures on the unpruned set would let
+        # a dropped stop-gram shift a signature but not the verdict).
+        cand = lsh_candidate_pairs(
+            minhash_signature(sh, "doc_id", n_hashes=8),
+            "doc_id", rows_per_band=2, max_bucket=500)
+        # Exact intersection per surviving candidate only: the pair
+        # list is skinny (two bigints), the gram lists join it by id
+        # — never an all-pairs gram join.
+        a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+        inter = (cand
+                 .join(a, "id_a").join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("i"))
+                 .select(F.col("id_a").alias("doc_a"),
+                         F.col("id_b").alias("doc_b"), "i"))
+    else:
+        raise ValueError(f"unknown candidate strategy {candidates!r}")
     jac = F.round(
         F.col("i") * F.lit(1.0) /
         (F.col("__sa") + F.col("__sb") - F.col("i")), 6)
@@ -191,6 +226,16 @@ def _q_split_leakage_pairs(spark: SparkSession,
                             F.col("split").alias("split_b")), "doc_b")
             .filter(F.col("split_a") != F.col("split_b"))
             .select("doc_a", "doc_b", "split_a", "split_b", "jaccard"))
+
+
+def _q_split_leakage_pairs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Registered face of :func:`leakage_pairs` — the exact
+    inverted-index candidate path, whose DuckDB oracle is
+    closed-form.  The LSH-banded 100 TB variant is
+    ``leakage_pairs(..., candidates="lsh")`` with its subset law and
+    measured sf1/sf3 curve."""
+    return leakage_pairs(spark, sf_dir, candidates="inverted")
 
 
 _SPLIT_LEAKAGE_SQL = f"""
@@ -226,6 +271,128 @@ WHERE da.split <> db.split
 """
 
 
+def _q_multimodal_png_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL *compressed*-image decode, end to end: a deterministic
+    8×8 RGB raster is written as a spec-conforming baseline PNG
+    (zlib-deflated IDAT, CRC32 on every chunk, scanline filters
+    cycling through all five types) and decoded back with the
+    stdlib+numpy parser (operators/multimodal.decode_png — chunk
+    walk, CRC verification, inflate, full unfiltering).  The pixel
+    formula matches encode_ppm, so the closed-form channel-sum
+    oracle transfers verbatim — but unlike the PPM row this payload
+    round-trips through actual compression and filter prediction,
+    retiring the engine's last codec placeholder.  Both stages are
+    Arrow-batched mapInPandas: narrow, no shuffle, decode throughput
+    scales with executor count."""
+    from .operators.multimodal import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png(encode_png(docs))
+
+
+# Pixel (r, c) channel k is (doc_id*31 + r*7 + c*3 + k*11) % 256 over
+# an 8×8 raster — identical to the PPM oracle (the PNG layer changes
+# the container, not the content).
+_PNG_SQL = """
+WITH px AS (
+    SELECT d.doc_id, r.r, c.c
+    FROM documents d,
+         generate_series(0, 7) r(r),
+         generate_series(0, 7) c(c)
+)
+SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT)
+           AS sum_g,
+       CAST(SUM((doc_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT)
+           AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
+def _q_multimodal_decode_real(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MIXED-format corpus decode — the media-lakehouse reality where
+    one binary column carries many containers.  Each document is
+    encoded into the format its id selects (doc_id % 4 → PNG / PPM /
+    WAV / AVI), the four encoded frames are unioned into one corpus,
+    and ``decode_real`` dispatches per row on magic bytes inside a
+    single Arrow-batched pass — no per-format repartition, no
+    shuffle; every decoded stat matches the per-format closed-form
+    oracle exactly.  At 100 TB the union is simply the ingested
+    table; dispatch cost is O(1) per row against the batch's
+    in-memory bytes."""
+    from .operators.multimodal import (decode_real, encode_avi,
+                                       encode_png, encode_ppm,
+                                       encode_wav)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m4 = F.col("doc_id") % 4
+    mixed = (encode_png(docs.filter(m4 == 0))
+             .unionByName(encode_ppm(docs.filter(m4 == 1)))
+             .unionByName(encode_wav(docs.filter(m4 == 2)))
+             .unionByName(encode_avi(docs.filter(m4 == 3))))
+    return decode_real(mixed)
+
+
+# Unified-schema union of the four codec oracles: images/video carry
+# (width, height, frames, channel sums); audio carries (rate,
+# channels, samples, sum/energy/peak) in the same slots.  Content
+# formulas mirror operators/multimodal.py's encoders literally.
+_DECODE_REAL_SQL = """
+WITH img AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 4 = 0 THEN 'png' ELSE 'ppm' END
+               AS format,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_units,
+           CAST(SUM((d.doc_id * 31 + r.r * 7 + c.c * 3) % 256)
+                AS BIGINT) AS s0,
+           CAST(SUM((d.doc_id * 31 + r.r * 7 + c.c * 3 + 11) % 256)
+                AS BIGINT) AS s1,
+           CAST(SUM((d.doc_id * 31 + r.r * 7 + c.c * 3 + 22) % 256)
+                AS BIGINT) AS s2
+    FROM documents d,
+         generate_series(0, 7) r(r), generate_series(0, 7) c(c)
+    WHERE d.doc_id % 4 IN (0, 1)
+    GROUP BY 1, 2
+), wav AS (
+    SELECT doc_id, 'wav' AS format,
+           CAST(8000 AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+           CAST(64 AS BIGINT) AS n_units,
+           CAST(SUM(amp) AS BIGINT) AS s0,
+           CAST(SUM(amp * amp) AS BIGINT) AS s1,
+           CAST(MAX(ABS(amp)) AS BIGINT) AS s2
+    FROM (
+        SELECT d.doc_id,
+               ((d.doc_id * 37 + t.t * 13) % 65536) - 32768 AS amp
+        FROM documents d, generate_series(0, 63) t(t)
+        WHERE d.doc_id % 4 = 2
+    ) GROUP BY 1
+), avi AS (
+    SELECT doc_id, 'avi' AS format,
+           CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           CAST(doc_id % 4 + 2 AS BIGINT) AS n_units,
+           CAST(SUM(CASE WHEN k = 0 THEN v END) AS BIGINT) AS s0,
+           CAST(SUM(CASE WHEN k = 1 THEN v END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN k = 2 THEN v END) AS BIGINT) AS s2
+    FROM (
+        SELECT d.doc_id, k.k,
+               (d.doc_id * 31 + f.f * 17 + r.r * 7 + c.c * 3
+                + k.k * 11) % 256 AS v
+        FROM documents d,
+             generate_series(0, 5) f(f), generate_series(0, 3) r(r),
+             generate_series(0, 5) c(c), generate_series(0, 2) k(k)
+        WHERE d.doc_id % 4 = 3 AND f.f < d.doc_id % 4 + 2
+    ) GROUP BY 1
+)
+SELECT * FROM img
+UNION ALL SELECT * FROM wav
+UNION ALL SELECT * FROM avi
+"""
+
+
 # (earliest admission round, name, oracle_sql, fn) — consumed by
 # registry_pending.PENDING_GATED.
 PENDING10_GATED: list[tuple[int, str, str,
@@ -236,4 +403,8 @@ PENDING10_GATED: list[tuple[int, str, str,
     (10, "ngram_novelty", _NGRAM_NOVELTY_SQL, _q_ngram_novelty),
     (10, "split_leakage_pairs", _SPLIT_LEAKAGE_SQL,
      _q_split_leakage_pairs),
+    (10, "multimodal_png_roundtrip", _PNG_SQL,
+     _q_multimodal_png_roundtrip),
+    (10, "multimodal_decode_real", _DECODE_REAL_SQL,
+     _q_multimodal_decode_real),
 ]

@@ -17,11 +17,16 @@ GATED10 = {name: (sql, fn) for _minr, name, sql, fn in PENDING10_GATED}
 
 def test_tranche10_is_gated_to_round_10():
     """The round-9 rotation is exactly budget-full (vocab_topk + 49 of
-    the r5 cohort), so these queries must not admit before round 10."""
+    the r5 cohort), so these queries must not admit before round 10.
+    Round 10 widened the tranche in-round with the two PNG-codec
+    queries (same gate — round 10 is current, so they admit with the
+    split family as class-1 rows)."""
     rounds = {name: minr for minr, name, _s, _f in PENDING10_GATED}
     assert rounds == {"split_train_valid_test": 10,
                       "ngram_novelty": 10,
-                      "split_leakage_pairs": 10}
+                      "split_leakage_pairs": 10,
+                      "multimodal_png_roundtrip": 10,
+                      "multimodal_decode_real": 10}
     assert all(name in {n for _m, n, _s, _f in RP.PENDING_GATED}
                for name in rounds)
 
@@ -70,6 +75,40 @@ def test_leakage_pairs_nondegenerate_and_consistent(spark, sf_dir):
         assert r["jaccard"] >= 0.8
 
 
+def test_leakage_lsh_candidates_subset_of_exact(spark, sf_dir):
+    """The 100 TB candidate path: LSH-banded discovery must return a
+    SUBSET of the exact inverted-index result with IDENTICAL jaccard
+    and split values (the verdict join is shared, so false positives
+    are impossible — only band-miss false negatives), and on the
+    planted fixture the deterministic MinHash must in fact recover
+    every pair (the planted near-dups sit far above the 0.8 band
+    threshold, where P(miss) ≈ (1−J²)⁴ is negligible — and the hash
+    is seedless md5, so this is a fixed outcome, not a flaky one)."""
+    from etl_dados_ibge_sp_spark.registry_pending10 import leakage_pairs
+
+    exact = {(r["doc_a"], r["doc_b"]):
+             (r["split_a"], r["split_b"], r["jaccard"])
+             for r in leakage_pairs(spark, sf_dir,
+                                    candidates="inverted").collect()}
+    lsh = {(r["doc_a"], r["doc_b"]):
+           (r["split_a"], r["split_b"], r["jaccard"])
+           for r in leakage_pairs(spark, sf_dir,
+                                  candidates="lsh").collect()}
+    assert set(lsh) <= set(exact)
+    for pair, vals in lsh.items():
+        assert vals == exact[pair]
+    assert lsh == exact, (
+        "planted fixture pairs lost by the banding — recall on "
+        f"high-J fixtures should be total: {set(exact) - set(lsh)}")
+
+
+def test_leakage_unknown_strategy_raises(spark, sf_dir):
+    from etl_dados_ibge_sp_spark.registry_pending10 import leakage_pairs
+
+    with pytest.raises(ValueError, match="unknown candidate strategy"):
+        leakage_pairs(spark, sf_dir, candidates="bogus")
+
+
 def test_novelty_bounds_and_batch_scope(spark, sf_dir):
     """novelty ∈ [0, 1], n_novel <= n_grams, and only arrival-batch
     docs (doc_id % 7 == 0, >= 3 tokens) appear."""
@@ -103,7 +142,8 @@ def test_round10_admission_holds_5_round_bound():
                   | {f"g{i}": 7 for i in range(50)}
                   | {f"h{i}": 8 for i in range(50)}
                   | {f"i{i}": 9 for i in range(50)})
-    gated = [(10, n) for n in ("t10a", "t10b", "t10c")]
+    gated = [(10, n)
+             for n in ("t10a", "t10b", "t10c", "t10d", "t10e")]
 
     cur, max_gap = 10, 0
     first_green: dict[str, int] = {}
@@ -125,7 +165,6 @@ def test_round10_admission_holds_5_round_bound():
         cur += 1
 
     assert not gated, "a gated query never admitted"
-    assert first_green["t10a"] == 10
-    assert first_green["t10b"] == 10
-    assert first_green["t10c"] == 10
+    for q in ("t10a", "t10b", "t10c", "t10d", "t10e"):
+        assert first_green[q] == 10
     assert max_gap <= 5, f"bound broken: a query went {max_gap} rounds"
