@@ -350,35 +350,58 @@ def fuzzy_join_qgrams(left: DataFrame, right: DataFrame,
     )
 
 
-def _deletion_keys(col: str) -> "F.Column":
-    """``array_distinct([s] ++ [s with char i deleted for each i])``.
-    Index 0 of the sequence stands for "no deletion" so the sequence is
-    ``0..length`` and never descends (empty strings included)."""
-    c = F.col(col)
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.length(c)),
-        lambda i: F.when(i == 0, c).otherwise(
-            F.concat(F.substring(c, F.lit(1), i - 1),
-                     F.substring(c, i + 1, F.lit(2147483647)))),
-    ))
+def _delete_at(s: "F.Column", i: "F.Column") -> "F.Column":
+    """``s`` with the character at 1-based position ``i`` removed;
+    ``i == 0`` (and any ``i`` past the end) is the identity — so a
+    position sequence ``0..L`` enumerates "no deletion" plus every
+    single deletion without branching on the string's length."""
+    return F.when(i == 0, s).otherwise(
+        F.concat(F.substring(s, F.lit(1), i - 1),
+                 F.substring(s, i + 1, F.lit(2147483647))))
+
+
+def _deletion_keys(col: str, max_dist: int = 1) -> "F.Column":
+    """``array_distinct`` of every variant of the string with UP TO
+    ``max_dist`` characters deleted — 1 + L + C(L,2) + … distinct
+    keys, built entirely in-row (nested ``transform`` over position
+    sequences; a second-level deletion applies to each first-level
+    variant, identity positions make ragged lengths uniform).  All
+    JVM expressions inside whole-stage codegen; nothing leaves the
+    row until the explode."""
+    keys = F.array(F.col(col))
+    for _ in range(max_dist):
+        keys = F.flatten(F.transform(
+            keys,
+            lambda v: F.transform(
+                F.sequence(F.lit(0), F.length(v)),
+                lambda i: _delete_at(v, i))))
+    return F.array_distinct(keys)
 
 
 def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
-                       left_col: str, right_col: str) -> DataFrame:
-    """Edit-distance-<=1 join by **deletion-neighborhood blocking**
+                       left_col: str, right_col: str,
+                       max_dist: int = 1) -> DataFrame:
+    """Edit-distance-<=k join by **deletion-neighborhood blocking**
     (the FastSS family) — the fix for length-cell blocking's worst
-    case, where every string has the same length and one cell goes
-    quadratic.
+    case (every string the same length, one cell quadratic) AND, at
+    ``max_dist=2``, for q-gram prefix blocking's short-string regime
+    (round-10 scale finding, SCALE.md: with L <= q·(k+1) the count
+    filter's prefix is the string's ENTIRE gram set, and once
+    n·L outgrows the |alphabet|^q gram space the candidate join is
+    quadratic — measured exponent 1.77 on the sf1→sf3 step).
 
-    Each side expands to its deletion neighborhood: the string itself
-    plus every single-character-deletion variant (length+1 keys).  Any
-    pair within edit distance 1 shares a key — equality shares the
-    string itself, a deletion shares the shorter string, a substitution
-    at position i shares the both-sides-delete-i variant — so an
-    equi-join on the variant finds every true pair; the exact
-    ``levenshtein`` recheck discards cross-position collisions (which
-    are distance 2).  Candidate volume is O(rows x length) keys with
-    near-singleton buckets, never O(rows²), at any length skew.
+    Each side expands to its <=k-deletion neighborhood (in-row
+    ``array_distinct``, 1 + L + C(L,2) + … keys per string — ~79 for
+    L=12, k=2).  Any pair within edit distance k shares a key: walk
+    an optimal alignment — a substitution deletes one character from
+    EACH side, an insertion/deletion deletes from one — so both
+    strings reach a common subsequence with at most k deletions
+    apiece.  The equi-join on variants therefore finds every true
+    pair (zero false negatives); the exact ``levenshtein`` recheck
+    discards neighborhood collisions at larger true distance.
+    Candidate volume is O(rows × L^k) keys with near-singleton
+    buckets — LINEAR in rows at any length skew or alphabet density,
+    never O(rows²).
 
     Returns left ++ right columns plus ``distance``.  A pair that
     matches through several deletion keys is emitted once per input
@@ -389,9 +412,11 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
     itself).
     """
     lk = (left.withColumn("__lid", F.monotonically_increasing_id())
-          .withColumn("__k", F.explode(_deletion_keys(left_col))))
+          .withColumn("__k", F.explode(
+              _deletion_keys(left_col, max_dist))))
     rk = (right.withColumn("__rid", F.monotonically_increasing_id())
-          .withColumn("__k", F.explode(_deletion_keys(right_col))))
+          .withColumn("__k", F.explode(
+              _deletion_keys(right_col, max_dist))))
     return (
         lk.join(rk, "__k")
         .drop("__k")
@@ -399,7 +424,7 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
         .drop("__lid", "__rid")
         .withColumn("distance",
                     F.levenshtein(left_col, right_col).cast("bigint"))
-        .filter(F.col("distance") <= 1)
+        .filter(F.col("distance") <= max_dist)
     )
 
 

@@ -815,19 +815,32 @@ JOIN names b ON a.nm < b.nm
 WHERE levenshtein(a.nm, b.nm) <= 2
 """)
 def q_fuzzy_join_names_k2(spark, sf_dir):
-    """Edit-distance <= 2 entity matching via q-gram prefix blocking
-    (Ed-Join family; operators/joins.py:fuzzy_join_qgrams), k=2 being
-    past what deletion-neighborhood blocking (k=1) covers.
+    """Edit-distance <= 2 entity matching via k=2 deletion-
+    neighborhood blocking (operators/joins.py:fuzzy_join_deletes,
+    generalized to arbitrary k in round 10).
 
     Fixture: every group of 4 customer keys shares an md5-derived
     10-char base and differs only in a trailing digit, so true pairs
     are planted (linear in rows, ~6 per group) while ALL strings share
     one length — the exact skew that makes length-cell blocking
-    per-cell quadratic.  Rarest-gram prefixes keep the candidate join
-    near-singleton per bucket; DuckDB's quadratic join is the oracle.
+    per-cell quadratic.  DuckDB's quadratic join is the oracle.
     (Supplier/part names are unusable here: their templated keyspaces
     put ~30% of all pairs within distance 2, so any algorithm's output
-    would itself be quadratic.)"""
+    would itself be quadratic.)
+
+    Algorithm history — a round-10 scale catch: through round 9 this
+    query ran q-gram prefix blocking (fuzzy_join_qgrams, q=4 for the
+    dense hex alphabet).  The r10 sf1→sf3 curve measured it at step
+    exponent 1.77: these 12-char strings sit exactly at L = q·(k+1),
+    where the Ed-Join count filter degenerates (the "prefix" is the
+    whole gram set — and q cannot be raised, because the count bound
+    needs k·q+1 <= L−q+1 grams), and once n·L outgrows the 16⁴ gram
+    space the candidate join is quadratic in rows.  The <=2-deletion
+    neighborhood (~79 in-row keys for L=12) keeps candidate volume
+    LINEAR in rows with near-singleton buckets at any alphabet
+    density; qgrams remains the right tool for strings long enough
+    to leave slack between k·q+1 and their gram count (SCALE.md,
+    round-10 section)."""
     cust = _t(spark, sf_dir, "customer")
     nm = F.concat(
         F.substring(
@@ -835,10 +848,7 @@ def q_fuzzy_join_names_k2(spark, sf_dir):
         F.lit("#"), (F.col("c_custkey") % 4).cast("string"))
     a = cust.select(nm.alias("name_a"))
     b = cust.select(nm.alias("name_b"))
-    # q=4: the strings are hex+digit (dense alphabet) — see the q
-    # selectivity note in fuzzy_join_qgrams.
-    return fuzzy_join_qgrams(a, b, "name_a", "name_b",
-                             max_dist=2, q=4) \
+    return fuzzy_join_deletes(a, b, "name_a", "name_b", max_dist=2) \
         .filter(F.col("name_a") < F.col("name_b")) \
         .select("name_a", "name_b", "distance")
 

@@ -305,6 +305,37 @@ def test_fuzzy_join_deletes_matches_naive_cross(spark):
     assert ("ab", "ba") not in got
 
 
+def test_fuzzy_join_deletes_k2_matches_naive_cross(spark):
+    """The <=2-deletion neighborhood (round-10 generalization) must
+    find exactly the distance<=2 pairs — including transpositions
+    (distance 2 via two substitution-shaped deletions), the fixture
+    shape of fuzzy_join_names_k2 (same-length strings differing in
+    one trailing char), and distance-3 near-misses (excluded)."""
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_deletes
+
+    names = ["kitten", "sitten", "sittin", "sitting", "mitten", "",
+             "a", "ab", "ba", "abc", "bbc", "abcd", "abcdef",
+             "0123456789#0", "0123456789#1", "0123456789#2",
+             "x123456789#0", "totally-different"]
+    a = spark.createDataFrame([(n,) for n in names], ["name_a"])
+    b = spark.createDataFrame([(n,) for n in names], ["name_b"])
+    got = sorted(
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in fuzzy_join_deletes(a, b, "name_a", "name_b",
+                                    max_dist=2)
+        .filter(F.col("name_a") < F.col("name_b")).collect())
+    naive = sorted(
+        (r["name_a"], r["name_b"], r["d"])
+        for r in a.crossJoin(b)
+        .withColumn("d", F.levenshtein("name_a", "name_b")
+                    .cast("bigint"))
+        .filter((F.col("d") <= 2) &
+                (F.col("name_a") < F.col("name_b"))).collect())
+    assert got == naive and len(got) > 0
+    # the transposition IS distance 2 now — it must appear
+    assert ("ab", "ba", 2) in got
+
+
 def test_fuzzy_join_qgrams_matches_naive_cross(spark):
     """q-gram prefix blocking must lose no distance<=2 pairs vs the
     naive cross product — including the all-same-length fixture that
