@@ -411,6 +411,17 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
     right must not share column names (same contract as the equi-join
     itself).
     """
+    # Fan the inputs out BEFORE the neighborhood explode: the
+    # expansion is the expensive per-row work (O(L^k) substring
+    # builds), and a single-row-group parquet scan would otherwise
+    # serialize it on one core (measured: the whole sf1.0 join ran
+    # single-threaded off the 1-partition customer scan).  No-op when
+    # the input already has cluster-width partitions — the 100 TB
+    # case (same contract as sources.parquet_source.ensure_parallelism).
+    from ..sources.parquet_source import ensure_parallelism
+
+    left = ensure_parallelism(left, left.sparkSession)
+    right = ensure_parallelism(right, right.sparkSession)
     lk = (left.withColumn("__lid", F.monotonically_increasing_id())
           .withColumn("__k", F.explode(
               _deletion_keys(left_col, max_dist))))
