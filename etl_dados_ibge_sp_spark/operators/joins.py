@@ -428,8 +428,15 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
     rk = (right.withColumn("__rid", F.monotonically_increasing_id())
           .withColumn("__k", F.explode(
               _deletion_keys(right_col, max_dist))))
+    # SMJ hint for the same reason as dedup.incremental_neardup_verdict
+    # (the r9 scale catch): Catalyst's stats pass the PRE-explode size
+    # through Generate, so it sizes each variant side at ~the input
+    # scan and auto-broadcasts an O(rows·L^k) relation — measured
+    # BuildRight on a 35M-row side at sf3.0, OOM-ing the 8 GB local
+    # JVM.  Skinny (key, id) rows through a shuffle instead; pinned by
+    # the no-explode-broadcast law in tests/test_plan_hygiene.py.
     return (
-        lk.join(rk, "__k")
+        lk.hint("merge").join(rk.hint("merge"), "__k")
         .drop("__k")
         .dropDuplicates(["__lid", "__rid"])
         .drop("__lid", "__rid")

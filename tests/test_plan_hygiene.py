@@ -184,15 +184,14 @@ def test_lakehouse_loop_component_plans_pinned(spark, sf_dir, tmp_path):
 
 
 def test_fuzzy_join_k2_fresh_session_plan_pinned(spark, sf_dir):
-    """fuzzy_join_names_k2's WORST-CASE (fresh-session) plan shape,
-    pinned independently of test-execution order: the generic sweep
-    above can't pin it because CacheManager substitution of
-    session-memoized q-gram frames shrinks/reshapes the plan when
-    other tests ran first (4 shuffles fresh, 7 cache-substituted).
-    Clearing the memo and the cache here reproduces the fresh-session
-    shape deterministically, so a real plan regression can't hide
-    behind cache substitution.  The clear is safe: memo values and
-    internal persists are rebuilt on demand by their owners."""
+    """fuzzy_join_names_k2's fresh-session plan shape (cache cleared
+    so CacheManager substitution of session-memoized frames can't
+    reshape it with test order).  Since round 10 the query runs k=2
+    deletion-neighborhood blocking: 5 shuffles — 2 fan-out
+    repartitions (per-row-heavy explode must not serialize on a
+    1-row-group scan), 2 hint-pinned SMJ exchanges on the variant
+    key, 1 pair-dedup aggregate — and ZERO broadcasts of an exploded
+    side (the round-10 catch below)."""
     import contextlib
     import io
     import re
@@ -207,10 +206,49 @@ def test_fuzzy_join_k2_fresh_session_plan_pinned(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert shuffles <= 4, (
+    assert shuffles <= 5, (
         f"fuzzy_join_names_k2: {shuffles} shuffles in the "
-        f"fresh-session plan, audited bound is 4 — a regression "
+        f"fresh-session plan, audited bound is 5 — a regression "
         f"added an Exchange; see PLANS.md\n{plan[:2000]}")
+
+
+def test_fuzzy_deletes_never_broadcasts_variant_sides(spark, sf_dir):
+    """The round-10 scale catch, pinned as a law (the r9
+    incremental-recheck bug's second appearance): Catalyst's stats
+    pass the PRE-explode size through Generate, so it sizes each
+    deletion-neighborhood side at ~the input scan and auto-broadcasts
+    an O(rows·L^k) relation — measured BuildRight on a 35M-row side
+    at sf3.0, OOM-ing the 8 GB local JVM (UNABLE_TO_ACQUIRE_MEMORY).
+    The merge hints make the variant join SORT-MERGE deterministically
+    at every scale; if a refactor drops them, the small-SF plan
+    reverts to broadcast and this fails long before any scale run."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_dados_ibge_sp_spark.operators.joins import fuzzy_join_deletes
+    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
+
+    cust = load_table(spark, sf_dir, "customer", fan_out=False)
+    nm = F.concat(F.md5(F.col("c_custkey").cast("string"))
+                  .substr(1, 10), F.lit("#"),
+                  (F.col("c_custkey") % 4).cast("string"))
+    a = cust.select(nm.alias("name_a"))
+    b = cust.select(nm.alias("name_b"))
+    df = fuzzy_join_deletes(a, b, "name_a", "name_b", max_dist=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"SortMergeJoin", plan)) >= 1, plan[:2000]
+    bad = re.findall(
+        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[[^\]]*__k",
+        plan)
+    assert not bad, (
+        "a deletion-variant side reverted to broadcast — the shape "
+        "that OOMs at the 30x curve point\n" + plan[:2000])
 
 
 def test_incremental_recheck_never_broadcasts_array_sides(spark, sf_dir):
