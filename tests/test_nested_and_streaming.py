@@ -163,8 +163,13 @@ def test_decode_stub_and_real(spark, sf_dir):
         assert 1 <= r["height"] <= 1080
         assert 1 <= r["n_frames"] <= 30
         assert len(r["checksum"]) == 32
-    with pytest.raises(NotImplementedError):
-        decode_real(docs)
+    # decode_real graduated from a NotImplementedError placeholder to
+    # the real mixed-format dispatcher in round 10; its per-format
+    # parity laws live in tests/test_png_codec.py.  Here: text bytes
+    # are not a known container, so the dispatch must refuse them
+    # rather than emit garbage rows.
+    with pytest.raises(Exception, match="unrecognized media magic"):
+        decode_real(with_binary_payload(docs)).collect()
 
 
 def test_stream_windowed_distinct_approx_parity(spark, sf_dir):
