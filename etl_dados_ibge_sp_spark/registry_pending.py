@@ -1858,6 +1858,15 @@ from .registry_pending10 import PENDING10_GATED  # noqa: E402
 
 PENDING_GATED.extend(PENDING10_GATED)
 
+# Eleventh tranche (authored round 10, gated to round 11 — the
+# round-10 budget already carries the five split/PNG admissions, so
+# these must not displace that rotation; the round-11 slack is
+# 5*50 - 211 = 39 and the drain simulation in
+# tests/test_pending_r11.py covers the admission).
+from .registry_pending11 import PENDING11_GATED  # noqa: E402
+
+PENDING_GATED.extend(PENDING11_GATED)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable],
