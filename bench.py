@@ -251,6 +251,20 @@ def main() -> None:
             "discipline); re-pin only from an in-suite min-of-3 at "
             "host_factor ~1.0 with the plan diff attached, per the "
             "r06 re-pin precedent",
+            "round-10 closure: the watch item's re-pin conditions "
+            "were met (clean-window in-suite min-of-3 at host_factor "
+            "1.06, plan_audit byte-identical) and "
+            "countmin_user_events was re-pinned 0.899 -> 1.174, "
+            "together with the two r9-flagged stale-fast pins "
+            "dedup_simhash (0.63 -> 0.879) and grouping_sets_levels "
+            "(0.456 -> 0.666) — full triage trail in "
+            "BENCH_baseline.json notes.  Clean-window discipline "
+            "(r9 verdict task #8): a round's deltas are accepted "
+            "only from a run whose host_factor reads <= ~1.05-1.1 "
+            "with scan-bound solo controls at ~1.0x; the round-10 "
+            "first attempt (host_factor 1.11, four churning flags "
+            "that all cleared on the idle-host rerun) is the "
+            "cautionary example",
         ],
         "queries": timings,
         "baseline_delta": deltas,
