@@ -271,7 +271,13 @@ def _q_near_dup_rate_by_source(spark: SparkSession,
     and `split_leakage_pairs`), counted per source against the
     source's total.  At 100 TB the pair discovery swaps to the
     LSH-banded candidates exactly as measured for the leakage query;
-    the census itself is a semi-join + two-column rollup."""
+    the census itself is ONE documents pass — a left join against the
+    flagged-id set feeding a single per-source rollup that counts
+    total and flagged rows together.  (A semi-join census would scan
+    documents twice, and Spark's PushDownLeftSemiAntiJoin rule pushes
+    a left-semi join below the scan fan-out repartition, stranding a
+    RoundRobin exchange mid-plan — the one-pass left join keeps the
+    fan-out at the scan where the plan-hygiene law can see it.)"""
     from .operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -299,16 +305,15 @@ def _q_near_dup_rate_by_source(spark: SparkSession,
     dup_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                .union(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())
-    flagged = (docs.join(dup_ids, "doc_id", "left_semi")
-               .groupBy("source")
-               .agg(F.count(F.lit(1)).alias("n_near_dup")))
-    n_dup = F.coalesce(F.col("n_near_dup"), F.lit(0).cast("bigint"))
-    return (docs.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .join(flagged, "source", "left")
-            .select("source", "n_docs",
-                    n_dup.alias("n_near_dup"),
-                    F.round(n_dup / F.col("n_docs"), 6)
+    return (docs.select("doc_id", "source")
+            .join(dup_ids.withColumn("__dup", F.lit(1)), "doc_id",
+                  "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("__dup").alias("n_near_dup"))
+            .select("source", "n_docs", "n_near_dup",
+                    F.round(F.col("n_near_dup") * F.lit(1.0)
+                            / F.col("n_docs"), 6)
                      .alias("near_dup_rate")))
 
 
