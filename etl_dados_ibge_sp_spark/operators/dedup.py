@@ -212,12 +212,27 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
         .distinct()
     )
     toks = stats.select(id_col, "__toks")
+    # The token-array sides must join by SHUFFLE, never broadcast:
+    # `toks` is O(corpus) rows of collect_list arrays, and Catalyst's
+    # width estimate for the projection is the scan's STRING stats —
+    # it cannot see the ~text-length× array expansion, so the static
+    # planner sizes the side under the broadcast threshold and picks
+    # BroadcastHashJoin.  Measured at the 100× curve point (sf10.0,
+    # round 10, via corpus_curate): the BroadcastExchange build OOMs
+    # the 8g driver — the identical failure round 9 found and fixed on
+    # the incremental recheck (`incremental_neardup_verdict`).  The
+    # merge hints pin SMJ: skinny (id_a, id_b) pairs shuffle instead
+    # of the corpus's arrays shipping to every executor, and at
+    # cluster scale a stored per-doc token table bucketed by id makes
+    # the sort side shuffle-free.
     return (
         cand
         .join(toks.select(F.col(id_col).alias("id_a"),
-                          F.col("__toks").alias("__ta")), "id_a")
+                          F.col("__toks").alias("__ta"))
+              .hint("merge"), "id_a")
         .join(toks.select(F.col(id_col).alias("id_b"),
-                          F.col("__toks").alias("__tb")), "id_b")
+                          F.col("__toks").alias("__tb"))
+              .hint("merge"), "id_b")
         .withColumn("__i", F.size(F.array_intersect("__ta", "__tb")))
         .withColumn("jaccard", F.round(
             F.col("__i").cast("double") /
