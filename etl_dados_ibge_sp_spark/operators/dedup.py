@@ -159,30 +159,37 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     ordered rarest-first (document frequency asc), makes the join keys
     the RAREST tokens: bucket sizes collapse from corpus-wide to a
     handful, with zero false negatives.  Candidates are then verified
-    with one exact set intersection per pair (JVM ``array_intersect``
-    on the collected token sets — no re-shuffle of the inverted index).
+    by counting shared shingles AGAINST THE INVERTED INDEX itself
+    (canonical PPJoin): skinny (id, shingle) rows join to the
+    candidate pairs and a pair-keyed count is the exact intersection.
+
+    ``shingles`` must be DISTINCT (id, shingle) rows — what
+    `word_shingles` / `char_shingles(distinct=True)` emit — since the
+    overlap count is the SET intersection only without duplicates.
+
+    Verification deliberately never materializes per-doc token
+    arrays.  The collect_list alternative (one array join per pair
+    side) fails BOTH ways at scale, measured at the sf10.0 curve
+    point: Catalyst sizes the array projection from the scan's string
+    stats — blind to the ~text-length× expansion — and auto-broadcasts
+    the O(corpus) side until the exchange build OOMs the driver; pin
+    SMJ instead and the candidate side drags full arrays through two
+    sort spills, |cand|×|doc| wide (a 450 MB input filled ~60 GB of
+    /tmp before dying).  Skinny exploded rows shuffle linearly,
+    spill in small units, and leave nothing wide for the planner to
+    misestimate.
 
     Still the verification path at extreme scale (LSH first), but now
     usable directly up to very large corpora.
 
-    Plan shape: the exploded shingle set feeds three subtrees (doc
-    frequency, per-doc stats, the prefix join) that Catalyst cannot
-    fuse — they aggregate on different keys — so it is persisted
-    (memory-and-disk) rather than recomputed per consumer; one
-    ``groupBy(id)`` produces both the set size and the collected token
-    array (two aggregates, one shuffle)."""
+    Plan shape: the exploded shingle set feeds four subtrees (doc
+    frequency, per-doc sizes, the prefix join, the verify count) that
+    Catalyst cannot fuse — they key differently — so it is persisted
+    (memory-and-disk) rather than recomputed per consumer."""
     from pyspark.storagelevel import StorageLevel
 
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    # One shuffle for both per-doc aggregates: prefix length needs the
-    # size, verification needs the full set.  Persisted too — column
-    # pruning would otherwise split the consumers back into two
-    # aggregations over two scans.
-    stats = shingles.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("sz"),
-        F.collect_list("shingle").alias("__toks"))
-    stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = stats.select(id_col, "sz")
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # Rarest-first total order realized IN-ROW: regroup the df-tagged
     # tokens per doc and slice the (df, shingle)-sorted array to the
@@ -211,32 +218,35 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
         .select("id_a", "id_b")
         .distinct()
     )
-    toks = stats.select(id_col, "__toks")
-    # The token-array sides must join by SHUFFLE, never broadcast:
-    # `toks` is O(corpus) rows of collect_list arrays, and Catalyst's
-    # width estimate for the projection is the scan's STRING stats —
-    # it cannot see the ~text-length× array expansion, so the static
-    # planner sizes the side under the broadcast threshold and picks
-    # BroadcastHashJoin.  Measured at the 100× curve point (sf10.0,
-    # round 10, via corpus_curate): the BroadcastExchange build OOMs
-    # the 8g driver — the identical failure round 9 found and fixed on
-    # the incremental recheck (`incremental_neardup_verdict`).  The
-    # merge hints pin SMJ: skinny (id_a, id_b) pairs shuffle instead
-    # of the corpus's arrays shipping to every executor, and at
-    # cluster scale a stored per-doc token table bucketed by id makes
-    # the sort side shuffle-free.
-    return (
+    # Exact intersection per candidate pair from the inverted index:
+    # attach id_a's shingles to the pair, then inner-join on
+    # (id_b, shingle) — a row survives iff BOTH docs contain the
+    # shingle — and count per pair.  Every row in flight is
+    # (long, long, short string); the joins and the count shuffle
+    # skinny data keyed by ids/shingles, so the planner's size
+    # estimates are off by at most a bounded factor and every sort
+    # spill unit is one row, not one document's token array.  Pairs
+    # with zero overlap drop out of the inner join, which is correct:
+    # they cannot meet any threshold > 0 (cand pairs share a prefix
+    # token by construction anyway).
+    inter = (
         cand
-        .join(toks.select(F.col(id_col).alias("id_a"),
-                          F.col("__toks").alias("__ta"))
-              .hint("merge"), "id_a")
-        .join(toks.select(F.col(id_col).alias("id_b"),
-                          F.col("__toks").alias("__tb"))
-              .hint("merge"), "id_b")
-        .withColumn("__i", F.size(F.array_intersect("__ta", "__tb")))
+        .join(shingles.select(F.col(id_col).alias("id_a"), "shingle"),
+              "id_a")
+        .join(shingles.select(F.col(id_col).alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("sz").alias("__sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("sz").alias("__sb")), "id_b")
         .withColumn("jaccard", F.round(
             F.col("__i").cast("double") /
-            (F.size("__ta") + F.size("__tb") - F.col("__i")), 6))
+            (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -297,44 +297,3 @@ def test_incremental_recheck_never_broadcasts_array_sides(spark, sf_dir):
     assert not bad, (
         "a shingle-array side reverted to broadcast — the shape that "
         "OOMs at the 100x point:\n" + plan[:2000])
-
-
-def test_jaccard_verify_never_broadcasts_token_arrays(spark, sf_dir):
-    """The round-10 sf10.0 finding, pinned as a law: jaccard_pairs'
-    verification joins against the collect_list token-array table must
-    be SORT-MERGE, never broadcast.  Same mechanism as the round-9
-    incremental-recheck pin: Catalyst sizes the `__toks` projection
-    from the scan's STRING stats — blind to the ~text-length× array
-    expansion — so the static planner broadcasts the O(corpus) array
-    side, and the exchange build OOMs the driver at the 100× point
-    (found via corpus_curate's connected-components edge plan, whose
-    localCheckpoint materializes the broadcast subtree).  The hints
-    make the shape deterministic: if a refactor drops them, the
-    small-SF plan reverts to broadcast and this fails long before any
-    scale run."""
-    import contextlib
-    import io
-    import re
-
-    from etl_dados_ibge_sp_spark.operators.dedup import (
-        jaccard_pairs, word_shingles)
-    from etl_dados_ibge_sp_spark.sources.parquet_source import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    df = jaccard_pairs(word_shingles(docs, "doc_id", "text", n=3),
-                       "doc_id", threshold=0.8)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
-    # Both verify joins SMJ, and no BroadcastExchange may carry a
-    # token-array column (__ta / __tb).  The prefix self-join staying
-    # broadcast at small SF is fine — its sides are skinny exploded
-    # strings whose size estimate is off by a BOUNDED factor.
-    assert len(re.findall(r"SortMergeJoin", plan)) >= 2, plan[:2000]
-    bad = re.findall(
-        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[[^\]]*__t[ab]",
-        plan)
-    assert not bad, (
-        "a token-array side reverted to broadcast — the shape that "
-        "OOMs at the 100x point:\n" + plan[:2000])
