@@ -146,7 +146,8 @@ def prefix_dedup_groups(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard_pairs(shingles: DataFrame, id_col: str,
-                  threshold: float) -> DataFrame:
+                  threshold: float, *,
+                  pin_shuffle: bool = True) -> DataFrame:
     """All-pairs set Jaccard >= threshold, exact, via **prefix
     filtering** (the AllPairs/PPJoin family).
 
@@ -191,6 +192,32 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+
+    # With ``pin_shuffle`` (the default), EVERY join below is
+    # hint-pinned to sort-merge.  All the non-pair sides are
+    # O(corpus)-scaled (document frequency over the shingle
+    # vocabulary, the prefix slices, the exploded inverted index,
+    # per-doc sizes), but each sits above an aggregate or an explode
+    # whose Catalyst size estimate collapses to a constant — off by an
+    # UNBOUNDED factor, exactly the class the round-9 audit says must
+    # be pinned.  AQE hides the bug in normal execution (runtime stage
+    # sizes demote the broadcasts), which is why small scales pass;
+    # any STATICALLY-compiled execution of this plan —
+    # `Dataset.checkpoint` / `localCheckpoint`, as in
+    # connected_components' lineage cut — builds the static
+    # BroadcastExchanges and OOMs the driver.  Measured at the
+    # round-10 sf10.0 curve point via corpus_curate's edge checkpoint.
+    # With every row in flight skinny, the pinned SMJs spill in
+    # row-sized units and survive the 100x point.
+    #
+    # ``pin_shuffle=False`` is for callers whose input is BOUNDED by
+    # construction (e.g. an id-capped verification sample) and who
+    # execute through AQE: there the true sizes are genuinely small,
+    # the broadcasts are correct, and six pinned exchanges are pure
+    # scheduling overhead (measured 2.2x on the 300-doc registered
+    # query at sf0.1).
+    def _h(df: DataFrame) -> DataFrame:
+        return df.hint("merge") if pin_shuffle else df
     # Rarest-first total order realized IN-ROW: regroup the df-tagged
     # tokens per doc and slice the (df, shingle)-sorted array to the
     # prefix length — same single shuffle on the id as the row_number
@@ -202,7 +229,7 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     plen = (F.size("__gs")
             - F.ceil(F.round(threshold * F.size("__gs"), 6)) + 1)
     prefix = (
-        shingles.join(dfreq, "shingle")
+        shingles.join(_h(dfreq), "shingle")
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("__df", "shingle")).alias("__gs"))
         .select(F.col(id_col),
@@ -212,7 +239,7 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     )
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"),
+        .join(_h(prefix.select(F.col(id_col).alias("id_b"), "shingle")),
               "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -231,19 +258,19 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     # token by construction anyway).
     inter = (
         cand
-        .join(shingles.select(F.col(id_col).alias("id_a"), "shingle"),
+        .join(_h(shingles.select(F.col(id_col).alias("id_a"), "shingle")),
               "id_a")
-        .join(shingles.select(F.col(id_col).alias("id_b"), "shingle"),
+        .join(_h(shingles.select(F.col(id_col).alias("id_b"), "shingle")),
               ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
     return (
         inter
-        .join(sizes.select(F.col(id_col).alias("id_a"),
-                           F.col("sz").alias("__sa")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"),
-                           F.col("sz").alias("__sb")), "id_b")
+        .join(_h(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("sz").alias("__sa"))), "id_a")
+        .join(_h(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("sz").alias("__sb"))), "id_b")
         .withColumn("jaccard", F.round(
             F.col("__i").cast("double") /
             (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))

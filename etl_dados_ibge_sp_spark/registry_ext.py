@@ -229,7 +229,13 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     doc_id<300; the scale path is dedup_minhash_lsh."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = D.word_shingles(docs, "doc_id", "text", n=1)
-    return D.jaccard_pairs(sh, "doc_id", 0.8)
+    # pin_shuffle off: the input is BOUNDED by construction (300 docs)
+    # and this query executes through AQE, so the broadcasts the
+    # planner picks are genuinely correct — the safe-default pinned
+    # exchanges would be pure scheduling overhead (measured 2.2x at
+    # sf0.1).  Unbounded callers (corpus_curate's checkpointed edge
+    # plan) keep the default.
+    return D.jaccard_pairs(sh, "doc_id", 0.8, pin_shuffle=False)
 
 
 @register("dedup_minhash_lsh", sql=f"""
