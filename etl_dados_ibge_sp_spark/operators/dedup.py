@@ -147,7 +147,7 @@ def prefix_dedup_groups(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(shingles: DataFrame, id_col: str,
                   threshold: float, *,
-                  pin_shuffle: bool = True) -> DataFrame:
+                  pin_shuffle: bool = False) -> DataFrame:
     """All-pairs set Jaccard >= threshold, exact, via **prefix
     filtering** (the AllPairs/PPJoin family).
 
@@ -193,29 +193,30 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
 
-    # With ``pin_shuffle`` (the default), EVERY join below is
-    # hint-pinned to sort-merge.  All the non-pair sides are
-    # O(corpus)-scaled (document frequency over the shingle
-    # vocabulary, the prefix slices, the exploded inverted index,
-    # per-doc sizes), but each sits above an aggregate or an explode
-    # whose Catalyst size estimate collapses to a constant — off by an
-    # UNBOUNDED factor, exactly the class the round-9 audit says must
-    # be pinned.  AQE hides the bug in normal execution (runtime stage
-    # sizes demote the broadcasts), which is why small scales pass;
-    # any STATICALLY-compiled execution of this plan —
-    # `Dataset.checkpoint` / `localCheckpoint`, as in
-    # connected_components' lineage cut — builds the static
-    # BroadcastExchanges and OOMs the driver.  Measured at the
-    # round-10 sf10.0 curve point via corpus_curate's edge checkpoint.
-    # With every row in flight skinny, the pinned SMJs spill in
-    # row-sized units and survive the 100x point.
+    # Join-strategy contract.  Several sides below are O(corpus)-
+    # scaled (document frequency over the shingle vocabulary, the
+    # prefix slices, per-doc sizes) but sit above AGGREGATES whose
+    # static Catalyst size estimate collapses to a constant — off by
+    # an unbounded factor.  That is safe under the operator's
+    # sanctioned execution mode, ADAPTIVE: every such side is
+    # post-shuffle, so AQE re-plans the join from the real stage size
+    # and demotes the broadcast as the data grows (measured fast at
+    # sf1/sf3, the 100x point included once callers stopped compiling
+    # statically).  It is NOT safe under static compilation
+    # (`Dataset.checkpoint` / `localCheckpoint` of this plan): the
+    # collapsed estimates become static BroadcastExchanges of
+    # O(corpus) tables and the build OOMs the driver — measured at the
+    # round-10 sf10.0 curve point via corpus_curate before
+    # connected_components switched to adaptive lineage cuts.
     #
-    # ``pin_shuffle=False`` is for callers whose input is BOUNDED by
-    # construction (e.g. an id-capped verification sample) and who
-    # execute through AQE: there the true sizes are genuinely small,
-    # the broadcasts are correct, and six pinned exchanges are pure
-    # scheduling overhead (measured 2.2x on the 300-doc registered
-    # query at sf0.1).
+    # ``pin_shuffle=True`` is the escape hatch for callers that MUST
+    # compile this plan statically: every join is hint-pinned to
+    # sort-merge over skinny rows (zero static broadcasts; law in
+    # tests/test_plan_hygiene_jaccard.py).  It is not the default
+    # because the pair-side sort of the (id_b, shingle) verify join
+    # shuffles |cand| x |doc| rows — linear and partitionable, but a
+    # ~doc-size constant factor that AQE's broadcast avoids wherever
+    # one side genuinely fits.
     def _h(df: DataFrame) -> DataFrame:
         return df.hint("merge") if pin_shuffle else df
     # Rarest-first total order realized IN-ROW: regroup the df-tagged
@@ -555,6 +556,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     ``nodes``: one column (node ids); ``pairs``: (id_a, id_b) edges.
     Returns (node_col, component_id).
     """
+    from pyspark.storagelevel import StorageLevel
+
     if checkpoint_dir is not None:
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -564,21 +567,49 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=False)
 
-    # NON-eager checkpoints throughout: each round's convergence
-    # aggregate doubles as the materializing action, so a round costs
-    # ONE Spark job, not two (checkpoint job + sum job).  Driver-side
-    # job latency is the dominant cost of iteration at interactive
-    # scale and rounds are halved again by the 2-hop batching below.
-    # Cut the edge set's lineage once: the whole pair-discovery
-    # pipeline would otherwise re-execute on every round (it
-    # materializes during round 1's job and is read as blocks after).
-    edges = ckpt(
+    # The CALLER-SUPPLIED plans (pairs, nodes) must NEVER be
+    # checkpointed directly: a checkpoint compiles its child plan
+    # STATICALLY, skipping AQE's runtime demotion of misestimated
+    # broadcasts — so an edge pipeline whose join sides sit above
+    # aggregates (size estimates collapsed to constants, e.g.
+    # jaccard_pairs' document-frequency and prefix tables, O(corpus)
+    # each) gets static BroadcastExchanges whose build OOMs the
+    # driver.  Measured at the round-10 sf10.0 curve point via
+    # corpus_curate: the identical query was fine under normal AQE
+    # execution at every scale and died only inside this checkpoint
+    # compile.  `adaptive_cut` therefore materializes the plan through
+    # AQE first (persist + count), then checkpoints the CACHED frame —
+    # which compiles to a bare InMemoryTableScan, trivially safe — and
+    # drops the cache.  The result is the same true leaf (lineage cut,
+    # round plans stay flat) at the cost of one counting job and one
+    # cache->blocks copy per input, once per CC call.  The law in
+    # tests/test_plan_hygiene_jaccard.py intercepts every checkpoint
+    # this function takes and asserts raw scans/joins never reach one.
+    def adaptive_cut(df: DataFrame) -> DataFrame:
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        if checkpoint_dir is not None:
+            out = cached.checkpoint(eager=True)
+        else:
+            out = cached.localCheckpoint(eager=True)
+        cached.unpersist(blocking=True)
+        return out
+
+    edges = adaptive_cut(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"),
                                F.col("id_a").alias("v")))
     )
-    labels = ckpt(nodes.select(F.col(node_col).alias("n"),
-                               F.col(node_col).alias("l")))
+    # Per-round label cuts are NON-eager checkpoints: each round's
+    # convergence aggregate doubles as the materializing action, so a
+    # round costs ONE Spark job, not two (checkpoint job + sum job) —
+    # driver-side job latency dominates iteration at interactive
+    # scale, and rounds are halved again by the 2-hop batching below.
+    # Static compilation is safe for ROUND plans: their only leaves
+    # are the edge/label checkpoint RDDs, whose conservative default
+    # statistics can never fake a small broadcast side.
+    labels = adaptive_cut(nodes.select(F.col(node_col).alias("n"),
+                                       F.col(node_col).alias("l")))
 
     def hop(lbl: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         lv = lbl.select("n", "l")

@@ -47,9 +47,17 @@ def _jaccard_pairs_full(spark, sf_dir):
 
     def build():
         docs = _t(spark, sf_dir, "documents")
+        # pin_shuffle: this frame feeds connected_components (whose
+        # adaptive cut executes it in full) over the WHOLE corpus —
+        # the sf10.0 curve point measured the planner-chosen shape
+        # OOM-ing the driver on a corpus-scale broadcast even under
+        # AQE (a narrow explode side's static estimate is never
+        # runtime-corrected).  The pinned all-shuffle shape is linear
+        # and spillable; the memoized persist means the one expensive
+        # build is paid once per session.
         return D.jaccard_pairs(
             D.word_shingles(docs, "doc_id", "text", n=3), "doc_id",
-            threshold=0.8).select("id_a", "id_b") \
+            threshold=0.8, pin_shuffle=True).select("id_a", "id_b") \
             .persist(StorageLevel.MEMORY_AND_DISK)
 
     return session_memo(spark, f"jaccard_pairs:{sf_dir}", build)
@@ -229,13 +237,7 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     doc_id<300; the scale path is dedup_minhash_lsh."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = D.word_shingles(docs, "doc_id", "text", n=1)
-    # pin_shuffle off: the input is BOUNDED by construction (300 docs)
-    # and this query executes through AQE, so the broadcasts the
-    # planner picks are genuinely correct — the safe-default pinned
-    # exchanges would be pure scheduling overhead (measured 2.2x at
-    # sf0.1).  Unbounded callers (corpus_curate's checkpointed edge
-    # plan) keep the default.
-    return D.jaccard_pairs(sh, "doc_id", 0.8, pin_shuffle=False)
+    return D.jaccard_pairs(sh, "doc_id", 0.8)
 
 
 @register("dedup_minhash_lsh", sql=f"""

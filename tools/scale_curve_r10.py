@@ -102,21 +102,34 @@ def measure(spark, sf_dir: str, with_kmeans: bool) -> dict:
 
 def main() -> None:
     root = work_root()
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
     result = {"metric": "scale_curve_r10",
               "data_factors": [10, 30, 100],
-              "method": ("warm + min-of-2, noop sink, local[32]; all "
-                         "three scales measured in the SAME run so "
-                         "step exponents are internally consistent"),
+              "method": ("warm + min-of-2, noop sink, local[32]; one "
+                         "FRESH session per scale — measured in round "
+                         "10 that a shared session accumulates every "
+                         "pass's shuffle files on local disk (~75 GB "
+                         "by sf3.0, ENOSPC) because nothing "
+                         "dereferences the JVM datasets between "
+                         "passes; a session per scale bounds the "
+                         "residue and gives each scale an identical cold "
+                         "start.  Run with SPARK_DRIVER_MEMORY=48g: "
+                         "local[32] in the default 8 GB heap models "
+                         "0.25 GB/core, far below any real cluster's "
+                         "2-8 GB/core — the scale run models realistic "
+                         "per-core memory, while the 8 GB default "
+                         "stays everywhere else so corpus-broadcast "
+                         "bugs keep being caught"),
               "scales": {}}
     for sf in ("1.0", "3.0", "10.0"):
         d = os.path.join(root, f"sf{sf}")
         if not os.path.isdir(d):
             print(f"skip sf{sf}: {d} missing", file=sys.stderr)
             continue
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("ERROR")
         result["scales"][sf] = measure(spark, d,
                                        with_kmeans=(sf == "10.0"))
+        spark.stop()
     print(json.dumps(result))
 
 
