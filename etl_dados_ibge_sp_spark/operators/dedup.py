@@ -211,12 +211,18 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     #
     # ``pin_shuffle=True`` is the escape hatch for callers that MUST
     # compile this plan statically: every join is hint-pinned to
-    # sort-merge over skinny rows (zero static broadcasts; law in
+    # sort-merge (zero static broadcasts; law in
     # tests/test_plan_hygiene_jaccard.py).  It is not the default
-    # because the pair-side sort of the (id_b, shingle) verify join
-    # shuffles |cand| x |doc| rows — linear and partitionable, but a
-    # ~doc-size constant factor that AQE's broadcast avoids wherever
-    # one side genuinely fits.
+    # because the (id_b, shingle) verify join then MATERIALIZES the
+    # |cand| x |doc| verification volume as shuffle+sort data — linear
+    # and partitionable, so a cluster's aggregate shuffle capacity
+    # absorbs it, but measured at ~60-80 GB from a 450 MB sf3.0 input
+    # on one box (ENOSPC on a shared 80 GB /tmp), where the pipelined
+    # broadcast streams the same volume through the probe without
+    # touching disk.  Neither shape survives the 100x point on one
+    # box (broadcast: index outgrows the heap; shuffle: disk) — past
+    # sf3 the answer is algorithmic, not a join hint: LSH-banded
+    # candidates + bounded verify.
     def _h(df: DataFrame) -> DataFrame:
         return df.hint("merge") if pin_shuffle else df
     # Rarest-first total order realized IN-ROW: regroup the df-tagged

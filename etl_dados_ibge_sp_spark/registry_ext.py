@@ -47,17 +47,21 @@ def _jaccard_pairs_full(spark, sf_dir):
 
     def build():
         docs = _t(spark, sf_dir, "documents")
-        # pin_shuffle: this frame feeds connected_components (whose
-        # adaptive cut executes it in full) over the WHOLE corpus —
-        # the sf10.0 curve point measured the planner-chosen shape
-        # OOM-ing the driver on a corpus-scale broadcast even under
-        # AQE (a narrow explode side's static estimate is never
-        # runtime-corrected).  The pinned all-shuffle shape is linear
-        # and spillable; the memoized persist means the one expensive
-        # build is paid once per session.
+        # Planner-chosen joins (pin_shuffle=False), deliberately: the
+        # pipelined broadcast verify is the only shape that never
+        # materializes the |cand| x |doc| verification volume, and it
+        # is measured optimal through sf3.0 (2.8 s).  Its documented
+        # boundary is executor memory: the round-10 sf10.0 point
+        # measured the corpus-side index broadcast OOM-ing an 8 GB
+        # heap, and the pinned all-shuffle alternative trading that
+        # for ~60-80 GB of materialized intermediate (linear —
+        # cluster-viable, single-box-fatal, ENOSPC at sf3.0 locally).
+        # Past that boundary the prescription is not a join strategy
+        # but an ALGORITHM swap: LSH-banded candidates + bounded
+        # verify (dedup_minhash_lsh, measured exponent 0.65 at sf10).
         return D.jaccard_pairs(
             D.word_shingles(docs, "doc_id", "text", n=3), "doc_id",
-            threshold=0.8, pin_shuffle=True).select("id_a", "id_b") \
+            threshold=0.8).select("id_a", "id_b") \
             .persist(StorageLevel.MEMORY_AND_DISK)
 
     return session_memo(spark, f"jaccard_pairs:{sf_dir}", build)

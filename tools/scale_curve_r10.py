@@ -47,12 +47,20 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _min_of(fn, spark, sf_dir) -> float:
+def _min_of(fn, spark, sf_dir):
+    """warm + min-of-N seconds, or {"error": ...} — a query that hits
+    its measured scale boundary (e.g. corpus_curate's exact-verify
+    memory wall at sf10.0) records the failure as a result instead of
+    killing the run; a DNF at a scale point is evidence."""
     samples = []
-    for _ in range(1 + N_PASSES):  # first is the warm pass
-        t0 = time.monotonic()
-        _noop(fn(spark, sf_dir))
-        samples.append(time.monotonic() - t0)
+    try:
+        for _ in range(1 + N_PASSES):  # first is the warm pass
+            t0 = time.monotonic()
+            _noop(fn(spark, sf_dir))
+            samples.append(time.monotonic() - t0)
+    except Exception as exc:  # noqa: BLE001
+        return {"error": str(exc).split("\n")[0][:300],
+                "completed_passes": len(samples)}
     return round(min(samples[1:]), 3)
 
 
@@ -81,19 +89,23 @@ def measure(spark, sf_dir: str, with_kmeans: bool) -> dict:
         from etl_dados_ibge_sp_spark.operators.similarity import (
             auto_semdedup_k, kmeans_fit, kmeans_fit_sampled)
 
-        corpus = _semdedup_corpus(spark, sf_dir)
-        k = auto_semdedup_k(corpus)
-        t0 = time.monotonic()
-        full = kmeans_fit(corpus, k=k, n_iter=3)
-        full_sec = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        sampled = kmeans_fit_sampled(corpus, k=k, n_iter=3)
-        sampled_sec = round(time.monotonic() - t0, 3)
-        out["kmeans_fit_sf10"] = {
-            "k": k, "full_fit_sec": full_sec,
-            "sampled_fit_sec": sampled_sec,
-            "speedup": round(full_sec / max(sampled_sec, 1e-9), 2),
-            "centroid_sets_equal_len": len(full) == len(sampled)}
+        try:
+            corpus = _semdedup_corpus(spark, sf_dir)
+            k = auto_semdedup_k(corpus)
+            t0 = time.monotonic()
+            full = kmeans_fit(corpus, k=k, n_iter=3)
+            full_sec = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            sampled = kmeans_fit_sampled(corpus, k=k, n_iter=3)
+            sampled_sec = round(time.monotonic() - t0, 3)
+            out["kmeans_fit_sf10"] = {
+                "k": k, "full_fit_sec": full_sec,
+                "sampled_fit_sec": sampled_sec,
+                "speedup": round(full_sec / max(sampled_sec, 1e-9), 2),
+                "centroid_sets_equal_len": len(full) == len(sampled)}
+        except Exception as exc:  # noqa: BLE001
+            out["kmeans_fit_sf10"] = {
+                "error": str(exc).split("\n")[0][:300]}
         print(json.dumps({os.path.basename(sf_dir):
                           {"kmeans_fit_sf10": out["kmeans_fit_sf10"]}}),
               flush=True)
@@ -104,21 +116,14 @@ def main() -> None:
     root = work_root()
     result = {"metric": "scale_curve_r10",
               "data_factors": [10, 30, 100],
-              "method": ("warm + min-of-2, noop sink, local[32]; one "
-                         "FRESH session per scale — measured in round "
-                         "10 that a shared session accumulates every "
-                         "pass's shuffle files on local disk (~75 GB "
-                         "by sf3.0, ENOSPC) because nothing "
-                         "dereferences the JVM datasets between "
-                         "passes; a session per scale bounds the "
-                         "residue and gives each scale an identical cold "
-                         "start.  Run with SPARK_DRIVER_MEMORY=48g: "
-                         "local[32] in the default 8 GB heap models "
-                         "0.25 GB/core, far below any real cluster's "
-                         "2-8 GB/core — the scale run models realistic "
-                         "per-core memory, while the 8 GB default "
-                         "stays everywhere else so corpus-broadcast "
-                         "bugs keep being caught"),
+              "method": ("warm + min-of-2, noop sink, local[32], "
+                         "default 8g heap (same as every other curve "
+                         "run — r9 comparability); one FRESH session "
+                         "per scale so shuffle residue and session "
+                         "memos reset identically at each decade; a "
+                         "query that hits its measured scale boundary "
+                         "records {error} instead of killing the run "
+                         "— a DNF at a scale point is evidence"),
               "scales": {}}
     for sf in ("1.0", "3.0", "10.0"):
         d = os.path.join(root, f"sf{sf}")
