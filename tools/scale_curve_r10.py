@@ -39,8 +39,12 @@ from etl_dados_ibge_sp_spark.workdirs import work_root  # noqa: E402
 
 N_PASSES = 2
 
-REGISTERED = ["fuzzy_join_names_k2", "corpus_curate",
-              "bloom_filter_join"]
+# corpus_curate LAST: its exact-verify path has a MEASURED memory
+# boundary at sf10.0 (the corpus-side index broadcast outgrows the
+# heap) and a driver-fatal OOM must not poison queries still queued
+# in the same session.
+REGISTERED = ["fuzzy_join_names_k2", "bloom_filter_join",
+              "corpus_curate"]
 
 
 def _noop(df) -> None:
@@ -64,16 +68,34 @@ def _min_of(fn, spark, sf_dir):
     return round(min(samples[1:]), 3)
 
 
+def _fresh_spark():
+    from etl_dados_ibge_sp_spark.session import get_spark as gs
+    sp = gs()
+    sp.sparkContext.setLogLevel("ERROR")
+    return sp
+
+
 def measure(spark, sf_dir: str, with_kmeans: bool) -> dict:
     from etl_dados_ibge_sp_spark.registry import all_queries_with_pending
     from etl_dados_ibge_sp_spark.registry_pending10 import leakage_pairs
 
     out: dict = {}
     qs = all_queries_with_pending()
-    for name in REGISTERED:
-        out[name] = {"sec": _min_of(qs[name], spark, sf_dir)}
-        print(json.dumps({os.path.basename(sf_dir): {name: out[name]}}),
-              flush=True)
+
+    def alive(sp):
+        # A driver-fatal OOM kills the JVM; everything after in that
+        # session fails with connection errors.  Recover with a fresh
+        # session so one query's measured boundary cannot poison the
+        # rest of the scale pass.
+        try:
+            sp.sql("SELECT 1").collect()
+            return sp
+        except Exception:  # noqa: BLE001
+            try:
+                sp.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            return _fresh_spark()
 
     for strat in ("inverted", "lsh"):
         key = f"leakage_pairs_{strat}"
@@ -82,6 +104,13 @@ def measure(spark, sf_dir: str, with_kmeans: bool) -> dict:
             spark, sf_dir)}
         print(json.dumps({os.path.basename(sf_dir): {key: out[key]}}),
               flush=True)
+        spark = alive(spark)
+
+    for name in REGISTERED:
+        out[name] = {"sec": _min_of(qs[name], spark, sf_dir)}
+        print(json.dumps({os.path.basename(sf_dir): {name: out[name]}}),
+              flush=True)
+        spark = alive(spark)
 
     if with_kmeans:
         from tools.scale_curve_r9 import _semdedup_corpus
@@ -125,7 +154,8 @@ def main() -> None:
                          "records {error} instead of killing the run "
                          "— a DNF at a scale point is evidence"),
               "scales": {}}
-    for sf in ("1.0", "3.0", "10.0"):
+    scales = sys.argv[1:] or ["1.0", "3.0", "10.0"]
+    for sf in scales:
         d = os.path.join(root, f"sf{sf}")
         if not os.path.isdir(d):
             print(f"skip sf{sf}: {d} missing", file=sys.stderr)
@@ -134,7 +164,14 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         result["scales"][sf] = measure(spark, d,
                                        with_kmeans=(sf == "10.0"))
-        spark.stop()
+        try:
+            # measure() may have replaced a session its boundary
+            # query killed; stop whatever is active now.
+            from pyspark.sql import SparkSession
+            active = SparkSession.getActiveSession()
+            (active or spark).stop()
+        except Exception:  # noqa: BLE001
+            pass
     print(json.dumps(result))
 
 
