@@ -71,7 +71,10 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str,
       multiplicity (min over a multiset equals min over its set), and
       the per-row dedup / ``distinct()`` shuffle is pure overhead on
       the LSH path.  Ask for distinct only when set semantics matter
-      (Jaccard sizes)."""
+      (Jaccard sizes).  In particular the default output is NOT valid
+      input to ``jaccard_pairs`` — its intersection count assumes
+      distinct (id, shingle) rows, and it guards the assumption with a
+      runtime raise (see its docstring)."""
     nt = df.select(F.col(id_col),
                    normalized_text(F.col(text_col)).alias("__nt"))
     positions = F.sequence(
@@ -167,6 +170,16 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
     ``shingles`` must be DISTINCT (id, shingle) rows — what
     `word_shingles` / `char_shingles(distinct=True)` emit — since the
     overlap count is the SET intersection only without duplicates.
+    A multiset input inflates the count by the multiplicity product
+    (jaccard can exceed 1), so the contract is GUARDED, not just
+    documented: any pair whose counted intersection exceeds either
+    set size — impossible for set input — raises at execution time
+    (one scalar comparison per candidate pair, inside codegen; no
+    extra shuffle, no defensive ``.distinct()`` tax on correct
+    callers).  The guard is necessary-not-sufficient (some multiset
+    inputs stay under the bound), but it turns the likely misuse —
+    ``char_shingles`` with its default ``distinct=False`` — into a
+    loud error instead of silent >1.0 similarities.
 
     Verification deliberately never materializes per-doc token
     arrays.  The collect_list alternative (one array join per pair
@@ -272,12 +285,24 @@ def jaccard_pairs(shingles: DataFrame, id_col: str,
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
+    checked_i = F.when(
+        F.col("__i") > F.least("__sa", "__sb"),
+        F.raise_error(F.concat(
+            F.lit("jaccard_pairs: intersection count exceeds a set "
+                  "size for pair ("),
+            F.col("id_a").cast("string"), F.lit(", "),
+            F.col("id_b").cast("string"),
+            F.lit(") — input was not DISTINCT (id, shingle) rows; "
+                  "use word_shingles / char_shingles(distinct=True) "
+                  "or .distinct() the input"))).cast("long"),
+    ).otherwise(F.col("__i"))
     return (
         inter
         .join(_h(sizes.select(F.col(id_col).alias("id_a"),
                               F.col("sz").alias("__sa"))), "id_a")
         .join(_h(sizes.select(F.col(id_col).alias("id_b"),
                               F.col("sz").alias("__sb"))), "id_b")
+        .withColumn("__i", checked_i)
         .withColumn("jaccard", F.round(
             F.col("__i").cast("double") /
             (F.col("__sa") + F.col("__sb") - F.col("__i")), 6))

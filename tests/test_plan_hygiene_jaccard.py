@@ -129,3 +129,25 @@ def test_cc_never_checkpoints_raw_caller_plans(spark, sf_dir,
     assert not violations, (
         "a raw caller plan reached a checkpoint (static compile — "
         "the sf10 OOM shape):\n" + violations[0])
+
+
+def test_multiset_input_fails_loudly(spark):
+    """ADVICE r10: a multiset (id, shingle) input inflates the PPJoin
+    intersection count by the multiplicity product — silently, before
+    the guard.  The guard turns the contract breach (e.g.
+    char_shingles with its default distinct=False) into a runtime
+    raise instead of >1.0 jaccard values."""
+    import pytest
+
+    from etl_dados_ibge_sp_spark.operators.dedup import jaccard_pairs
+
+    rows = [(1, s) for s in ("aa", "aa", "aa", "bb")] \
+        + [(2, s) for s in ("aa", "aa", "aa", "cc")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    with pytest.raises(Exception, match="not DISTINCT"):
+        jaccard_pairs(sh, "doc_id", 0.5).collect()
+    # and the distinct projection of the same input still works
+    # ({aa,bb} vs {aa,cc}: J = 1/3)
+    got = {tuple(r)[:2] for r in
+           jaccard_pairs(sh.distinct(), "doc_id", 0.3).collect()}
+    assert got == {(1, 2)}
