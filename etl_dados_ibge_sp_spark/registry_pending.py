@@ -1867,6 +1867,15 @@ from .registry_pending11 import PENDING11_GATED  # noqa: E402
 
 PENDING_GATED.extend(PENDING11_GATED)
 
+# Twelfth tranche (authored round 11, gated to round 12 — the
+# round-11 budget carries the five governance admissions, so these
+# must not displace that rotation; the round-12 slack is
+# 5*50 - 216 = 34 and the drain simulation in
+# tests/test_pending_r12.py covers the admission).
+from .registry_pending12 import PENDING12_GATED  # noqa: E402
+
+PENDING_GATED.extend(PENDING12_GATED)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable],
