@@ -80,9 +80,25 @@ def _min_of(fn, spark, sf_dir, n_passes: int) -> dict:
             _noop(fn(spark, sf_dir))
             samples.append(time.monotonic() - t0)
     except Exception as exc:  # noqa: BLE001
-        return {"error": str(exc).split("\n")[0][:300],
+        return {"error": _exc_summary(exc),
                 "completed_passes": len(samples)}
     return {"sec": round(min(samples[1:]), 3)}
+
+
+def _exc_summary(exc: Exception) -> str:
+    """First line of the message PLUS the root-cause line: py4j
+    errors open with a generic 'An error occurred while calling …'
+    and bury the actual OutOfMemoryError / ENOSPC lines below — a DNF
+    record that omits the failure MODE is not evidence."""
+    lines = [ln.strip() for ln in str(exc).split("\n") if ln.strip()]
+    head = lines[0][:200] if lines else repr(exc)[:200]
+    cause = next(
+        (ln for ln in lines[1:]
+         if any(k in ln for k in (
+             "Error", "Exception", "No space left", "ENOSPC"))
+         and "An error occurred" not in ln),
+        None)
+    return head if cause is None else f"{head} | cause: {cause[:250]}"
 
 
 class _Session:
