@@ -74,10 +74,37 @@ def compact_line(full: dict) -> dict:
         "n_queries": full["n_queries"],
         "mean_query_sec": full["mean_query_sec"],
         "host_factor": full["host_factor"],
+        "control_factor": full.get("control_factor"),
         "n_regressions": len(full["regressions"]),
         "regressions": full["regressions"][:8],
         "detail": "BENCH_full.json",
     }
+
+
+# Scan-bound control queries: plans that are one parquet scan plus a
+# combinable aggregate — no join strategy, no window, no Python, no
+# streaming startup — so their delta against the pin moves with the
+# HOST, not with any plan change.  Every flag triage since round 8 has
+# computed "scan-bound solo controls ~1.0x" by hand; record it per run
+# instead.  control_factor is the geometric mean of their pin deltas:
+# ~1.0 certifies a clean window, and a run whose host_factor (median
+# of ALL deltas) sits far above its control_factor is drifting on
+# pin staleness, not host load.  Six queries so one stale-fast pin
+# cannot dominate the geomean (count_report was excluded for exactly
+# that — its early-round 0.597 pin reads 1.4x in every recent run
+# while the fresher controls read 0.87-1.17).
+SCAN_CONTROLS = ("pricing_summary", "dedup_exact", "text_token_stats",
+                 "text_quality_score", "split_length_curriculum",
+                 "k_anonymity_audit")
+
+
+def control_factor(timings: dict, base: dict) -> float | None:
+    import math
+    ds = [timings[q] / base[q] for q in SCAN_CONTROLS
+          if q in timings and base.get(q)]
+    if not ds:
+        return None
+    return round(math.exp(sum(math.log(d) for d in ds) / len(ds)), 3)
 
 
 def main() -> None:
@@ -139,6 +166,7 @@ def main() -> None:
     deltas: dict[str, float] = {}
     regressions: list[str] = []
     host_factor = 1.0
+    base: dict[str, float] = {}
     if os.path.exists(baseline_path) and sf_from_dir(sf_dir) == 0.1:
         with open(baseline_path) as fh:
             base = json.load(fh).get("queries", {})
@@ -181,6 +209,7 @@ def main() -> None:
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 3),
         "host_factor": round(host_factor, 2),
+        "control_factor": control_factor(timings, base),
         "methodology": ("warm pass + min of 3 interleaved whole-suite "
                         "passes per query, noop sink"),
         "notes": [
