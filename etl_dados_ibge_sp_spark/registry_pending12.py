@@ -301,8 +301,13 @@ def _q_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One datasheet row per source: docs, distinct contents, token
     mass, language spread, exact-dup rate, share of the corpus token
     mass.  The distinct-content count shuffles md5 fingerprints (the
-    exact-dedup shape); the corpus total is a 1-row crossJoin —
-    a literal broadcast, not a data-scaled side."""
+    exact-dedup shape); the corpus total is an unpartitioned window
+    over the PER-SOURCE frame (|sources| rows — the single-partition
+    window is bounded by the grid, never by data), NOT an
+    agg+crossJoin of the same subtree: Catalyst compiles that as a
+    second full documents scan (measured scans=2 in the first plan
+    audit), and at 100 TB a datasheet must not read the corpus
+    twice."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "source", "lang",
@@ -314,18 +319,17 @@ def _q_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_unique"),
         F.sum("n_tok").cast("bigint").alias("sum_tokens"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"))
-    total = per_source.agg(
-        F.sum("sum_tokens").cast("bigint").alias("__corpus_tokens"))
-    return (per_source.crossJoin(F.broadcast(total))
-            .select(
-                "source", "n_docs", "n_unique", "sum_tokens", "n_langs",
-                F.round(F.lit(1.0) - F.col("n_unique")
-                        / F.col("n_docs"), 6).alias("exact_dup_rate"),
-                F.round(F.col("sum_tokens") * F.lit(1.0)
-                        / F.col("n_docs"), 6).alias("mean_tokens"),
-                F.round(F.col("sum_tokens") * F.lit(1.0)
-                        / F.col("__corpus_tokens"), 6)
-                 .alias("corpus_share")))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    return per_source.select(
+        "source", "n_docs", "n_unique", "sum_tokens", "n_langs",
+        F.round(F.lit(1.0) - F.col("n_unique")
+                / F.col("n_docs"), 6).alias("exact_dup_rate"),
+        F.round(F.col("sum_tokens") * F.lit(1.0)
+                / F.col("n_docs"), 6).alias("mean_tokens"),
+        F.round(F.col("sum_tokens") * F.lit(1.0)
+                / F.sum("sum_tokens").over(w_all), 6)
+         .alias("corpus_share"))
 
 
 _DATACARD_SQL = f"""

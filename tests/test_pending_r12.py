@@ -236,3 +236,33 @@ def test_round12_admission_holds_5_round_bound():
         assert first_green[f"t11{c}"] == 11
         assert first_green[f"t12{c}"] == 12
     assert max_gap <= 5, f"bound broken: a query went {max_gap} rounds"
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("epoch_repeat_budget", 3),
+    ("gopher_rule_attribution", 2),
+    ("l_diversity_audit", 4),
+    ("source_datacard", 5),
+    ("quality_token_tradeoff", 3),
+])
+def test_tranche12_plan_shape(name, max_shuffles, spark, sf_dir):
+    """The tranche's scale story, as an executable law: every query is
+    ONE documents scan (a datasheet must never read the corpus twice —
+    the first source_datacard draft compiled its agg+crossJoin total
+    as a second full scan), zero joins of any strategy (grids and
+    windows only after the aggregate), and a bounded shuffle count
+    (scan fan-out + the pinned aggregation levels)."""
+    import re
+
+    _sql, fn = GATED12[name]
+    plan = fn(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, \
+        f"{name}: corpus scanned more than once\n{plan[:1200]}"
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|"
+                         r"ShuffledHashJoin|BroadcastNestedLoopJoin|"
+                         r"CartesianProduct)", plan), \
+        f"{name}: unexpected join in a grid-aggregation plan"
+    n_shuffles = len(re.findall(r"\bExchange (hash|range|Single)", plan))
+    assert n_shuffles <= max_shuffles, \
+        f"{name}: {n_shuffles} shuffles > pinned {max_shuffles}"
