@@ -1876,6 +1876,14 @@ from .registry_pending12 import PENDING12_GATED  # noqa: E402
 
 PENDING_GATED.extend(PENDING12_GATED)
 
+# Thirteenth tranche (authored round 11, gated to round 13 — one
+# tranche unlocks per round so no admission can displace the previous
+# rotation; the round-13 slack is 5*50 - 221 = 29 and the drain
+# simulation in tests/test_pending_r13.py covers the admission).
+from .registry_pending13 import PENDING13_GATED  # noqa: E402
+
+PENDING_GATED.extend(PENDING13_GATED)
+
 
 def admit(registry: dict, slack: int,
           register_fn: Callable[[str, str | None], Callable],
