@@ -194,8 +194,12 @@ def _q_events_autocorr_daily(spark: SparkSession,
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("qq"))
     a = d.select(F.col("day"), F.col("c").alias("c1")).withColumn(
         "k", F.explode(F.sequence(F.lit(1), F.lit(7))))
-    j = a.join(d.select(F.col("day").alias("day2"),
-                        F.col("c").alias("c2")),
+    # Explicit broadcast: the lag side is the <=31-row daily frame —
+    # pinning it keeps the plan shape independent of session-level
+    # broadcast thresholds (a foreign session may set the auto
+    # threshold to -1), which the plan-shape law relies on.
+    j = a.join(F.broadcast(d.select(F.col("day").alias("day2"),
+                                    F.col("c").alias("c2"))),
                F.col("day2") == F.col("day") + F.col("k"))
     per_k = j.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("p"),
