@@ -214,11 +214,16 @@ def test_tranche13_plan_shape(name, max_shuffles, n_scans, spark,
     reuses its persisted daily frame rather than re-reading the fact
     table — tools/plan_audit's formatted-explain counting, which
     numbers only live nodes, not cached lineage), no row-at-a-time
-    Python, bounded shuffles."""
+    Python, bounded shuffles.  The session cache is cleared first:
+    the law pins the FIRST-build plan — a prior invocation in the
+    same session (the oracle-parity test) leaves an InMemoryRelation
+    whose stored AQE stages formatted-explain then numbers as extra
+    (already-executed, zero-cost) Exchange nodes."""
     import contextlib
     import io
     import re
 
+    spark.catalog.clearCache()
     _sql, fn = GATED13[name]
     df = fn(spark, sf_dir)
     buf = io.StringIO()
