@@ -288,3 +288,40 @@ def test_round13_admission_holds_5_round_bound():
         assert first_green[f"t12{c}"] == 12
         assert first_green[f"t13{c}"] == 13
     assert max_gap <= 5, f"bound broken: a query went {max_gap} rounds"
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=3, max_size=40),
+       st.integers(min_value=1, max_value=7))
+def test_autocorr_integer_algebra_matches_float_reference(counts, k):
+    """The multiplied-through integer estimator must equal the
+    textbook float formula (mean-centered products over the lag
+    pairs, normalized by the full-series centered sum of squares) on
+    ANY series — the algebraic identity the Spark plan and the SQL
+    string both encode.  Pure Python on random series: independent of
+    both engines, so a shared algebra bug cannot hide."""
+    from hypothesis import assume
+
+    n = len(counts)
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    assume(n * q != s * s)  # constant series: correlation undefined
+    pairs = list(zip(counts, counts[k:]))
+    assume(pairs)
+    p = len(pairs)
+    pk = sum(a * b for a, b in pairs)
+    ak = sum(a for a, _ in pairs)
+    bk = sum(b for _, b in pairs)
+    num = n * n * pk - n * s * (ak + bk) + p * s * s
+    den = n * (n * q - s * s)
+
+    m = s / n
+    ref_num = sum((a - m) * (b - m) for a, b in pairs)
+    ref_den = sum((c - m) ** 2 for c in counts)
+    assert abs(num / den - ref_num / ref_den) <= 1e-9 * max(
+        1.0, abs(ref_num / ref_den))
