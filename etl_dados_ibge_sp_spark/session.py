@@ -91,7 +91,18 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     this package to the Python workers (addPyFile) so pandas-UDF /
     mapInPandas closures resolve regardless of the host's cwd or
     PYTHONPATH.
+
+    Applied once per SparkContext: every registered query calls this
+    on invocation, and the ~10 py4j conf.set round-trips were a
+    measurable per-query constant across a 221-query suite
+    (optimization r11).  Query paths that temporarily override one of
+    these confs restore it themselves (e.g. streaming's
+    shuffle-partition scope), so once-per-context is sufficient.
     """
+    sc = spark.sparkContext
+    if getattr(sc, "_etl_ibge_tuned", False):
+        _ship_package(spark)
+        return spark
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -99,6 +110,7 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
             # Some confs may be frozen on exotic sessions; results then
             # depend on the host defaults, which is the best we can do.
             pass
+    sc._etl_ibge_tuned = True
     _ship_package(spark)
     return spark
 

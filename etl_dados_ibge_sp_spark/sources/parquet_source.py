@@ -69,13 +69,58 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
-               fan_out: bool = True) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_ts(df)
-    if fan_out and name in FACT_TABLES:
-        df = ensure_parallelism(df, spark)
-    return df
+               fan_out: bool = False) -> DataFrame:
+    """Resolve one star-schema table to a (lazy) DataFrame.
+
+    ``fan_out`` is now OPT-IN (optimization r11).  The round-robin
+    fan-out exists for per-row-heavy NARROW pipelines (hashing,
+    shingling, codecs, per-row RNG) where a 1-partition scan would
+    serialize the work; for everything else the exchange is pure cost
+    at bench scale (measured suite-wide A/B at sf0.1: bare scans save
+    ~32 s across 221 queries — a scan-first aggregation like
+    count_report drops 0.81 s -> 0.20 s — while the ~25 genuinely
+    per-row-heavy queries that keep ``fan_out=True`` would regress
+    0.1-6.6 s each without it; tools/loadpath_probe.py,
+    plans/r11/fanout_ab_sf0.1.json, OPTIMIZATION_r11.md).  At 100 TB
+    both settings are identical: the
+    scan already has cluster-width partitions and the fan-out is a
+    no-op either way.
+
+    The resolved frame is memoized per (session, path, fan_out) —
+    PLAN-level reuse only, the same thing a catalog's table resolution
+    does.  Nothing is persisted or precomputed: the frame is lazy, so
+    every downstream action still scans the parquet files.  What the
+    memo removes is the per-call driver work this module used to pay
+    on EVERY query invocation — file listing + footer schema read in
+    ``spark.read.parquet`` (measured 50–95 ms) and the
+    ``ensure_parallelism`` partition probe (a full analysis/physical-
+    planning pass via ``.rdd``, measured 70–115 ms) — a constant a
+    long-lived cluster amortizes to zero but a 221-query suite paid
+    hundreds of times (tools/loadpath_probe.py, optimization r11).
+
+    The memo key carries the path's stat fingerprint (mtime_ns, size),
+    so a path REWRITTEN within a session (tests stage-and-overwrite
+    scratch tables; Spark's overwrite replaces the directory entries,
+    bumping its mtime) resolves fresh instead of serving a stale file
+    listing; an unstattable path skips the memo entirely."""
+    from ..session import session_memo
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+
+    def build() -> DataFrame:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_ts(df)
+        if fan_out and name in FACT_TABLES:
+            df = ensure_parallelism(df, spark)
+        return df
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return build()
+    key = f"load_table:{path}:{fan_out}:{st.st_mtime_ns}:{st.st_size}"
+    return session_memo(spark, key, build)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
