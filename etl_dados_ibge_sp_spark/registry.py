@@ -62,13 +62,15 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-def _t(spark, sf_dir, name, fan_out: bool = True):
-    """``fan_out=False`` for join/aggregate-first queries: the scan
-    fan-out repartition exists for per-row-heavy NARROW pipelines
-    (hashing, shingling); when the first real operator is a shuffle
-    anyway, the optimizer can transpose the repartition above the
-    join and the fan-out becomes a blind extra exchange of the join
-    output (pinned by tests/test_plan_hygiene.py)."""
+def _t(spark, sf_dir, name, fan_out: bool = False):
+    """``fan_out=True`` for per-row-heavy NARROW pipelines (hashing,
+    shingling, codecs, per-row RNG) where a 1-partition scan would
+    serialize the work on one core.  Default False (optimization r11,
+    flipped from True): for scan-then-shuffle queries the fan-out is a
+    blind extra exchange — measured suite-wide A/B at sf0.1 showed the
+    bare scan faster for ~190 of 221 queries (see
+    sources/parquet_source.load_table and OPTIMIZATION_r11.md); at
+    100 TB the flag is moot (the scan is already cluster-wide)."""
     return load_table(spark, sf_dir, name, fan_out=fan_out)
 
 
@@ -93,7 +95,7 @@ GROUP BY l_returnflag, l_linestatus
 def q_pricing_summary(spark, sf_dir):
     """Flagship groupBy-agg (TPC-H Q1 shape): partial (map-side)
     aggregation then a keys-only shuffle — the canonical scalable agg."""
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = _t(spark, sf_dir, "lineitem", fan_out=True).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -146,7 +148,7 @@ def q_rollup_hierarchy(spark, sf_dir):
     """A4 — ROLLUP with NULL-marked subtotal levels, the reference's
     golden-dataset shape (SURVEY §1.4); grp_level tags the level."""
     return rollup_agg(
-        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "lineitem", fan_out=True),
         ["l_returnflag", "l_linestatus"],
         [dsum("l_quantity").alias("sum_qty"),
          F.count(F.lit(1)).alias("n_rows")],
@@ -164,7 +166,7 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 def q_cube_hierarchy(spark, sf_dir):
     """CUBE variant of A4."""
     return cube_agg(
-        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "lineitem", fan_out=True),
         ["l_returnflag", "l_linestatus"],
         [dsum("l_extendedprice").alias("sum_price"),
          F.count(F.lit(1)).alias("n_rows")],
@@ -443,7 +445,7 @@ FROM events
 def q_json_extract(spark, sf_dir):
     """S1/U1 shape — semi-structured field extraction from a JSON
     string column, JVM-side (get_json_object)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", fan_out=True)
     return e.select(
         "event_id", "event_type",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
@@ -478,7 +480,7 @@ def q_sanitized_json_scan(spark, sf_dir):
     file path."""
     from .sources.json_source import sanitize_json_text, unwrap_envelope
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=True)
     qty_str = (
         F.when(F.col("l_quantity") > 45, F.lit('"NaN"'))
         .when(F.col("l_quantity") < 5, F.lit('"-INF"'))

@@ -46,7 +46,7 @@ def _jaccard_pairs_full(spark, sf_dir):
     from .session import session_memo
 
     def build():
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", fan_out=True)
         # Planner-chosen joins (pin_shuffle=False), deliberately: the
         # pipelined broadcast verify is the only shape that never
         # materializes the |cand| x |doc| verification volume, and it
@@ -84,7 +84,7 @@ FROM documents
 def q_text_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish pre-tokens, all
     JVM-side regexp (no UDF)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     text = F.col("text")
     n_tok = T.token_count(text)
     return d.select(
@@ -122,7 +122,7 @@ FROM s
 def q_text_language_id(spark, sf_dir):
     """Language-ID heuristic: marker-stopword scores + first-match
     argmax (the n-gram-heuristic family, SQL-expressible)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     text = F.col("text")
     scores = T.language_scores(text)
     return d.select(
@@ -148,7 +148,7 @@ FROM documents
 def q_text_quality_score(spark, sf_dir):
     """Quality scoring: stopword density + punctuation sanity + length
     saturation, pure rational arithmetic (deterministic everywhere)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     text = F.col("text")
     return d.select(
         "doc_id",
@@ -195,7 +195,7 @@ def q_text_rolling_hash(spark, sf_dir):
     """Rabin-Karp polynomial rolling-hash fingerprint over normalized
     text — a JVM-side aggregate fold, checked char-for-char against
     DuckDB's list_reduce."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     nt = d.select("doc_id", T.normalized_text(F.col("text")).alias("nt"))
     return nt.select("doc_id", T.rolling_hash(F.col("nt")).alias("rhash"))
 
@@ -290,7 +290,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     band keys with over-full buckets dropped (>500: no discriminative
     signal, quadratic fanout).  Linear-time pair discovery, the 100-TB
     dedup path."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
     sh = D.char_shingles(docs, "doc_id", "text", n=4)
     sig = D.minhash_signature(sh, "doc_id", n_hashes=8)
     return D.lsh_candidate_pairs(sig, "doc_id", rows_per_band=2,
@@ -756,7 +756,7 @@ def q_dedup_embed_neardup(spark, sf_dir):
     threshold.  The corpus plants scale-invariant copies (1.1×v for
     every 10th vector) so the planted pairs — and only they, the
     background max cosine is ~0.55 — must surface at cos≥0.9."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan_out=True)
     base = emb.select("vec_id",
                       F.col("embedding").cast("array<double>")
                        .alias("embedding"))
@@ -1033,7 +1033,7 @@ def q_text_bm25_topk(spark, sf_dir):
     zero keyed shuffles — per-term tf is an array fold per row, corpus
     stats are ONE scalar aggregate broadcast back onto the scan."""
     from .operators.ranking import bm25_topk
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return bm25_topk(d, list(_BM25_TERMS), 20)
 
 
@@ -1221,7 +1221,7 @@ def q_text_pii_redact(spark, sf_dir):
     category tags.  Four JVM regexp passes inside whole-stage codegen;
     patterns live in the RE2 ∩ java.util.regex common subset so the
     DuckDB oracle compiles the identical automaton."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
     m = F.col("doc_id") % 10
     inj = F.concat(
         F.col("text"),
@@ -1266,7 +1266,7 @@ def q_text_repetition(spark, sf_dir):
     trigram fraction.  All computed in-row from the token array —
     no explode, no shuffle; O(d·n) per doc is the right trade for
     short documents at 100 TB (bytes stream once through codegen)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
     base = docs.select("doc_id",
                        T.tokens(F.col("text")).alias("__tk"))
     tk = F.col("__tk")

@@ -1427,7 +1427,7 @@ def _q_dedup_incremental_load(spark: SparkSession,
     # already provides full parallelism there).  So: derive the
     # signatures from a fanned scan and pass them via ``wh_sigs``,
     # while the operator sees only the plain warehouse frame.
-    docs_fan = load_table(spark, sf_dir, "documents")
+    docs_fan = load_table(spark, sf_dir, "documents", fan_out=True)
     docs = load_table(spark, sf_dir, "documents", fan_out=False)
     wh = docs.filter(F.col("doc_id") % 7 != 0)
     nb = docs_fan.filter(F.col("doc_id") % 7 == 0)
@@ -1450,7 +1450,7 @@ def _warehouse_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import session_memo
 
     def build():
-        wh = load_table(spark, sf_dir, "documents") \
+        wh = load_table(spark, sf_dir, "documents", fan_out=True) \
             .filter(F.col("doc_id") % 7 != 0)
         return minhash_signature(
             char_shingles(wh, "doc_id", "text", n=4),
@@ -1609,7 +1609,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_ext import planted_clusters
     from .session import session_memo
 
-    pl = planted_clusters(load_table(spark, sf_dir, "embeddings"))
+    pl = planted_clusters(load_table(spark, sf_dir, "embeddings", fan_out=True))
     copies = pl.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.1).alias("embedding"))

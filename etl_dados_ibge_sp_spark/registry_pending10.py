@@ -287,6 +287,8 @@ def _q_multimodal_png_roundtrip(spark: SparkSession,
     scales with executor count."""
     from .operators.multimodal import decode_png, encode_png
 
+    # fan_out deliberately OFF — same chained-codec in-suite finding
+    # as multimodal_avi_stats (OPTIMIZATION_r11.md).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_png(encode_png(docs))
 

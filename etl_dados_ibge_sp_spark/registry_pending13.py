@@ -112,7 +112,7 @@ def _q_embed_covariance_scaled(spark: SparkSession,
     sums can be produced per-partition as a numpy Gram matrix under
     mapInPandas; the DataFrame shape keeps the whole plan in
     codegen.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     q = emb.select(
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: F.round(x * F.lit(float(_SCALE)))
@@ -266,7 +266,7 @@ def _q_bootstrap_poisson_revenue(spark: SparkSession,
     identical resamples — no rand(), retry-stable, oracle-checkable.
     One scan, ×32 in-row fanout, map-side partial aggregation onto 32
     cells; revenue accumulates in exact integer cents."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", fan_out=True)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     r = (o.select(F.col("o_orderkey"), cents.alias("m"))
          .withColumn("b", F.explode(F.sequence(F.lit(0),

@@ -370,7 +370,7 @@ def _q_embed_quantize_int8(spark: SparkSession,
     the fold below is NULL-absorbing (a + NULL = NULL) while the
     oracle's SUM skips NULLs, so without the filter a single NULL
     element would silently diverge the engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     xd = F.filter(F.transform("embedding", lambda x: x.cast("double")),
                   lambda x: x.isNotNull())
     e = e.select("vec_id", xd.alias("xd")) \
@@ -520,7 +520,7 @@ def _q_text_dup_ngram_spans(spark: SparkSession,
     map-combinable distinct-doc count over grams.  At 100 TB, hash
     the gram to a 64-bit fingerprint before the groupBy so the
     shuffle moves 8 bytes per gram, not the text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = F.split("text", " ")
     d = d.select("doc_id", toks.alias("toks")) \
          .filter(F.size("toks") >= 8)

@@ -95,7 +95,7 @@ def _q_kmv_distinct_by_type(spark: SparkSession,
     recomputes the exact order statistic over all distinct hashes, so
     a driver row checks the sketch VALUES bit-for-bit (estimator: one
     bigint->double cast + one division, IEEE-identical everywhere)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fan_out=True)
     day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)) \
         .cast("bigint")
     # NULL-propagating F.concat, NOT concat_ws: concat_ws SKIPS null
@@ -510,13 +510,13 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
     from .registry_ext import _BM25_TERMS
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     lex = bm25_topk(docs, list(_BM25_TERMS), _RRF_TOPN)
     lex_r = lex.withColumn(
         "r_lex",
         F.row_number().over(
             Window.orderBy(F.desc("bm25"), F.asc("doc_id"))))
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec"))
     corpus = emb.filter(F.col("vec_id") != 0) \

@@ -138,7 +138,7 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Directional on purpose: both (a→b) and (b→a) rows can appear,
     each with its own denominator."""
     from .operators.dedup import word_shingles
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh0 = word_shingles(docs, "doc_id", "text", n=3)
     keep = (sh0.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -29,6 +29,10 @@ def _q_multimodal_avi_stats(spark: SparkSession,
     PPM/WAV/AVI codec family — both stages Arrow-batched mapInPandas,
     narrow, no shuffle."""
     from .operators.multimodal import decode_avi, encode_avi
+    # fan_out deliberately OFF (optimization r11): the fanned
+    # encode->decode chain (two chained python workers x 32 tasks)
+    # measured a pathological in-suite blowup (1.3 s -> 13.4 s min-of-3)
+    # while the bare chain runs 0.5-0.8 s solo and in-suite.
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_avi(encode_avi(docs))
 
