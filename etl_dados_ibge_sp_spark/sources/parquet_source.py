@@ -37,8 +37,9 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     the cluster has cores, a round-robin repartition — one tiny
     shuffle of the raw rows — buys full-width execution of everything
     after it.  At 100 TB the scan already has thousands of partitions
-    and this is a no-op, so the helper is safe to apply universally to
-    fact tables.
+    and this is a no-op.  Callers opt in per load site (load_table's
+    fan_out flag, opt-in since optimization r11): the shuffle only
+    pays for itself when heavy narrow work follows the scan.
     """
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
