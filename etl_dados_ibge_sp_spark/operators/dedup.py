@@ -350,7 +350,8 @@ def incremental_lsh_candidates(new_sigs: DataFrame,
                                warehouse_sigs: DataFrame,
                                id_col: str,
                                rows_per_band: int = 2,
-                               max_bucket: int | None = None) -> DataFrame:
+                               max_bucket: int | None = None,
+                               wh_bands: DataFrame | None = None) -> DataFrame:
     """Incremental dedup's pair discovery: candidates between a NEW
     batch and the existing signature warehouse — the production
     arrival path, where the corpus is never re-shingled and never
@@ -365,24 +366,36 @@ def incremental_lsh_candidates(new_sigs: DataFrame,
 
     Returns distinct (new_id, old_id) candidate pairs; verify with an
     exact Jaccard recheck as usual.
+
+    ``wh_bands``: the PRE-BANDED warehouse — (id_col, band, band_key)
+    rows with the hot-band cap ALREADY applied (what a production
+    warehouse stores: signatures partitioned by band key, written at
+    ingest).  When provided, ``warehouse_sigs``/``max_bucket`` are
+    ignored for the warehouse side and the per-arrival banding +
+    bucket-census window are skipped (optimization r12) — the caller
+    owns keeping the staged table's cap in sync.
     """
     from pyspark.sql import Window
 
     nb = banded_keys(new_sigs, id_col, rows_per_band) \
         .withColumnRenamed(id_col, "new_id")
-    wb = banded_keys(warehouse_sigs, id_col, rows_per_band) \
-        .withColumnRenamed(id_col, "old_id")
-    if max_bucket is not None:
-        # Same hot-band guard as lsh_candidate_pairs, applied to the
-        # warehouse side: a stopband-like band_key shared by many
-        # warehouse signatures would otherwise re-introduce the
-        # quadratic fanout on exactly the arrival path this function
-        # exists to keep O(new x bucket).  The window count rides the
-        # join key's own partitioning — no extra shuffle.
-        w = Window.partitionBy("band", "band_key")
-        wb = (wb.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-                .filter(F.col("__bucket_n") <= max_bucket)
-                .drop("__bucket_n"))
+    if wh_bands is not None:
+        wb = wh_bands.withColumnRenamed(id_col, "old_id")
+    else:
+        wb = banded_keys(warehouse_sigs, id_col, rows_per_band) \
+            .withColumnRenamed(id_col, "old_id")
+        if max_bucket is not None:
+            # Same hot-band guard as lsh_candidate_pairs, applied to
+            # the warehouse side: a stopband-like band_key shared by
+            # many warehouse signatures would otherwise re-introduce
+            # the quadratic fanout on exactly the arrival path this
+            # function exists to keep O(new x bucket).  The window
+            # count rides the join key's own partitioning — no extra
+            # shuffle.
+            w = Window.partitionBy("band", "band_key")
+            wb = (wb.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+                    .filter(F.col("__bucket_n") <= max_bucket)
+                    .drop("__bucket_n"))
     return (
         nb.join(wb, ["band", "band_key"])
         .select("new_id", "old_id")
@@ -397,6 +410,8 @@ def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
                                 threshold: float = 0.8,
                                 max_bucket: int | None = 500,
                                 wh_sigs: DataFrame | None = None,
+                                wh_bands: DataFrame | None = None,
+                                wh_shingle_arrays: DataFrame | None = None,
                                 ) -> DataFrame:
     """Per-new-doc load verdict against an existing corpus: (id,
     matched_old, loaded) where ``matched_old`` is the LOWEST warehouse
@@ -414,24 +429,33 @@ def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
     skip re-shingling the corpus — at 100 TB the signatures are stored
     (partitioned by band key) and this argument is mandatory in
     spirit; when None they are derived from ``wh_docs`` (the small-SF
-    test path).  The exact recheck scans the FULL ``wh_docs`` for its
-    zero-shuffle shingle-set projection and prunes row-by-row via the
-    inner join on the candidate old ids — deliberately NOT a semi-join
-    prefilter, which would force the heavy candidate subtree to
-    evaluate twice (see the inline comment below); at cluster scale
-    substitute a stored per-doc shingle table or a runtime bloom join
-    so the warehouse TEXT scan itself is pruned.
+    test path).  ``wh_bands``: the pre-banded, hot-capped warehouse
+    band keys (incremental_lsh_candidates' staged-table contract) —
+    skips the per-arrival banding + bucket-census window.
+    ``wh_shingle_arrays``: the stored per-doc shingle-set table
+    ((id_col, shingles) rows, shingle_set_arrays' shape) the recheck
+    uses instead of re-projecting every warehouse text per arrival —
+    exactly the "stored per-doc shingle table" the paragraph below
+    prescribes for cluster scale.  The exact recheck otherwise scans
+    the FULL ``wh_docs`` for its zero-shuffle shingle-set projection
+    and prunes row-by-row via the inner join on the candidate old ids
+    — deliberately NOT a semi-join prefilter, which would force the
+    heavy candidate subtree to evaluate twice (see the inline comment
+    below); at cluster scale substitute a stored per-doc shingle table
+    or a runtime bloom join so the warehouse TEXT scan itself is
+    pruned.
     """
     sig_n = minhash_signature(
         char_shingles(new_docs, id_col, text_col, n=n_shingle),
         id_col, n_hashes=8)
-    if wh_sigs is None:
+    if wh_sigs is None and wh_bands is None:
         wh_sigs = minhash_signature(
             char_shingles(wh_docs, id_col, text_col, n=n_shingle),
             id_col, n_hashes=8)
     cand = incremental_lsh_candidates(sig_n, wh_sigs, id_col,
                                       rows_per_band=2,
-                                      max_bucket=max_bucket)
+                                      max_bucket=max_bucket,
+                                      wh_bands=wh_bands)
 
     # Exact recheck: compare per-doc shingle-SET arrays with an in-row
     # hash-set intersect.  Three shapes rejected on measurement:
@@ -456,8 +480,9 @@ def incremental_neardup_verdict(new_docs: DataFrame, wh_docs: DataFrame,
                                n=n_shingle) \
         .withColumnRenamed(id_col, "new_id") \
         .withColumnRenamed("shingles", "__sn")
-    arr_w = shingle_set_arrays(wh_docs, id_col, text_col,
-                               n=n_shingle) \
+    arr_w = (wh_shingle_arrays if wh_shingle_arrays is not None
+             else shingle_set_arrays(wh_docs, id_col, text_col,
+                                     n=n_shingle)) \
         .withColumnRenamed(id_col, "old_id") \
         .withColumnRenamed("shingles", "__sw")
     # Explicit hash repartition on the pair flow: with every join

@@ -380,7 +380,9 @@ def _deletion_keys(col: str, max_dist: int = 1) -> "F.Column":
 
 def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
                        left_col: str, right_col: str,
-                       max_dist: int = 1) -> DataFrame:
+                       max_dist: int = 1,
+                       left_source: DataFrame | None = None,
+                       right_source: DataFrame | None = None) -> DataFrame:
     """Edit-distance-<=k join by **deletion-neighborhood blocking**
     (the FastSS family) — the fix for length-cell blocking's worst
     case (every string the same length, one cell quadratic) AND, at
@@ -410,6 +412,12 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
     multiplicity, matching the naive cross-join semantics.  Left and
     right must not share column names (same contract as the equi-join
     itself).
+
+    ``left_source`` / ``right_source``: optional probe proxies for the
+    fan-out partition check — pass the base frame when left/right are
+    narrow transforms of it (ensure_parallelism's ``source`` contract)
+    so the per-invocation ``.rdd`` planning pass is replaced by the
+    base frame's cached count (optimization r12).
     """
     # Fan the inputs out BEFORE the neighborhood explode: the
     # expansion is the expensive per-row work (O(L^k) substring
@@ -420,8 +428,10 @@ def fuzzy_join_deletes(left: DataFrame, right: DataFrame,
     # case (same contract as sources.parquet_source.ensure_parallelism).
     from ..sources.parquet_source import ensure_parallelism
 
-    left = ensure_parallelism(left, left.sparkSession)
-    right = ensure_parallelism(right, right.sparkSession)
+    left = ensure_parallelism(left, left.sparkSession,
+                              source=left_source)
+    right = ensure_parallelism(right, right.sparkSession,
+                               source=right_source)
     lk = (left.withColumn("__lid", F.monotonically_increasing_id())
           .withColumn("__k", F.explode(
               _deletion_keys(left_col, max_dist))))

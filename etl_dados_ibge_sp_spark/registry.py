@@ -799,7 +799,10 @@ def q_fuzzy_join_names(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     a = sup.select(F.col("s_name").alias("name_a"))
     b = sup.select(F.col("s_name").alias("name_b"))
-    return fuzzy_join_deletes(a, b, "name_a", "name_b") \
+    # a/b are narrow projections of the memoized dim frame: pass it as
+    # the fan-out probe proxy so no per-invocation planning pass runs.
+    return fuzzy_join_deletes(a, b, "name_a", "name_b",
+                              left_source=sup, right_source=sup) \
         .filter(F.col("name_a") < F.col("name_b")) \
         .select("name_a", "name_b", "distance")
 
@@ -850,7 +853,11 @@ def q_fuzzy_join_names_k2(spark, sf_dir):
         F.lit("#"), (F.col("c_custkey") % 4).cast("string"))
     a = cust.select(nm.alias("name_a"))
     b = cust.select(nm.alias("name_b"))
-    return fuzzy_join_deletes(a, b, "name_a", "name_b", max_dist=2) \
+    # Probe proxy: a/b are narrow projections of the memoized dim
+    # frame (same partitioning), so the fan-out check reuses its
+    # cached partition count instead of re-planning per invocation.
+    return fuzzy_join_deletes(a, b, "name_a", "name_b", max_dist=2,
+                              left_source=cust, right_source=cust) \
         .filter(F.col("name_a") < F.col("name_b")) \
         .select("name_a", "name_b", "distance")
 

@@ -147,6 +147,81 @@ FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id
 """
 
 
+def pruned_trigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df <= 50-pruned word-trigram shingle relation (doc_id,
+    shingle), staged once per (session, sf_dir) — the shared inverted
+    index THREE registered queries previously each rebuilt per
+    invocation (`dedup_containment`, `split_leakage_pairs`,
+    `near_dup_rate_by_source`; r11 measured them at 2.9/4.0/4.6 s,
+    dominated by the identical shingle explode + document-frequency
+    census).  Production stages exactly this as a table at ingest
+    (the `_warehouse_signatures` precedent); locally it is a
+    session-memoized persisted frame, rebuilt from the parquet inputs
+    inside every bench/oracle run.  Memoization cannot change any
+    result: the relation is a deterministic function of the documents
+    table, and each consumer's aggregation/join logic is untouched.
+
+    Build notes: the input scan keeps ``fan_out=True`` — the shingle
+    explode is exactly the per-row-heavy narrow work the fan-out
+    exists for (r11 A/B) — and the df census prunes BEFORE the
+    persist, so the staged relation is the small side (boilerplate
+    grams with posting lists > 50 docs, the quadratic-fanout mass,
+    never hit storage)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .operators.dedup import word_shingles
+    from .session import session_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        sh0 = word_shingles(docs, "doc_id", "text", n=3)
+        keep = (sh0.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= 50)
+                .select("shingle"))
+        return (sh0.join(keep, "shingle")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
+    return session_memo(spark, f"pruned_tri_shingles:{sf_dir}", build)
+
+
+def trigram_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-Jaccard >= 0.8 near-dup pairs (doc_a < doc_b, jaccard)
+    over :func:`pruned_trigram_shingles`, staged once per (session,
+    sf_dir) — the pair set `split_leakage_pairs` and
+    `near_dup_rate_by_source` both verdict on (each previously rebuilt
+    the whole inverted-index pair join per invocation).  Arithmetic is
+    bit-identical to the inline form both queries used: exact
+    intersection counts from the pruned index, sizes measured on the
+    SAME pruned set, ``round(i / (sa + sb - i), 6) >= 0.8``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .session import session_memo
+
+    def build() -> DataFrame:
+        sh = pruned_trigram_shingles(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("i")))
+        jac = F.round(
+            F.col("i") * F.lit(1.0) /
+            (F.col("__sa") + F.col("__sb") - F.col("i")), 6)
+        return (inter
+                .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("sz").alias("__sa")), "doc_a")
+                .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("sz").alias("__sb")), "doc_b")
+                .select("doc_a", "doc_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= 0.8)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
+    return session_memo(spark, f"tri_neardup_pairs:{sf_dir}", build)
+
+
 def leakage_pairs(spark: SparkSession, sf_dir: str,
                   candidates: str = "inverted") -> DataFrame:
     """Train/test contamination report: trigram-Jaccard ≥ 0.8 near-dup
@@ -170,24 +245,16 @@ def leakage_pairs(spark: SparkSession, sf_dir: str,
     (1−0.8²)⁴ ≈ 1.7 %.  The subset law (lsh ⊆ inverted, identical
     jaccard values) is pinned in tests/test_pending_r10.py; the
     sf1/sf3 curve rows live in SCALE.md."""
-    from .operators.dedup import (lsh_candidate_pairs,
-                                  minhash_signature, word_shingles)
+    from .operators.dedup import lsh_candidate_pairs, minhash_signature
 
     docs = load_table(spark, sf_dir, "documents")
-    sh0 = word_shingles(docs, "doc_id", "text", n=3)
-    keep = (sh0.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= 50)
-            .select("shingle"))
-    sh = sh0.join(keep, "shingle")
+    sh = pruned_trigram_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates == "inverted":
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (a.join(b, "shingle")
-                 .filter(F.col("doc_a") < F.col("doc_b"))
-                 .groupBy("doc_a", "doc_b")
-                 .agg(F.count(F.lit(1)).alias("i")))
+        # The staged shared pair set (identical arithmetic) — pair
+        # discovery is computed once per session, not once per
+        # invocation (optimization r12).
+        pairs = trigram_neardup_pairs(spark, sf_dir)
     elif candidates == "lsh":
         # Banded discovery over the SAME pruned shingle set the
         # verdict measures (signatures on the unpruned set would let
@@ -208,16 +275,17 @@ def leakage_pairs(spark: SparkSession, sf_dir: str,
                          F.col("id_b").alias("doc_b"), "i"))
     else:
         raise ValueError(f"unknown candidate strategy {candidates!r}")
-    jac = F.round(
-        F.col("i") * F.lit(1.0) /
-        (F.col("__sa") + F.col("__sb") - F.col("i")), 6)
-    pairs = (inter
-             .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("sz").alias("__sa")), "doc_a")
-             .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                                F.col("sz").alias("__sb")), "doc_b")
-             .select("doc_a", "doc_b", jac.alias("jaccard"))
-             .filter(F.col("jaccard") >= 0.8))
+    if candidates != "inverted":
+        jac = F.round(
+            F.col("i") * F.lit(1.0) /
+            (F.col("__sa") + F.col("__sb") - F.col("i")), 6)
+        pairs = (inter
+                 .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("sz").alias("__sa")), "doc_a")
+                 .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("sz").alias("__sb")), "doc_b")
+                 .select("doc_a", "doc_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= 0.8))
     sp = docs.select("doc_id", _split_col().alias("split"))
     return (pairs
             .join(sp.select(F.col("doc_id").alias("doc_a"),

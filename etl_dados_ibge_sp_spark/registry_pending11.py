@@ -277,31 +277,15 @@ def _q_near_dup_rate_by_source(spark: SparkSession,
     documents twice, and Spark's PushDownLeftSemiAntiJoin rule pushes
     a left-semi join below the scan fan-out repartition, stranding a
     RoundRobin exchange mid-plan — the one-pass left join keeps the
-    fan-out at the scan where the plan-hygiene law can see it.)"""
-    from .operators.dedup import word_shingles
+    fan-out at the scan where the plan-hygiene law can see it.)
+
+    Pair discovery consumes the SESSION-STAGED shared pair set
+    (registry_pending10.trigram_neardup_pairs — identical arithmetic,
+    previously rebuilt inline per invocation; optimization r12)."""
+    from .registry_pending10 import trigram_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh0 = word_shingles(docs, "doc_id", "text", n=3)
-    keep = (sh0.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= 50)
-            .select("shingle"))
-    sh = sh0.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("i")))
-    jac = (F.col("i") * F.lit(1.0)
-           / (F.col("__sa") + F.col("__sb") - F.col("i")))
-    pairs = (inter
-             .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("sz").alias("__sa")), "doc_a")
-             .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                                F.col("sz").alias("__sb")), "doc_b")
-             .filter(F.round(jac, 6) >= 0.8))
+    pairs = trigram_neardup_pairs(spark, sf_dir)
     dup_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                .union(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())

@@ -136,15 +136,15 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle.  Sizes are measured on the SAME pruned shingle set the
     intersection uses, so the ratio is internally consistent.
     Directional on purpose: both (a→b) and (b→a) rows can appear,
-    each with its own denominator."""
-    from .operators.dedup import word_shingles
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    sh0 = word_shingles(docs, "doc_id", "text", n=3)
-    keep = (sh0.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= _CONTAIN_MAXDF)
-            .select("shingle"))
-    sh = sh0.join(keep, "shingle")
+    each with its own denominator.
+
+    The pruned shingle relation is the SESSION-STAGED shared build
+    (registry_pending10.pruned_trigram_shingles — same shingles, same
+    maxdf=50 prune; previously rebuilt inline per invocation;
+    optimization r12).  The directional intersection and sizes below
+    are this query's own."""
+    from .registry_pending10 import pruned_trigram_shingles
+    sh = pruned_trigram_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -92,25 +92,35 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     mapInPandas closures resolve regardless of the host's cwd or
     PYTHONPATH.
 
-    Applied once per SparkContext: every registered query calls this
-    on invocation, and the ~10 py4j conf.set round-trips were a
-    measurable per-query constant across a 221-query suite
-    (optimization r11).  Query paths that temporarily override one of
-    these confs restore it themselves (e.g. streaming's
-    shuffle-partition scope), so once-per-context is sufficient.
+    Applied once per SPARKSESSION (optimization r12; r11 keyed the
+    guard on the SparkContext, which is wrong scope — ``conf.set``
+    writes session-scoped runtime conf, so a second session over the
+    same context, e.g. ``spark.newSession()``, would silently skip the
+    timezone/ANSI/nanosAsLong setup and diverge from the oracle).  The
+    guard is the applied-key set memoized per session via the one
+    ``session_memo`` liveness idiom, so the ~10 py4j conf.set
+    round-trips — a measurable per-query constant across a 221-query
+    suite — happen once per session, a key that FAILED to apply
+    (frozen conf on an exotic session) is retried on the next call
+    instead of being stranded for the context's lifetime, and stopped
+    sessions are swept rather than pinned.  Query paths that
+    temporarily override one of these confs restore it themselves
+    (e.g. streaming's shuffle-partition scope), so once-per-session is
+    sufficient.
     """
-    sc = spark.sparkContext
-    if getattr(sc, "_etl_ibge_tuned", False):
-        _ship_package(spark)
-        return spark
-    for k, v in _RUNTIME_CONF.items():
+    applied = session_memo(spark, "tune_for_oracle:applied", set)
+    for k in _RUNTIME_CONF:
+        if k in applied:
+            continue
         try:
-            spark.conf.set(k, v)
+            spark.conf.set(k, _RUNTIME_CONF[k])
+            applied.add(k)
         except Exception:
-            # Some confs may be frozen on exotic sessions; results then
-            # depend on the host defaults, which is the best we can do.
+            # Frozen conf on an exotic session: results then depend on
+            # the host defaults, which is the best we can do — but keep
+            # the key out of `applied` so a transient failure is
+            # retried on the next call.
             pass
-    sc._etl_ibge_tuned = True
     _ship_package(spark)
     return spark
 

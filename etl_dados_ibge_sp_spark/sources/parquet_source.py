@@ -27,7 +27,25 @@ FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents",
                          "embeddings"})
 
 
-def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+def scan_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical plan, cached on the
+    DataFrame OBJECT: the ``.rdd.getNumPartitions()`` probe is a full
+    analysis + physical-planning + RDD-DAG pass on the driver
+    (measured 70–115 ms per call, tools/loadpath_probe.py), and a
+    frame's partition count is fixed for its lifetime — same plan,
+    same session, same files — so paying it more than once per frame
+    is pure waste.  Frames that flow through ``session_memo`` (every
+    ``load_table`` result) therefore pay the probe once per SESSION,
+    not once per invocation."""
+    n = getattr(df, "_etl_scan_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._etl_scan_partitions = n
+    return n
+
+
+def ensure_parallelism(df: DataFrame, spark: SparkSession,
+                       source: DataFrame | None = None) -> DataFrame:
     """Fan a narrow scan out to cluster parallelism.
 
     A parquet file is splittable only at row-group boundaries; a
@@ -40,9 +58,18 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     and this is a no-op.  Callers opt in per load site (load_table's
     fan_out flag, opt-in since optimization r11): the shuffle only
     pays for itself when heavy narrow work follows the scan.
+
+    ``source``: probe proxy (optimization r12).  When ``df`` is a
+    NARROW transform (select/filter/withColumn — no shuffle, no
+    coalesce) of ``source``, the partition counts are identical by
+    Spark's narrow-dependency contract, so probing the source instead
+    lets a caller that derives fresh frames per invocation from a
+    session-memoized base (e.g. fuzzy_join_deletes over a load_table
+    dim) hit :func:`scan_partitions`' per-object cache instead of
+    paying a fresh planning pass every call.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if scan_partitions(df if source is None else source) < target:
         return df.repartition(target)
     return df
 
@@ -103,7 +130,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     so a path REWRITTEN within a session (tests stage-and-overwrite
     scratch tables; Spark's overwrite replaces the directory entries,
     bumping its mtime) resolves fresh instead of serving a stale file
-    listing; an unstattable path skips the memo entirely."""
+    listing; an unstattable path skips the memo entirely.  FLAT-LAYOUT
+    ASSUMPTION: the fingerprint stats only the top-level directory, so
+    writes that touch only nested partition subdirectories (or rewrite
+    a file in place without a directory-entry change) would NOT bump
+    it — fine for this engine's tables (every writer replaces the
+    whole top-level dir), but a partitioned layout must either include
+    the per-partition entries in the key or skip the memo."""
     from ..session import session_memo
 
     path = os.path.join(sf_dir, f"{name}.parquet")

@@ -87,3 +87,24 @@ def test_tune_for_oracle_applies_once_then_guards(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_tune_for_oracle_covers_new_sessions(spark):
+    """conf.set writes SESSION-scoped runtime conf, so the once-guard
+    must be keyed per SparkSession, not per SparkContext (optimization
+    r12 fix): a second session over the same context — exactly what a
+    driver calling spark.newSession() hands us — must still get the
+    oracle confs applied, or every timestamp cast silently shifts to
+    the host timezone."""
+    tune_for_oracle(spark)
+    s2 = spark.newSession()
+    try:
+        s2.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+        s2.conf.set("spark.sql.ansi.enabled", "true")
+        tune_for_oracle(s2)
+        assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert s2.conf.get("spark.sql.ansi.enabled") == "false"
+        # and the original session was not detuned by tuning s2
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        session_memo_clear(s2)

@@ -38,11 +38,16 @@ def main() -> None:
     qs = all_queries_with_pending()
     for name in names:
         df = qs[name](spark, sf_dir)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Restore the PRIOR AQE value exception-safely (a failing
+        # explain must not leave AQE off for the rest of the process).
+        prior = spark.conf.get("spark.sql.adaptive.enabled")
         buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prior)
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(buf.getvalue())

@@ -51,8 +51,14 @@ def main() -> None:
         out[f"{table}: A read.parquet"] = timed(
             lambda: spark.read.parquet(path))
         df = spark.read.parquet(path)
+        # Probe-only cost: rebuild the frame OUTSIDE the timed lambda
+        # per rep (``.rdd`` memoizes on the DataFrame, so a single
+        # prebuilt df would time the probe once and a dict lookup
+        # N-1 times; timing read.parquet().rdd inside would instead
+        # double-count step A — the r11 evidence overstated B by ~A).
+        frames = iter([spark.read.parquet(path) for _ in range(N)])
         out[f"{table}: B rdd.getNumPartitions"] = timed(
-            lambda: spark.read.parquet(path).rdd.getNumPartitions())
+            lambda: next(frames).rdd.getNumPartitions())
         out[f"{table}: C noop bare scan"] = timed(
             lambda: df.write.mode("overwrite").format("noop").save())
         target = spark.sparkContext.defaultParallelism
